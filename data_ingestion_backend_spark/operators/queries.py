@@ -1,0 +1,667 @@
+"""The relational parity query set (SURVEY.md §2.9, Q01-Q27).
+
+Each query certifies one or more reference operators (the `Certifies`
+comments cite the §2 operator ids, which in turn cite reference
+``file:line``).  Design rules that keep these oracle-exact vs DuckDB:
+
+1. Money/double aggregates are cast to DECIMAL *before* summing (decimal
+   addition is exact + associative, so Spark's partial-aggregation order
+   cannot flip the value hash), and the **final** aggregate is cast to an
+   explicit DECIMAL type so the Spark and DuckDB output schemas agree.
+2. Integer sums / ranks are cast to BIGINT on both sides (DuckDB widens
+   integer sums to HUGEINT otherwise).
+3. Every computed column is aliased identically on both sides.
+4. Sorts carry a unique-key tiebreak wherever a LIMIT follows.
+5. ``events.ts`` is µs-precision on the Spark side (nanos shim, see
+   sources/fixtures.py), so oracle texts cast ns→µs (``CAST(ts AS
+   TIMESTAMP)``) before ordering or truncating on it.
+
+Scale notes (100 TB design):
+- Dimension sides of joins (region/nation/supplier) get explicit
+  ``broadcast()`` hints; customer-sized sides are left to AQE, which
+  broadcasts when the runtime size is under the threshold and falls back
+  to shuffle join when it is not.
+- All aggregations here are partial-aggregable (sum/count/min/max over
+  decimals/longs) → map-side combine before the shuffle.
+- Top-k queries (`orderBy().limit(k)`) plan as TakeOrderedAndProject:
+  per-partition heaps, no global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_backend_spark.functions.scalars import norm_text
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+DEC2 = "decimal(38,2)"
+DEC4 = "decimal(38,4)"
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Projections / filters (P*), point reads, top-k
+# --------------------------------------------------------------------------
+
+@_register(
+    "q01_projection_filter",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_nationkey = 5 ORDER BY c_custkey""",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies P1 (projection), P3 (equality filter), J6 (denormalized scan).
+    # Filter + projection both push into the parquet scan.
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 5)
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q02_conjunctive_membership",
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+       WHERE o_orderstatus IN ('O','F') AND o_orderpriority = '1-URGENT'
+       ORDER BY o_orderkey""",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies P4 (AND filter), P5 (membership predicate).
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "q03_topk",
+    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies O1/O2/O3 (order-by-desc + limit → TakeOrderedAndProject).
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A*)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q04_filtered_count",
+    "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'O'",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies A1/A5 (filtered count), S3 (row counting at intake).
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "q05_conditional_counts",
+    """SELECT COUNT(*) AS total,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS resolved,
+              CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS unresolved
+       FROM orders""",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies A2 (single-pass conditional counts — the reference runs two
+    # queries + subtraction, issue_repository.py:96-115; one pass is strictly
+    # better at scale) and P6.
+    flag = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    return load_table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("total"),
+        F.sum(flag).cast("bigint").alias("resolved"),
+        F.sum(F.lit(1) - flag).cast("bigint").alias("unresolved"),
+    )
+
+
+@_register(
+    "q06_having",
+    """SELECT o_custkey, COUNT(*) AS cnt FROM orders
+       GROUP BY o_custkey HAVING COUNT(*) > 1 ORDER BY o_custkey""",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies A3 — the DUPLICATE_EMAIL detector shape (group-count > 1).
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J*)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q07_inner_join",
+    """SELECT o.o_orderkey, c.c_name FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING' ORDER BY o.o_orderkey""",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies J1/J2 (ownership-scoping equi-join). The filtered customer
+    # side is small relative to orders at every SF → AQE broadcasts it.
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "q08_multiway_join",
+    """SELECT r.r_name, n.n_name, COUNT(*) AS customers
+       FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+       JOIN customer c ON c.c_nationkey = n.n_nationkey
+       GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name""",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies multi-way J1. region/nation are bounded tiny dims (5/25 rows
+    # at any SF) → explicit broadcast keeps customer shuffle-free.
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@_register(
+    "q09_left_join_count",
+    """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey ORDER BY c.c_custkey""",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies J3 (eager-load join shape) and A4 (per-parent progress counts).
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q10_semi_join",
+    """SELECT c_custkey FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey""",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies J4 (existence probe → left-semi join, no row duplication).
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q11_anti_join",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey""",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies J5/J7 (anti-join — the EXISTING_EMAIL inverse and the
+    # cascade-delete rewrite primitive).
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# The flagship aggregation (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q12_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+              COUNT(*) AS cnt
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The flagship: scan → pushed filter → decimal hash-agg (partial+final)
+    # → small sort. Decimal-before-sum keeps the result independent of
+    # partial-aggregation order (exact, associative addition).
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast(DEC2).alias("sum_qty"),
+            F.sum(revenue).cast(DEC4).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (F*)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q13_string_normalize",
+    """SELECT c_custkey, LOWER(TRIM(c_name)) AS norm_name,
+              CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+              SUBSTR(c_name, 1, 8) AS prefix
+       FROM customer ORDER BY c_custkey""",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies F1/F2/F14 and the P2 header-normalization semantics
+    # (lower/trim/substr as data-plane ops).
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            norm_text("c_name").alias("norm_name"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+            F.substring("c_name", 1, 8).alias("prefix"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q14_like_predicate",
+    """SELECT p_partkey, p_name FROM part
+       WHERE LOWER(p_name) LIKE '%a%' ORDER BY p_partkey""",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies P8 (suffix/pattern predicate) — oracle-safe proxy for the
+    # rlike email validator (F11), which has no dual-dialect text.
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.lower(F.col("p_name")).like("%a%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@_register(
+    "q15_row_hash",
+    """SELECT c_custkey,
+              MD5(CONCAT(LOWER(TRIM(c_name)), '|', CAST(c_nationkey AS VARCHAR))) AS row_hash
+       FROM customer ORDER BY c_custkey""",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies F3/F4/F13 — the staging_row_hash idempotency key
+    # (reference src/models/issue.py:81) as a pure Catalyst expression.
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.md5(
+                F.concat(
+                    norm_text("c_name"),
+                    F.lit("|"),
+                    F.col("c_nationkey").cast("string"),
+                )
+            ).alias("row_hash"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "q16_month_rollup",
+    """SELECT DATE_TRUNC('month', o_orderdate) AS month,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+       FROM orders GROUP BY DATE_TRUNC('month', o_orderdate) ORDER BY month""",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies F6 (time bucketing) — the batch shape of a tumbling window.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(DEC2).alias("total"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (O5)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q17a_union",
+    """SELECT c_nationkey AS k FROM customer
+       UNION SELECT s_nationkey FROM supplier ORDER BY k""",
+)
+def q17a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+@_register(
+    "q17b_intersect",
+    """SELECT c_nationkey AS k FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""",
+)
+def q17b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).orderBy("k")
+
+
+@_register(
+    "q17c_except",
+    """SELECT c_nationkey AS k FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""",
+)
+def q17c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s).orderBy("k")  # subtract == ANSI EXCEPT (set semantics)
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+@_register(
+    "q18_pergroup_topk",
+    """SELECT c_custkey, c_nationkey, rnk FROM (
+         SELECT c_custkey, c_nationkey,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+         FROM customer) t
+       WHERE rnk <= 3 ORDER BY c_nationkey, rnk""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ranking window + per-group top-k (the keep-first dedup shape, St3).
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+@_register(
+    "q19_running_total",
+    """SELECT o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+                AS running_total
+       FROM orders ORDER BY o_orderkey""",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Analytic window with explicit frame — the job_processed_rows running
+    # progress counter (A4) generalized.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast(DEC2)
+            .alias("running_total"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@_register(
+    "q20_distinct",
+    "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certifies O4 — distinct is a partial-aggregable groupBy underneath.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus")
+        .distinct()
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-stream shapes (batch-equivalent certs for the streaming pipeline)
+# --------------------------------------------------------------------------
+
+@_register(
+    "q21_keepfirst_dedup",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                ROW_NUMBER() OVER (
+                  PARTITION BY user_id, event_type
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+         FROM events) t
+       WHERE rn = 1 ORDER BY event_id""",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # St3 idempotent keep-first dedup — the staging_row_hash replay guard.
+    # (Oracle casts ns→µs so both dialects order on identical timestamps.)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "q22_tumbling_window",
+    """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+              event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       FROM events
+       GROUP BY DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), event_type
+       ORDER BY window_start, event_type""",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # St4 tumbling event-time window, batch-equivalent (streaming variant
+    # lives in streaming/pipeline.py with a watermark).
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast(DEC2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Validation / text shapes over documents & events
+# --------------------------------------------------------------------------
+
+@_register(
+    "q23_required_field",
+    """SELECT doc_id,
+              CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+                   THEN 'MISSING_REQUIRED_FIELD' ELSE 'OK' END AS validation
+       FROM documents ORDER BY doc_id""",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P7 null/empty check + F12 CASE derivation — the MISSING_REQUIRED_FIELD
+    # detector as a pure projection.
+    text = F.col("text")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(
+                text.isNull() | (F.length(F.trim(text)) == 0),
+                F.lit("MISSING_REQUIRED_FIELD"),
+            )
+            .otherwise(F.lit("OK"))
+            .alias("validation"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q24_docs_rollup",
+    """SELECT lang, source, COUNT(*) AS docs,
+              CAST(SUM(n_chars) AS BIGINT) AS chars
+       FROM documents GROUP BY lang, source ORDER BY lang, source""",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6 list+count pairing generalized to a grouped rollup (text analysis).
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_register(
+    "q25_distinct_agg",
+    """SELECT user_id, COUNT(*) AS n_events,
+              CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+       FROM events GROUP BY user_id HAVING COUNT(*) > 1 ORDER BY user_id""",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT(DISTINCT) — Spark expands to a two-phase aggregate; stays
+    # partial-aggregable on the first phase.
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        )
+        .filter(F.col("n_events") > 1)
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "q26_nested_view_flat",
+    """SELECT c.c_nationkey, COUNT(o.o_orderkey) AS items
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_nationkey ORDER BY c.c_nationkey""",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flattened cert for the J3 nested issues view (the array-of-struct
+    # variant is unit-tested Spark-side in views.py — DuckDB can't hash
+    # nested results portably).
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(F.count("o_orderkey").alias("items"))
+        .orderBy("c_nationkey")
+    )
+
+
+@_register(
+    "q27_json_extract",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k
+       FROM events ORDER BY event_id""",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F10 JSON extraction — per-dialect text (Spark get_json_object vs
+    # DuckDB json_extract_string), same output values.
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").alias("k"),
+        )
+        .orderBy("event_id")
+    )

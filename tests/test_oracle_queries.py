@@ -1,0 +1,39 @@
+"""Differential oracle: every registered query vs DuckDB at sf0.01.
+
+This mirrors the driver's t2 gate so regressions surface locally first.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_backend_spark.registry import ORACLE, QUERIES
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle_utils import compare_query, duckdb_connection
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb_connection(SF_DIR_ORACLE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, con, name):
+    df = QUERIES[name](spark, SF_DIR_ORACLE)
+    compare_query(df, con, ORACLE[name])
+
+
+def test_every_query_has_entry():
+    # Queries without oracle SQL are allowed (weaker rows-only check),
+    # but every oracle must have a query.
+    assert set(ORACLE) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
