@@ -1,0 +1,144 @@
+"""Canonical table schemas and enums of the ingestion pipeline.
+
+Re-expresses the reference's five Postgres tables (reference
+``src/models/job.py:20-38``, ``src/models/issue.py:28-87``,
+``src/models/contact.py:11-29``) as explicit Spark StructTypes over
+parquet.  Ids are content-derived or dense (never
+``monotonically_increasing_id`` — oracle-visible ids must be
+deterministic); enums are plain strings validated with ``isin``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- enums (reference src/models/job.py:11-17, src/models/issue.py:12-25) ---
+
+class JobStatus:
+    PENDING = "PENDING"
+    PROCESSING = "PROCESSING"
+    NEEDS_REVIEW = "NEEDS_REVIEW"
+    COMPLETED = "COMPLETED"
+    FAILED = "FAILED"
+    ALL = (PENDING, PROCESSING, NEEDS_REVIEW, COMPLETED, FAILED)
+    # delete allowed only from these (reference job_repository.py:266-267)
+    DELETABLE = (PENDING, NEEDS_REVIEW, FAILED)
+
+
+class StagingStatus:
+    READY = "READY"
+    SUCCESS = "SUCCESS"
+    DISCARD = "DISCARD"
+    ISSUE = "ISSUE"
+    ALL = (READY, SUCCESS, DISCARD, ISSUE)
+
+
+class IssueType:
+    DUPLICATE_EMAIL = "DUPLICATE_EMAIL"
+    INVALID_EMAIL = "INVALID_EMAIL"
+    EXISTING_EMAIL = "EXISTING_EMAIL"
+    MISSING_REQUIRED_FIELD = "MISSING_REQUIRED_FIELD"
+    ALL = (DUPLICATE_EMAIL, INVALID_EMAIL, EXISTING_EMAIL, MISSING_REQUIRED_FIELD)
+
+
+# --- canonical CSV row contract (reference csv_validator.py:18-23) ---
+
+CANONICAL_COLUMNS = ("email", "first_name", "last_name", "company")
+
+# normalized-header → canonical-column synonym map.  Keys are passed through
+# functions.scalars.norm_header (casefold, strip spaces/underscores/dashes).
+HEADER_SYNONYMS: dict[str, str] = {
+    # email
+    "email": "email",
+    "emailaddress": "email",
+    # first name (incl. pt-BR synonyms, reference README ADR-004)
+    "firstname": "first_name",
+    "nome": "first_name",
+    "fname": "first_name",
+    "givenname": "first_name",
+    # last name
+    "lastname": "last_name",
+    "sobrenome": "last_name",
+    "lname": "last_name",
+    "surname": "last_name",
+    "familyname": "last_name",
+    # company
+    "company": "company",
+    "empresa": "company",
+    "organization": "company",
+    "org": "company",
+    "companyname": "company",
+}
+
+# --- table schemas ---
+
+JOBS_SCHEMA = T.StructType(
+    [
+        T.StructField("job_id", T.StringType(), False),  # content-derived (file sha256)
+        T.StructField("job_user_id", T.LongType(), False),
+        T.StructField("job_filename", T.StringType(), False),
+        T.StructField("job_status", T.StringType(), False),
+        T.StructField("job_total_rows", T.LongType(), False),
+        T.StructField("job_processed_rows", T.LongType(), False),
+        T.StructField("job_issue_count", T.LongType(), False),
+        T.StructField("job_error", T.StringType(), True),
+        T.StructField("job_created_at", T.TimestampType(), False),
+        T.StructField("job_updated_at", T.TimestampType(), False),
+    ]
+)
+
+STAGING_SCHEMA = T.StructType(
+    [
+        T.StructField("staging_id", T.StringType(), False),  # job_id + line_no
+        T.StructField("staging_job_id", T.StringType(), False),
+        T.StructField("line_no", T.LongType(), False),  # 1-based data-row order
+        T.StructField("email", T.StringType(), True),
+        T.StructField("first_name", T.StringType(), True),
+        T.StructField("last_name", T.StringType(), True),
+        T.StructField("company", T.StringType(), True),
+        T.StructField("staging_status", T.StringType(), False),
+        T.StructField("staging_row_hash", T.StringType(), False),  # idempotency
+    ]
+)
+
+ISSUES_SCHEMA = T.StructType(
+    [
+        T.StructField("issue_id", T.StringType(), False),  # job_id|type|key hash
+        T.StructField("issues_job_id", T.StringType(), False),
+        T.StructField("issue_type", T.StringType(), False),
+        T.StructField("issue_key", T.StringType(), True),  # e.g. offending email
+        T.StructField("issue_resolved", T.BooleanType(), False),
+        T.StructField("resolved_at", T.TimestampType(), True),
+        T.StructField("resolved_by", T.StringType(), True),
+        T.StructField("issue_created_at", T.TimestampType(), False),
+    ]
+)
+
+ISSUE_ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("issue_id", T.StringType(), False),
+        T.StructField("staging_id", T.StringType(), False),
+    ]
+)
+
+CONTACTS_SCHEMA = T.StructType(
+    [
+        T.StructField("contact_id", T.StringType(), False),  # == staging_row_hash
+        T.StructField("contacts_user_id", T.LongType(), False),  # denormalized owner
+        T.StructField("email", T.StringType(), False),
+        T.StructField("first_name", T.StringType(), False),
+        T.StructField("last_name", T.StringType(), False),
+        T.StructField("company", T.StringType(), False),
+        T.StructField("contact_created_at", T.TimestampType(), False),
+    ]
+)
+
+PIPELINE_TABLES = ("jobs", "staging", "issues", "issue_items", "contacts")
+
+SCHEMAS = {
+    "jobs": JOBS_SCHEMA,
+    "staging": STAGING_SCHEMA,
+    "issues": ISSUES_SCHEMA,
+    "issue_items": ISSUE_ITEMS_SCHEMA,
+    "contacts": CONTACTS_SCHEMA,
+}

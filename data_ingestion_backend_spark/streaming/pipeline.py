@@ -1,0 +1,178 @@
+"""Streaming ingestion: the landing-zone queue and event-time operators.
+
+The reference decouples upload from processing with S3 + an SQS message
+``{job_id, s3_key}`` consumed by an async worker (reference
+``src/app/services/sqs_service.py:113-131``).  The Spark-native
+re-expression keeps exactly that control/data split:
+
+- **data plane**: the CSV file lands in the landing zone (object store).
+- **control plane**: a tiny JSON *manifest* (job descriptor) lands in
+  ``<landing>/_queue/`` — the SQS message, now a file.  A Structured
+  Streaming ``readStream.json`` over the queue directory is the consumer;
+  its checkpoint gives exactly-once manifest processing (St1/St3), and
+  ``trigger(availableNow=True)`` gives drain-and-stop batch semantics with
+  the same code path as continuous operation.
+
+``foreachBatch`` collects only manifests (bytes-sized control records) to
+the driver and runs the *distributed* batch ingest per file — the stream
+never moves row data through the driver.  Batch and stream share
+:func:`~data_ingestion_backend_spark.pipeline.ingest_file` verbatim — the
+Structured Streaming premise (batch plan reuse).
+
+Event-time operators (St4): watermarked tumbling windows and keep-first
+dedup over the events stream, mirroring the batch-certified Q21/Q22.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.models import JobStatus
+from data_ingestion_backend_spark.pipeline import ingest_file
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+MANIFEST_SCHEMA = "path string, user_id long, filename string, enqueued_at string"
+
+
+def queue_dir(landing_dir: str) -> str:
+    return os.path.join(landing_dir, "_queue")
+
+
+def enqueue_file(landing_dir: str, path: str, user_id: int) -> str:
+    """Publish a job manifest (the SQS ``send_message`` analogue, S7).
+
+    Atomic rename ensures the stream never reads a half-written manifest.
+    """
+    qdir = queue_dir(landing_dir)
+    os.makedirs(qdir, exist_ok=True)
+    manifest = {
+        "path": path,
+        "user_id": user_id,
+        "filename": os.path.basename(path),
+        "enqueued_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    name = f"{int(time.time() * 1000)}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(qdir, "." + name)
+    with open(tmp, "w") as f:
+        f.write(json.dumps(manifest))
+    final = os.path.join(qdir, name)
+    os.replace(tmp, final)
+    return final
+
+
+def process_queue(
+    spark: SparkSession,
+    wh: Warehouse,
+    landing_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> None:
+    """Consume the manifest queue; run batch ingest per file (St1).
+
+    ``availableNow`` drains everything currently enqueued and stops —
+    repeated invocations with the same checkpoint never reprocess a
+    manifest (exactly-once hand-off; re-delivery after a crash is
+    absorbed by ingest idempotency, St3).
+    """
+    checkpoint_dir = checkpoint_dir or os.path.join(landing_dir, "_checkpoint")
+
+    stream = (
+        spark.readStream.schema(MANIFEST_SCHEMA)
+        .json(queue_dir(landing_dir))
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # manifests are control-plane records: collecting them is O(files),
+        # never O(rows) — the file contents are read distributed below.
+        for m in batch_df.collect():
+            try:
+                ingest_file(
+                    spark, wh, m["path"], m["user_id"], m["filename"],
+                    reprocess=True,  # re-delivery safe
+                )
+            except Exception as exc:  # noqa: BLE001 — job-level failure isolation
+                _record_failed_job(spark, wh, m, str(exc))
+
+    writer = stream.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()
+
+
+def _record_failed_job(spark, wh: Warehouse, manifest, error: str) -> None:
+    """A file that fails intake becomes a FAILED ledger row (St2), keeping
+    the failure visible without poisoning the stream (the reference maps
+    this to the saga rollback + 4xx; here the ledger is the source of truth).
+    """
+    import hashlib
+
+    job_id = hashlib.md5(
+        f"{manifest['user_id']}|{manifest['filename']}".encode()
+    ).hexdigest()
+    row = spark.createDataFrame(
+        [(job_id, manifest["user_id"], manifest["filename"], JobStatus.FAILED,
+          0, 0, 0, error[:500])],
+        "job_id string, job_user_id long, job_filename string, job_status string,"
+        " job_total_rows long, job_processed_rows long, job_issue_count long,"
+        " job_error string",
+    ).select(
+        "*",
+        F.current_timestamp().alias("job_created_at"),
+        F.current_timestamp().alias("job_updated_at"),
+    )
+    cur = wh.read("jobs").filter(F.col("job_id") != job_id)
+    wh.write("jobs", cur.unionByName(row))
+
+
+# --------------------------------------------------------------------------
+# Event-time operators (St4) — streaming twins of batch Q21/Q22
+# --------------------------------------------------------------------------
+
+def windowed_event_counts(
+    events: DataFrame, watermark: str = "1 hour", window_len: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming Q22).
+
+    Works on a streaming OR batch events DataFrame (same plan text — the
+    batch run is the oracle-certified q22 modulo the window struct).
+    Late data beyond the watermark is dropped by the state store; the
+    decimal cast keeps sums exact, as in the batch twin.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Keep-first streaming dedup on (user_id, event_type) (streaming Q21).
+
+    ``dropDuplicatesWithinWatermark`` bounds state by event time — the
+    streaming analogue of the row_number()=1 batch dedup; at 100 TB/day the
+    watermark caps state instead of growing forever.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )

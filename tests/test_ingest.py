@@ -1,0 +1,259 @@
+"""Golden tests for the CSV intake + validation + curation pipeline.
+
+Covers the non-SQL surface the DuckDB oracle can't certify: dialect
+sniffing (S1/S2), header synonyms (P2), the four issue detectors, contact
+promotion (J6), idempotent reprocess (St3), cascade delete (M3), and
+partial updates (M1/M2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_ingestion_backend_spark.models import IssueType, JobStatus, StagingStatus
+from data_ingestion_backend_spark.operators.mutations import (
+    NotDeletableError,
+    delete_job,
+    update_issue,
+    update_staging,
+)
+from data_ingestion_backend_spark.pipeline import (
+    DuplicateFileError,
+    ingest_file,
+    reprocess_job,
+)
+from data_ingestion_backend_spark.sources.intake import (
+    IntakeError,
+    sniff_dialect,
+)
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+USER = 7
+
+
+def _write(tmp_path, name: str, text: str, encoding: str = "utf-8") -> str:
+    p = tmp_path / name
+    p.write_bytes(text.encode(encoding))
+    return str(p)
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+# --- dialect sniffing -------------------------------------------------------
+
+def test_sniff_semicolon_latin1_portuguese_headers(tmp_path):
+    path = _write(
+        tmp_path,
+        "br.csv",
+        "E-Mail;Nome;Sobrenome;Empresa\njoão@ex.com;João;Sá;Açaí Ltda\n",
+        encoding="latin-1",
+    )
+    d = sniff_dialect(path)
+    assert d.delimiter == ";"
+    assert d.encoding != "utf-8"  # latin-1 bytes must fall through the chain
+    assert set(d.header_map.values()) == {"email", "first_name", "last_name", "company"}
+
+
+def test_sniff_tab_and_comma(tmp_path):
+    tab = _write(tmp_path, "t.csv", "email\tfirst_name\tlast_name\tcompany\na@b.co\tA\tB\tC\n")
+    assert sniff_dialect(tab).delimiter == "\t"
+    comma = _write(tmp_path, "c.csv", "email,first_name,last_name,company\na@b.co,A,B,C\n")
+    assert sniff_dialect(comma).delimiter == ","
+
+
+def test_sniff_rejects(tmp_path):
+    with pytest.raises(IntakeError, match="csv"):
+        sniff_dialect(_write(tmp_path, "x.txt", "email,first_name,last_name,company\n"))
+    with pytest.raises(IntakeError, match="empty"):
+        sniff_dialect(_write(tmp_path, "e.csv", "   \n"))
+    with pytest.raises(IntakeError, match="header-only"):
+        sniff_dialect(_write(tmp_path, "h.csv", "email,first_name,last_name,company\n"))
+    with pytest.raises(IntakeError, match="missing required"):
+        sniff_dialect(_write(tmp_path, "m.csv", "email,first_name,last_name\na@b.co,A,B\n"))
+
+
+# --- happy path -------------------------------------------------------------
+
+def test_ingest_clean_file(spark, wh, tmp_path):
+    path = _write(
+        tmp_path,
+        "clean.csv",
+        "email,first_name,last_name,company\n"
+        "a@x.com,Ann,Ames,Acme\n"
+        "b@x.com,Bob,Bond,Bonn Inc\n",
+    )
+    job_id = ingest_file(spark, wh, path, USER)
+
+    job = wh.read("jobs").collect()[0]
+    assert job["job_status"] == JobStatus.COMPLETED
+    assert job["job_total_rows"] == 2
+    assert job["job_issue_count"] == 0
+
+    staging = wh.read("staging").collect()
+    assert {r["staging_status"] for r in staging} == {StagingStatus.SUCCESS}
+    assert sorted(r["line_no"] for r in staging) == [1, 2]
+
+    contacts = wh.read("contacts").collect()
+    assert sorted(c["email"] for c in contacts) == ["a@x.com", "b@x.com"]
+    assert all(c["contacts_user_id"] == USER for c in contacts)
+    assert job_id == wh.read("jobs").collect()[0]["job_id"]
+
+
+def test_duplicate_filename_rejected(spark, wh, tmp_path):
+    path = _write(tmp_path, "dup.csv", "email,first_name,last_name,company\na@x.com,A,B,C\n")
+    ingest_file(spark, wh, path, USER)
+    with pytest.raises(DuplicateFileError):
+        ingest_file(spark, wh, path, USER)
+
+
+# --- issue matrix -----------------------------------------------------------
+
+@pytest.fixture()
+def messy_job(spark, wh, tmp_path):
+    # pre-seed contacts with e@x.com via a first clean file
+    seed = _write(tmp_path, "seed.csv", "email,first_name,last_name,company\ne@x.com,E,Eel,Eco\n")
+    ingest_file(spark, wh, seed, USER)
+    path = _write(
+        tmp_path,
+        "messy.csv",
+        "email,first_name,last_name,company\n"
+        "ok@x.com,Okay,Olsen,OkCo\n"          # 1 clean
+        ",Missy,Mo,MoCo\n"                     # 2 missing email
+        "bad-at.com,Bart,Bads,BadCo\n"         # 3 invalid email
+        "dup@x.com,Dan,One,DupCo\n"            # 4 dup group winner
+        "DUP@x.com ,Dan,Two,DupCo\n"           # 5 dup loser (case/space-insensitive)
+        "e@x.com,Eve,Exists,ExCo\n"            # 6 existing email
+        "nocmp@x.com,Nora,Cash,\n",            # 7 missing company
+    )
+    return ingest_file(spark, wh, path, USER)
+
+
+def test_issue_matrix(spark, wh, messy_job):
+    issues = [
+        r
+        for r in wh.read("issues").collect()
+        if r["issues_job_id"] == messy_job
+    ]
+    by_type = {}
+    for r in issues:
+        by_type.setdefault(r["issue_type"], []).append(r)
+    assert len(by_type[IssueType.MISSING_REQUIRED_FIELD]) == 2  # rows 2 & 7
+    assert len(by_type[IssueType.INVALID_EMAIL]) == 1
+    assert len(by_type[IssueType.DUPLICATE_EMAIL]) == 1         # one per email group
+    assert len(by_type[IssueType.EXISTING_EMAIL]) == 1
+
+    staging = {
+        r["line_no"]: r["staging_status"]
+        for r in wh.read("staging").collect()
+        if r["staging_job_id"] == messy_job
+    }
+    assert staging == {
+        1: StagingStatus.SUCCESS,
+        2: StagingStatus.ISSUE,
+        3: StagingStatus.ISSUE,
+        4: StagingStatus.SUCCESS,  # dup winner survives
+        5: StagingStatus.ISSUE,
+        6: StagingStatus.ISSUE,
+        7: StagingStatus.ISSUE,
+    }
+
+    # dup issue links the WHOLE group (both rows), keyed by normalized email
+    dup_issue = by_type[IssueType.DUPLICATE_EMAIL][0]
+    assert dup_issue["issue_key"] == "dup@x.com"
+    items = wh.read("issue_items").filter(
+        f"issue_id = '{dup_issue['issue_id']}'"
+    ).count()
+    assert items == 2
+
+    # promoted: clean row + dup winner (existing e@x.com NOT re-promoted)
+    contacts = [c["email"] for c in wh.read("contacts").collect()]
+    assert sorted(contacts) == ["dup@x.com", "e@x.com", "ok@x.com"]
+
+    job = wh.read("jobs").filter(f"job_id = '{messy_job}'").collect()[0]
+    assert job["job_status"] == JobStatus.NEEDS_REVIEW
+    assert job["job_issue_count"] == 5
+
+
+# --- idempotency ------------------------------------------------------------
+
+def _snapshot(wh):
+    out = {}
+    for t in ("jobs", "staging", "issues", "issue_items", "contacts"):
+        drop_ts = [
+            c
+            for c in wh.read(t).columns
+            if c.endswith("_at")  # wall-clock timestamps differ per run
+        ]
+        out[t] = sorted(
+            tuple(r) for r in wh.read(t).drop(*drop_ts).collect()
+        )
+    return out
+
+
+def test_reprocess_idempotent(spark, wh, tmp_path, messy_job):
+    before = _snapshot(wh)
+    # re-ingest the same content
+    path = os.path.join(str(tmp_path), "messy.csv")
+    reprocess_job(spark, wh, path, USER)
+    after = _snapshot(wh)
+    assert before == after
+
+
+# --- mutations --------------------------------------------------------------
+
+def test_update_issue_resolution_semantics(spark, wh, messy_job):
+    iid = wh.read("issues").collect()[0]["issue_id"]
+    update_issue(wh, iid, acting_user="alice", resolved=True)
+    row = wh.read("issues").filter(f"issue_id = '{iid}'").collect()[0]
+    assert row["issue_resolved"] and row["resolved_by"] == "alice"
+    first_ts = row["resolved_at"]
+    assert first_ts is not None
+
+    # resolving again must keep the original timestamp (set-once)
+    update_issue(wh, iid, acting_user="bob", resolved=True)
+    row = wh.read("issues").filter(f"issue_id = '{iid}'").collect()[0]
+    assert row["resolved_at"] == first_ts and row["resolved_by"] == "alice"
+
+    # unresolve clears both
+    update_issue(wh, iid, acting_user="bob", resolved=False)
+    row = wh.read("issues").filter(f"issue_id = '{iid}'").collect()[0]
+    assert not row["issue_resolved"]
+    assert row["resolved_at"] is None and row["resolved_by"] is None
+
+
+def test_update_staging_validates_enum(spark, wh, messy_job):
+    sid = wh.read("staging").collect()[0]["staging_id"]
+    update_staging(wh, sid, status=StagingStatus.DISCARD)
+    assert (
+        wh.read("staging").filter(f"staging_id = '{sid}'").collect()[0][
+            "staging_status"
+        ]
+        == StagingStatus.DISCARD
+    )
+    with pytest.raises(ValueError, match="invalid staging status"):
+        update_staging(wh, sid, status="NOT_A_STATUS")
+
+
+def test_delete_job_cascade_no_orphans(spark, wh, messy_job):
+    delete_job(wh, messy_job, USER)
+    assert wh.read("jobs").filter(f"job_id = '{messy_job}'").count() == 0
+    assert wh.read("staging").filter(f"staging_job_id = '{messy_job}'").count() == 0
+    assert wh.read("issues").filter(f"issues_job_id = '{messy_job}'").count() == 0
+    # no orphan issue_items: every remaining item joins to a live issue
+    live = wh.read("issues").select("issue_id")
+    orphans = wh.read("issue_items").join(live, "issue_id", "left_anti").count()
+    assert orphans == 0
+    # contacts promoted by the deleted job are gone; seed contact remains
+    assert sorted(c["email"] for c in wh.read("contacts").collect()) == ["e@x.com"]
+
+
+def test_delete_completed_job_blocked(spark, wh, tmp_path):
+    path = _write(tmp_path, "ok.csv", "email,first_name,last_name,company\nq@x.com,Q,W,E\n")
+    job_id = ingest_file(spark, wh, path, USER)  # COMPLETED (no issues)
+    with pytest.raises(NotDeletableError):
+        delete_job(wh, job_id, USER)
