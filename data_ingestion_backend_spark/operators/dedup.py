@@ -1,0 +1,504 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY §2.10).
+
+Five dedup families, all pure Catalyst expressions (no Python UDFs), each
+with a dual-dialect DuckDB oracle where portable:
+
+- **exact**      keep-first by content hash (the staging_row_hash pattern
+                 generalized to documents).
+- **MinHash-LSH** shingle → minhash signature → banded buckets → candidate
+                 pairs → exact-Jaccard verification.  The scale path: only
+                 bucket-colliding pairs are ever verified.
+- **SimHash**    64-bit-ish (60-bit) bit-vote fingerprint; near-dup pairs
+                 via chunk banding + Hamming distance.
+- **n-gram Jaccard** inverted-index pair join with document-frequency
+                 pruning (rare-shingle blocking) — exact similarities
+                 without LSH approximation.
+- **embedding**  cosine near-dup over vectors (top-k most-similar pairs;
+                 brute force here, LSH-bucketed variant in similarity.py).
+
+Portability pins shared by Spark and DuckDB texts:
+- integer shingle hash = CAST(first-8-hex-chars(md5(s)) AS BIGINT) — both
+  engines agree bit-for-bit (md5 is the only cross-engine hash).
+- minhash_j = (a_j * H + b_j) mod P with P=4294967311 (prime > 2^32) and
+  a_j,b_j < 2^30 seeded constants → products < 2^62, no BIGINT overflow.
+- all ratios rounded to a fixed scale before comparison/ranking, with
+  full key tiebreaks, so both engines rank identically.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_backend_spark.operators.queries import _register
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+# --- shared constants (baked into BOTH dialect texts) -----------------------
+
+MINHASH_P = 4294967311  # smallest prime > 2^32
+_rng = random.Random(42)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30)) for _ in range(16)
+]
+N_BANDS, BAND_ROWS = 4, 4  # 16 = 4 bands × 4 rows; s-curve knee ≈ 0.71
+JACCARD_THRESHOLD = 0.8
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits BIGINT
+SIMHASH_CHUNKS, SIMHASH_CHUNK_BITS = 4, 15
+HAMMING_MAX = 6
+NGRAM_MAX_DF = 5  # inverted-index pruning: ignore shingles in > 5 docs
+
+
+# --- shingling (shared shapes) ----------------------------------------------
+
+def _tokens_expr() -> Column:
+    return F.split(F.lower(F.col("text")), " ")
+
+
+def _shingles_expr() -> Column:
+    """Distinct 3-gram word shingles; whole text if fewer than 3 tokens."""
+    return F.array_distinct(
+        F.when(
+            F.size(_tokens_expr()) >= 3,
+            F.expr(
+                "transform(sequence(0, size(split(lower(text),' '))-3),"
+                " i -> concat_ws(' ', split(lower(text),' ')[i],"
+                " split(lower(text),' ')[i+1], split(lower(text),' ')[i+2]))"
+            ),
+        ).otherwise(F.array(F.lower(F.col("text"))))
+    )
+
+
+_SHINGLES_SQL = """
+  CASE WHEN len(string_split(lower(text), ' ')) >= 3
+       THEN list_distinct(list_transform(
+              range(1, greatest(len(string_split(lower(text), ' ')) - 1, 1)),
+              i -> string_split(lower(text), ' ')[i] || ' ' ||
+                   string_split(lower(text), ' ')[i+1] || ' ' ||
+                   string_split(lower(text), ' ')[i+2]))
+       ELSE [lower(text)] END
+"""
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_shingles_expr()).alias("s"))
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    """SELECT doc_id, content_hash, is_first FROM (
+         SELECT doc_id, md5(text) AS content_hash,
+                ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+                  AS is_first
+         FROM documents) t
+       ORDER BY doc_id""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-partition on content hash, keep lowest doc_id.
+
+    Scale: one shuffle on the 128-bit hash (uniform → skew-free); the
+    window per hash group is O(group) and groups are tiny.
+    """
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+        .withColumn("is_first", F.row_number().over(w) == 1)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _minhash_oracle_sql() -> str:
+    hash_expr = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+    mins = ",\n            ".join(
+        f"min(({a} * {hash_expr} + {b}) % {MINHASH_P}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS band_idx, md5(concat_ws(',', "
+        + ", ".join(f"m{c * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + ")) AS band_key FROM sig"
+        for c in range(N_BANDS)
+    )
+    return f"""
+      WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+      ),
+      sig AS (
+        SELECT doc_id,
+            {mins}
+        FROM sh GROUP BY doc_id
+      ),
+      bands AS (
+        {band_selects}
+      ),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+      ),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b
+      )
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+      ORDER BY i.doc_a, i.doc_b
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_oracle_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection with exact-Jaccard verification.
+
+    Pipeline: distinct 3-gram shingles → 16 minhashes (one pass, 16 partial
+    min-aggregates over the exploded shingles — map-side combined) → 4
+    banded bucket keys → bucket self-join emits candidate pairs only →
+    exact Jaccard on candidates → threshold.
+
+    Scale: the only quadratic step is *within identical band buckets*;
+    verification joins shingles for candidate pairs only.  AQE handles a
+    hot bucket via skew-join splitting; shingle-hash shuffles are uniform.
+    """
+    sh = _docs_shingled(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("bigint")
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{c * BAND_ROWS + r}").cast("string")
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for c in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_key"
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _exact_jaccard(sh, cand, JACCARD_THRESHOLD)
+
+
+def _exact_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float | None) -> DataFrame:
+    """Exact shingle-set Jaccard for the given candidate pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        pairs.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.s") == F.col("a.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    out = (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"), jac.alias("_j"))
+    )
+    if threshold is not None:
+        out = out.filter(F.col("_j") >= threshold)
+    return out.drop("_j").orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc from shingle bit votes (pure Catalyst).
+
+    Votes come from 3-gram *shingles*, not unigram tokens: documents drawn
+    from a small shared vocabulary have nearly identical token SETS (the
+    fixture's random pairs collapse to Hamming 0 on token-level SimHash),
+    while shingle sets stay discriminative — planted near-dups land at
+    Hamming ≤7 with random pairs ≥15.
+    """
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_shingles_expr()).alias("t"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+        )
+    )
+    votes = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "i",
+        # python wrapper for shift fns takes only literal counts; use SQL expr
+        F.when(F.expr("shiftrightunsigned(h, i)").bitwiseAND(1) == 1, 1)
+        .otherwise(-1)
+        .alias("v"),
+    )
+    return (
+        votes.groupBy("doc_id", "i")
+        .agg(F.sum("v").alias("score"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("score") > 0, F.expr("shiftleft(cast(1 as bigint), i)")
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )
+
+
+_SIMHASH_SIG_SQL = f"""
+  WITH tok AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS t
+    FROM documents
+  ),
+  th AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+  ),
+  votes AS (
+    SELECT doc_id, i,
+           SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS score
+    FROM th, (SELECT unnest(range(0, {SIMHASH_BITS})) AS i)
+    GROUP BY doc_id, i
+  ),
+  sig AS (
+    SELECT doc_id,
+           SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << i)
+                    ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM votes GROUP BY doc_id
+  )
+"""
+
+
+@_register(
+    "dedup_simhash_sig",
+    _SIMHASH_SIG_SQL + " SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+)
+def dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (the signature table itself)."""
+    return _simhash_sig(spark, sf_dir).orderBy("doc_id")
+
+
+@_register(
+    "dedup_simhash_pairs",
+    _SIMHASH_SIG_SQL
+    + f""",
+      chunks AS (
+        SELECT doc_id, simhash, c,
+               (simhash >> (c * {SIMHASH_CHUNK_BITS})) & {(1 << SIMHASH_CHUNK_BITS) - 1}
+                 AS chunk
+        FROM sig, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS c)
+      ),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.simhash AS ha, y.simhash AS hb
+        FROM chunks x JOIN chunks y
+          ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+      )
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+      ORDER BY doc_a, doc_b""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: chunk-banding + Hamming threshold.
+
+    Classic Google-style near-dup join: 4 × 15-bit chunks; any pair within
+    Hamming ≤ 6 over 60 bits must share ≥1 exact chunk (pigeonhole needs
+    ≤3 flips/4 chunks — with ≤6 flips, some chunk is clean), so the
+    bucket join loses nothing while staying linear in bucket sizes.
+    """
+    sig = _simhash_sig(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("c"),
+    ).withColumn(
+        "chunk",
+        F.expr(f"shiftrightunsigned(simhash, c * {SIMHASH_CHUNK_BITS})").bitwiseAND(
+            (1 << SIMHASH_CHUNK_BITS) - 1
+        ),
+    )
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.c") == F.col("y.c"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard via inverted index with df-pruning
+# --------------------------------------------------------------------------
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""WITH sh AS (
+          SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+        ),
+        rare AS (
+          SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {NGRAM_MAX_DF}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN rare r ON a.s = r.s
+          JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+        ORDER BY i.doc_a, i.doc_b""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted-index join + df-pruning.
+
+    Candidate generation joins docs only through *rare* shingles
+    (document frequency ≤ {NGRAM_MAX_DF}), the standard guard that keeps an
+    inverted-index self-join from going quadratic on stopword-ish shingles.
+    Near-dups always share rare shingles, so recall at high thresholds is
+    unaffected.
+    """
+    sh = _docs_shingled(spark, sf_dir)
+    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= NGRAM_MAX_DF
+    ).select("s")
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(rare, "s")
+        .join(b, (F.col("b.s") == F.col("a.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _exact_jaccard(sh, cand, 0.5)
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup (brute top-k pairs; LSH path in similarity.py)
+# --------------------------------------------------------------------------
+
+COSINE_TOPK_PAIRS = 20
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Native cosine similarity over two array<double> columns."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (norm(a) * norm(b))
+
+
+@_register(
+    "dedup_embedding_topk_pairs",
+    f"""SELECT doc_a, doc_b, cosine FROM (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                 round(list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   ORDER BY round(list_cosine_similarity(
+                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+                   a.vec_id, b.vec_id) AS rn
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+        WHERE rn <= {COSINE_TOPK_PAIRS}
+        ORDER BY cosine DESC, doc_a, doc_b""",
+)
+def dedup_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar embedding pairs (cosine; near-dup shortlist).
+
+    Brute-force all-pairs is the *verification-grade* baseline: at fixture
+    scale it is exact; at 100 TB the LSH-bucketed variant in similarity.py
+    generates candidates and this same cosine ranks them.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        F.round(cosine_expr(F.col("a.e"), F.col("b.e")), 6).alias("cosine"),
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps,
+    # no global sort) — strictly better than a ROW_NUMBER window here.
+    return pairs.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(
+        COSINE_TOPK_PAIRS
+    )

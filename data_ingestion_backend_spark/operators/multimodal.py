@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY §2.10).
+
+Media lives in DataFrames as **opaque ``binary`` columns + typed metadata
+structs**; decode / feature-extraction runs as Arrow-batched pandas
+functions over ``mapInPandas``.  The container has no image/audio codecs,
+so the decode kernel is STUBBED (deterministic fake clearly marked below);
+everything Spark-side — schema, batching, partitioning, UDF signature —
+is real and tested.
+
+Design for 100 TB of media:
+- media rows are *wide* (MBs per row): keep ``spark.sql.files.
+  maxPartitionBytes`` at default so a partition holds few rows, and never
+  shuffle the binary column — all derived features are computed in a
+  map-only stage (``mapInPandas``), then the bytes are dropped before any
+  join/agg.
+- metadata (dims, codec, duration) travels in a struct column so filters
+  on it prune without touching bytes (parquet column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.queries import QUERIES, _register
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = (
+    "media_id bigint, media binary, "
+    "meta struct<kind:string, n_bytes:bigint, content_md5:string>"
+)
+
+DECODED_SCHEMA = (
+    "media_id bigint, width int, height int, "
+    f"feature array<float>"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table from the documents fixture (text → fake bytes).
+
+    Stands in for ``spark.read.format("binaryFile")`` over an object-store
+    prefix; the binary column + metadata struct shape is identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        media.alias("media"),
+        F.struct(
+            F.lit("image/fake").alias("kind"),
+            F.length(media).cast("bigint").alias("n_bytes"),
+            F.md5(media).alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(media: bytes) -> tuple[int, int, list[float]]:
+    """STUB decode kernel — deterministic fake in place of a real codec.
+
+    A real deployment replaces this one function with e.g. PIL/librosa/
+    pyav decoding; the Spark plumbing around it is unchanged.  The fake
+    derives (width, height, feature[8]) from the md5 digest so results
+    are stable across runs/partitionings and testable.
+    """
+    digest = hashlib.md5(media).digest()
+    width = 1 + digest[0] % 64
+    height = 1 + digest[1] % 64
+    feature = [b / 255.0 for b in digest[2 : 2 + FEATURE_DIM]]
+    return width, height, feature
+
+
+def decode_media(media_df: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """Decode/feature-extract media rows via Arrow-batched mapInPandas.
+
+    Map-only stage: no shuffle touches the binary column; output drops the
+    bytes and carries only fixed-size features, so everything downstream
+    (joins, ANN, dedup) is cheap.  ``batch_hint`` caps Arrow batch memory
+    for wide rows (set ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    accordingly in production).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "feature": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                w, h, feat = _decode_stub(bytes(blob))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media_df.select("media_id", "media").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
+    )
+
+
+@_register(
+    "media_metadata",
+    # DuckDB md5() takes VARCHAR only; md5(text) hashes the same utf-8
+    # bytes Spark's md5(binary) sees, so the two sides agree.
+    """SELECT doc_id AS media_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS content_md5
+       FROM documents ORDER BY media_id""",
+)
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection of the media table (bytes never shuffled).
+
+    Certifies the binary-column handling the oracle *can* see: byte
+    length and content hash over the binary payload.
+    """
+    return (
+        media_table(spark, sf_dir)
+        .select(
+            "media_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.content_md5").alias("content_md5"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def media_features_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded features over the fixture media table (rows-only check —
+    the pandas decode stage is not SQL-expressible)."""
+    return decode_media(media_table(spark, sf_dir)).orderBy("media_id")
+
+
+QUERIES["media_features"] = media_features_fixture

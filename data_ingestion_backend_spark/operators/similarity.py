@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (SURVEY §2.10).
+
+- **brute-force top-k** — exact cosine against every vector; the
+  verification-grade baseline and the per-bucket ranker for the ANN path.
+  Native Catalyst (``zip_with`` + ``aggregate`` fold) — no UDF, runs in
+  whole-stage codegen next to the parquet scan.
+- **multi-query top-k join** — k nearest corpus vectors for *each* query
+  vector in one plan (broadcast the queries, window per query) — the Q18
+  per-group-top-k pattern applied to kNN.
+- **ANN via random-hyperplane LSH** — 16-bit signatures from seeded
+  hyperplanes; candidates = corpus vectors whose signature matches the
+  query's in ≥1 of 4 4-bit chunks; exact cosine re-ranks candidates.
+  At 100 TB the signature is precomputed once per corpus vector and the
+  bucket join replaces the all-pairs product; recall is tested against
+  the brute-force baseline rather than oracled (approximate results are
+  seed-pinned but not SQL-portable).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_backend_spark.operators.dedup import cosine_expr
+from data_ingestion_backend_spark.operators.queries import _register
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+TOPK = 10
+EMB_DIM = 64
+N_PLANES = 16
+# Band geometry is a recall/cost dial and must be tuned to the corpus's
+# similarity profile: for near-orthogonal data (these fixtures: top
+# neighbors at cosine ≈0.3-0.5, P(plane agrees) ≈0.6) wide bands almost
+# never collide (4-bit chunks → recall ≈0.4), so we run narrow 2-bit
+# chunks × 8 (recall ≈0.98 at the cost of larger candidate sets).  A
+# clustered production corpus (neighbors at cosine ≥0.8 → p ≥0.8) would
+# invert the choice: 4 × 4-bit chunks keeps recall ≥0.95 with far fewer
+# candidates.
+PLANE_CHUNKS, PLANE_CHUNK_BITS = 8, 2
+
+_rng = random.Random(1337)
+# seeded unit hyperplanes, shared by signature computation everywhere
+HYPERPLANES: list[list[float]] = []
+for _ in range(N_PLANES):
+    v = [_rng.gauss(0.0, 1.0) for _ in range(EMB_DIM)]
+    n = math.sqrt(sum(x * x for x in v))
+    HYPERPLANES.append([x / n for x in v])
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+
+
+@_register(
+    "sim_topk_bruteforce",
+    f"""WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+          FROM embeddings WHERE vec_id = 0
+        )
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe), 6)
+                 AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT {TOPK}""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one query vector (vec_id=0).
+
+    Plan shape: broadcast 1-row query × corpus scan → codegen'd fold per
+    row → TakeOrderedAndProject.  One pass over the corpus, no shuffle of
+    vectors.
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOPK)
+    )
+
+
+@_register(
+    "sim_multiquery_topk",
+    """WITH q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+          FROM embeddings WHERE vec_id < 3
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe), 6)
+                   AS cosine
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cosine FROM (
+          SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored) t
+        WHERE rn <= 5
+        ORDER BY query_id, cosine DESC, vec_id""",
+)
+def sim_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: top-5 corpus neighbors for each of 3 query vectors.
+
+    Queries broadcast against one corpus scan; per-query ranking is a
+    window over (query_id) — the Q18 per-group top-k shape.  At scale the
+    query side is the small side by construction (batch of probes).
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN: random-hyperplane LSH (Spark-side; recall-tested, not oracled)
+# --------------------------------------------------------------------------
+
+def _plane_col(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def signature_col(e: Column) -> Column:
+    """16-bit random-hyperplane signature of an array<double> column."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(HYPERPLANES):
+        dot = F.aggregate(
+            F.zip_with(e, _plane_col(plane), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return sig
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+) -> DataFrame:
+    """Approximate kNN: chunked-signature candidate join + exact re-rank.
+
+    ``corpus``: (vec_id, e array<double>); ``queries``: (query_id, qe).
+    Candidates share ≥1 of 4 signature chunks with the query (multi-probe
+    banding — Hamming ≤ 3 guaranteed recalled by pigeonhole).  The
+    signature is one codegen'd expression; at 100 TB it would be
+    precomputed and stored with the corpus partitioned by chunk value.
+    """
+    mask = (1 << PLANE_CHUNK_BITS) - 1
+    chunk_ids = F.explode(
+        F.array(*[F.lit(c) for c in range(PLANE_CHUNKS)])
+    ).alias("c")
+
+    c_sig = corpus.withColumn("sig", signature_col(F.col("e")))
+    q_sig = queries.withColumn("qsig", signature_col(F.col("qe")))
+
+    c_chunks = c_sig.select("*", chunk_ids).withColumn(
+        "chunk", F.expr(f"shiftrightunsigned(sig, c * {PLANE_CHUNK_BITS})").bitwiseAND(mask)
+    )
+    q_chunks = q_sig.select("*", chunk_ids).withColumn(
+        "chunk", F.expr(f"shiftrightunsigned(qsig, c * {PLANE_CHUNK_BITS})").bitwiseAND(mask)
+    )
+
+    cand = (
+        c_chunks.join(F.broadcast(q_chunks), ["c", "chunk"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", "vec_id", "e")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cosine", F.round(cosine_expr(F.col("e"), F.col("qe")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def ann_topk_fixture(spark: SparkSession, sf_dir: str, k: int = TOPK) -> DataFrame:
+    """ANN over the embeddings fixture with vec_id<3 as queries."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select("vec_id", "e")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return ann_topk(corpus, queries, k)
+
+
+# registered with a weaker rows-only check: approximate results are
+# deterministic (seeded planes) but not portably SQL-expressible.
+from data_ingestion_backend_spark.operators.queries import QUERIES  # noqa: E402
+
+QUERIES["sim_ann_lsh_topk"] = ann_topk_fixture

@@ -1,0 +1,192 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY §2.10).
+
+Everything here is pure Catalyst (split/array/hash built-ins — zero Python
+UDFs), so the hot path stays in whole-stage codegen and scales linearly
+with executors.  Each operator ships a dual-dialect DuckDB oracle.
+
+Operators:
+- token/char statistics (length, token count, distinct-token ratio)
+- document fingerprinting (md5 over sorted token multiset — the classic
+  "fingerprint clustering" canonical form)
+- language identification (stopword voting against a built-in lexicon —
+  an n-gram-free heuristic that is exactly expressible in both dialects)
+- quality scoring (composite of emptiness / length / vocabulary-diversity
+  / token-shape heuristics, the usual pre-training filter features)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_backend_spark.operators.queries import _register
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+# tiny built-in stopword lexicon (public common words); deterministic and
+# shared verbatim by the Spark plan and the DuckDB oracle text.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "pt": ("o", "a", "de", "que", "e", "em", "um"),
+    "fr": ("le", "la", "de", "et", "un", "est", "les"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+}
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+@_register(
+    "text_token_stats",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_measured,
+              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+              round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')), 6) AS distinct_ratio
+       FROM documents ORDER BY doc_id""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — whitespace tokenization, vocabulary-diversity ratio."""
+    t = _tokens()
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars_measured"),
+            nd.cast("bigint").alias("n_distinct"),
+            F.round(nd.cast("double") / n, 6).alias("distinct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                AS fingerprint
+       FROM documents ORDER BY doc_id""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint: hash of the sorted token list.
+
+    Word-order-insensitive: re-orderings of the same bag of words collide,
+    which is the standard cheap near-dup key one step above exact hashing.
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.sort_array(_tokens()))).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _stopword_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(STOPWORDS.items()) for w in ws
+    )
+    return f"(VALUES {rows}) sw(lang, word)"
+
+
+@_register(
+    "text_lang_id",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents
+        ),
+        votes AS (
+          SELECT t.doc_id, sw.lang, COUNT(*) AS hits
+          FROM tok t JOIN {_stopword_values_sql()} ON t.word = sw.word
+          GROUP BY t.doc_id, sw.lang
+        ),
+        best AS (
+          SELECT doc_id, lang, hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY hits DESC, lang) AS rn
+          FROM votes
+        )
+        SELECT d.doc_id,
+               COALESCE(b.lang, 'und') AS lang_pred,
+               CAST(COALESCE(b.hits, 0) AS BIGINT) AS stopword_hits
+        FROM documents d
+        LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+        ORDER BY d.doc_id""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword voting (broadcast lexicon join + argmax).
+
+    Scale shape: explode → broadcast-hash-join against a ~100-row lexicon →
+    partial-aggregated counts → per-doc argmax window.  No shuffle of the
+    raw text, only of (doc_id, lang, hits).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sw = docs.sparkSession.createDataFrame(
+        [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
+        "lang string, word string",
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    votes = (
+        tok.join(F.broadcast(sw), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("stopword_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "text_quality",
+    """SELECT doc_id,
+              round(CAST(
+                (CASE WHEN length(trim(text)) > 0 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN len(string_split(text, ' ')) >= 5 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN len(list_distinct(string_split(text, ' ')))
+                        >= 0.3 * len(string_split(text, ' ')) THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN length(replace(text, ' ', ''))
+                        BETWEEN 2 * len(string_split(text, ' '))
+                        AND 12 * len(string_split(text, ' ')) THEN 0.25 ELSE 0.0 END)
+              AS DOUBLE), 2) AS quality
+       FROM documents ORDER BY doc_id""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (pre-training-filter features), 0..1.
+
+    Four 0.25-weight components: non-blank; ≥5 tokens; vocabulary
+    diversity ≥0.3; mean token length in [2,12].  All integer/branch
+    logic — exactly reproducible across engines.
+    """
+    t = _tokens()
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    tok_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    quality = (
+        F.when(F.length(F.trim(F.col("text"))) > 0, 0.25).otherwise(0.0)
+        + F.when(n >= 5, 0.25).otherwise(0.0)
+        + F.when(nd >= 0.3 * n, 0.25).otherwise(0.0)
+        + F.when((tok_chars >= 2 * n) & (tok_chars <= 12 * n), 0.25).otherwise(0.0)
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.round(quality, 2).alias("quality"))
+        .orderBy("doc_id")
+    )

@@ -7,5 +7,9 @@ operator module contributes its certified queries at import time.
 from __future__ import annotations
 
 from data_ingestion_backend_spark.operators.queries import ORACLE, QUERIES
+import data_ingestion_backend_spark.operators.text  # noqa: F401,E402 — registers
+import data_ingestion_backend_spark.operators.dedup  # noqa: F401,E402 — registers
+import data_ingestion_backend_spark.operators.similarity  # noqa: F401,E402 — registers
+import data_ingestion_backend_spark.operators.multimodal  # noqa: F401,E402 — registers
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,70 @@
+"""Extension-operator tests beyond the SQL oracle: ANN recall, dedup sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.similarity import (
+    ann_topk_fixture,
+)
+from data_ingestion_backend_spark.registry import QUERIES
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """ANN top-10 for 3 queries must recover a healthy share of the exact
+    top-10 (random-hyperplane LSH, 16 bits, multi-probe chunks)."""
+    exact = QUERIES["sim_multiquery_topk"](spark, SF_DIR_ORACLE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    approx = ann_topk_fixture(spark, SF_DIR_ORACLE, k=10).collect()
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    recalls = []
+    for qid, want in exact_sets.items():  # exact gives top-5/query
+        got = approx_sets.get(qid, set())
+        recalls.append(len(want & got) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ann_deterministic(spark):
+    a = sorted(map(tuple, ann_topk_fixture(spark, SF_DIR_ORACLE).collect()))
+    b = sorted(map(tuple, ann_topk_fixture(spark, SF_DIR_ORACLE).collect()))
+    assert a == b
+
+
+def test_minhash_finds_planted_neardups(spark):
+    """The fixture documents contain planted ~0.99-Jaccard pairs; the LSH
+    pipeline must surface them (non-vacuous result)."""
+    rows = QUERIES["dedup_minhash_lsh"](spark, SF_DIR_ORACLE).collect()
+    assert len(rows) >= 5
+    assert all(r["jaccard"] >= 0.8 for r in rows)
+
+
+def test_simhash_pairs_overlap_minhash(spark):
+    """SimHash near-dup pairs should substantially overlap the MinHash
+    high-Jaccard pairs — two independent algorithms, same planted dups."""
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_DIR_ORACLE).collect()
+        if r["jaccard"] >= 0.95
+    }
+    sh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_simhash_pairs"](spark, SF_DIR_ORACLE).collect()
+    }
+    assert mh, "no high-jaccard pairs found"
+    assert len(mh & sh) / len(mh) >= 0.5
+
+
+def test_extension_queries_all_runnable(spark):
+    """Every registered extension query returns a well-formed DataFrame."""
+    for name in QUERIES:
+        if name.split("_")[0] in {"dedup", "sim", "text"}:
+            df = QUERIES[name](spark, SF_DIR_ORACLE)
+            assert df.columns, name
+            df.limit(5).collect()
