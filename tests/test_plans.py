@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the plans must stay scale-shaped.
+
+Each assertion encodes a 100 TB design requirement (SURVEY §4): losing a
+pushed filter, a broadcast, or a partial aggregate is a performance
+regression even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_backend_spark.plans.audit import (
+    formatted_plan,
+    has_operator,
+    pushed_filters,
+    read_schemas,
+)
+from data_ingestion_backend_spark.registry import QUERIES
+from tests.conftest import SF_DIR_ORACLE
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def build(name):
+        return QUERIES[name](spark, SF_DIR_ORACLE)
+
+    return build
+
+
+def test_filter_and_projection_pushdown(q):
+    df = q("q01_projection_filter")
+    pf = " ".join(pushed_filters(df))
+    assert "EqualTo(c_nationkey,5)" in pf
+    # 5-column table: scan must read only the 3 needed columns
+    assert all(len(s.split(",")) <= 3 for s in read_schemas(df))
+
+
+def test_q12_partial_aggregation_and_pushdown(q):
+    df = q("q12_pricing_summary")
+    plan = formatted_plan(df)
+    assert "LessThanOrEqual(l_shipdate" in " ".join(pushed_filters(df))
+    # partial+final pairs: two HashAggregates around one exchange
+    assert plan.count("HashAggregate") >= 2
+    # 11-column lineitem: only the 6 needed columns reach the scan
+    assert all(len(s.split(",")) <= 6 for s in read_schemas(df))
+
+
+def test_join_strategies(q):
+    # filtered dim side must broadcast, not shuffle
+    assert has_operator(q("q07_inner_join"), "BroadcastHashJoin")
+    assert has_operator(q("q08_multiway_join"), "BroadcastHashJoin")
+    # semi/anti rewrites stay joins, never subquery loops
+    assert "Semi" in formatted_plan(q("q10_semi_join"))
+    assert "Anti" in formatted_plan(q("q11_anti_join"))
+
+
+def test_topk_is_take_ordered(q):
+    # orderBy+limit must plan as TakeOrderedAndProject (no global sort)
+    assert has_operator(q("q03_topk"), "TakeOrderedAndProject")
+    assert has_operator(q("dedup_embedding_topk_pairs"), "TakeOrderedAndProject")
+
+
+def test_no_python_udfs_on_parity_path(spark):
+    """Parity + dedup/text/sim paths are pure Catalyst: a Python UDF stage
+    (BatchEvalPython / ArrowEvalPython) appearing is a hot-path regression.
+    (media_features is the one sanctioned mapInPandas stage.)"""
+    for name in [
+        "q12_pricing_summary",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "text_lang_id",
+        "sim_topk_bruteforce",
+        "sim_ann_lsh_topk",
+    ]:
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR_ORACLE))
+        assert "EvalPython" not in plan, name
+
+
+def test_lang_id_broadcasts_lexicon(q):
+    assert has_operator(q("text_lang_id"), "BroadcastHashJoin")
