@@ -11,5 +11,6 @@ import data_ingestion_backend_spark.operators.text  # noqa: F401,E402 — regist
 import data_ingestion_backend_spark.operators.dedup  # noqa: F401,E402 — registers
 import data_ingestion_backend_spark.operators.similarity  # noqa: F401,E402 — registers
 import data_ingestion_backend_spark.operators.multimodal  # noqa: F401,E402 — registers
+import data_ingestion_backend_spark.operators.queries2  # noqa: F401,E402 — registers
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -44,9 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanosAsLong shim: LONG nanoseconds → TimestampType (µs precision).
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # `div` is exact integer division — `cast(ts/1000 as long)` would
+        # round-trip through DOUBLE (53-bit mantissa < 60-bit ns epoch
+        # values) and land ±1µs off the truncated value.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -33,9 +33,15 @@ _POINTER = "_CURRENT"
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, write_partitions: int = 8):
         self.spark = spark
         self.root = root
+        # Snapshot rewrites inherit the (often shuffle-wide) partitioning
+        # of their lineage — unions of windowed branches produced 800-task
+        # writes under default shuffle settings.  Control-plane tables are
+        # small; coalesce to a bounded file count.  Deployments with
+        # data-plane-sized staging raise this (or swap in Delta/Iceberg).
+        self.write_partitions = write_partitions
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
@@ -72,7 +78,7 @@ class Warehouse:
         """Materialize df as the next version and commit the pointer."""
         nxt = self.current_version(table) + 1
         path = self._version_path(table, nxt)
-        df.write.mode("overwrite").parquet(path)
+        df.coalesce(self.write_partitions).write.mode("overwrite").parquet(path)
         self._commit(table, nxt)
         return nxt
 

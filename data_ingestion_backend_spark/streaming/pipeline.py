@@ -166,6 +166,29 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming gap-sessionization via native session_window (St4).
+
+    The streaming twin of batch ``q30_sessionize``: a session closes after
+    ``gap`` of inactivity per user; the watermark bounds state and decides
+    when a session is final.  Same output grain: one row per
+    (user, session) with start/end/count.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Keep-first streaming dedup on (user_id, event_type) (streaming Q21).
 
