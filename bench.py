@@ -36,7 +36,6 @@ HEADLINE = [
     "q07_inner_join",
     "q08_multiway_join",
     "q09_left_join_count",
-    "q12_pricing_summary",
     "q16_month_rollup",
     "q18_pergroup_topk",
     "q19_running_total",
@@ -44,6 +43,9 @@ HEADLINE = [
     "q22_tumbling_window",
     "q25_distinct_agg",
     "q27_json_extract",
+    "q28_shipping_priority",
+    "q29_regional_revenue",
+    "q30_sessionize",
 ]
 
 

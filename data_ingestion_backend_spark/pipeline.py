@@ -101,26 +101,10 @@ def ingest_file(
     ).collect()[0]
     n_issues = result.issues.count()
     status = JobStatus.NEEDS_REVIEW if n_issues > 0 else JobStatus.COMPLETED
-    job_row = spark.createDataFrame(
-        [
-            (
-                job_id,
-                user_id,
-                filename,
-                status,
-                counts["total"],
-                counts["total"],
-                n_issues,
-                None,
-            )
-        ],
-        "job_id string, job_user_id long, job_filename string, job_status string,"
-        " job_total_rows long, job_processed_rows long, job_issue_count long,"
-        " job_error string",
-    ).select(
-        "*",
-        F.current_timestamp().alias("job_created_at"),
-        F.current_timestamp().alias("job_updated_at"),
+    job_row = _ledger_row(
+        spark, job_id, user_id, filename, status,
+        total=int(counts["total"]), processed=int(counts["total"]),
+        issues=int(n_issues), error=None,
     )
 
     # --- snapshot writes (replace-per-job → idempotent reprocess) -----------
@@ -143,6 +127,37 @@ def ingest_file(
     ).dropDuplicates(["contact_id"])
     wh.write("contacts", contacts_base.unionByName(new_contacts))
     return job_id
+
+
+def _ledger_row(
+    spark: SparkSession,
+    job_id: str,
+    user_id: int,
+    filename: str,
+    status: str,
+    total: int,
+    processed: int,
+    issues: int,
+    error: str | None,
+) -> DataFrame:
+    """One jobs-ledger row built JVM-side (``range(1).select(lit...)``).
+
+    Deliberately avoids ``createDataFrame``: its driver-local temp-file
+    serialization races when called from a Structured Streaming
+    micro-batch thread concurrently with other driver work.
+    """
+    return spark.range(1).select(
+        F.lit(job_id).alias("job_id"),
+        F.lit(user_id).cast("long").alias("job_user_id"),
+        F.lit(filename).alias("job_filename"),
+        F.lit(status).alias("job_status"),
+        F.lit(total).cast("long").alias("job_total_rows"),
+        F.lit(processed).cast("long").alias("job_processed_rows"),
+        F.lit(issues).cast("long").alias("job_issue_count"),
+        F.lit(error).cast("string").alias("job_error"),
+        F.current_timestamp().alias("job_created_at"),
+        F.current_timestamp().alias("job_updated_at"),
+    )
 
 
 def _replace_for_job(

@@ -37,6 +37,10 @@ from pyspark.sql import SparkSession
 _DEFAULT_LOCAL_CORES = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 ENGINE_CONF: dict[str, str] = {
+    # Static conf — takes effect only when this factory starts the JVM.
+    # The 1g default OOMs under continuous-trigger streaming (micro-batch
+    # bookkeeping + parquet writers + UI state in one local JVM).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",

@@ -81,6 +81,9 @@ def process_queue(
     absorbed by ingest idempotency, St3).
     """
     checkpoint_dir = checkpoint_dir or os.path.join(landing_dir, "_checkpoint")
+    # the consumer may legitimately start before the first producer ever
+    # enqueues — readStream refuses a nonexistent source directory
+    os.makedirs(queue_dir(landing_dir), exist_ok=True)
 
     stream = (
         spark.readStream.schema(MANIFEST_SCHEMA)
@@ -98,6 +101,10 @@ def process_queue(
                 )
             except Exception as exc:  # noqa: BLE001 — job-level failure isolation
                 _record_failed_job(spark, wh, m, str(exc))
+        # bound snapshot-version growth (readers pin paths, so dropping
+        # all-but-recent versions after the batch is safe)
+        for table in ("jobs", "staging", "issues", "issue_items", "contacts"):
+            wh.vacuum(table, keep=3)
 
     writer = stream.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -116,19 +123,14 @@ def _record_failed_job(spark, wh: Warehouse, manifest, error: str) -> None:
     """
     import hashlib
 
+    from data_ingestion_backend_spark.pipeline import _ledger_row
+
     job_id = hashlib.md5(
         f"{manifest['user_id']}|{manifest['filename']}".encode()
     ).hexdigest()
-    row = spark.createDataFrame(
-        [(job_id, manifest["user_id"], manifest["filename"], JobStatus.FAILED,
-          0, 0, 0, error[:500])],
-        "job_id string, job_user_id long, job_filename string, job_status string,"
-        " job_total_rows long, job_processed_rows long, job_issue_count long,"
-        " job_error string",
-    ).select(
-        "*",
-        F.current_timestamp().alias("job_created_at"),
-        F.current_timestamp().alias("job_updated_at"),
+    row = _ledger_row(
+        spark, job_id, manifest["user_id"], manifest["filename"],
+        JobStatus.FAILED, total=0, processed=0, issues=0, error=error[:500],
     )
     cur = wh.read("jobs").filter(F.col("job_id") != job_id)
     wh.write("jobs", cur.unionByName(row))

@@ -1,0 +1,64 @@
+"""Unit tests for the scalar expression kit (functions/scalars.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.functions.scalars import (
+    file_hash,
+    is_valid_email,
+    norm_header,
+    row_hash,
+    s3_safe_name,
+)
+
+
+def test_norm_header():
+    assert norm_header("  E-Mail ") == "email"
+    assert norm_header("First_Name") == "firstname"
+    assert norm_header("last name") == "lastname"
+
+
+def test_row_hash_matches_manual_md5(spark):
+    df = spark.createDataFrame(
+        [("  A@X.com ", "Ann", None, "Acme")], "email string, f string, l string, c string"
+    ).select(row_hash("email", "f", "l", "c").alias("h"))
+    expect = hashlib.md5("a@x.com|ann||acme".encode()).hexdigest()
+    assert df.collect()[0]["h"] == expect
+
+
+def test_row_hash_normalization_invariance(spark):
+    """Case/whitespace variants of the same content hash identically."""
+    df = spark.createDataFrame(
+        [("a@x.com", "ann"), ("  A@X.COM  ", "ANN ")], "e string, n string"
+    ).select(row_hash("e", "n").alias("h"))
+    hashes = [r["h"] for r in df.collect()]
+    assert hashes[0] == hashes[1]
+
+
+def test_email_validity(spark):
+    cases = {
+        "ok@example.com": True,
+        "  padded@example.com ": True,  # trimmed before matching
+        "no-at-sign.com": False,
+        "a@b": False,            # no dot in domain
+        "x@@y.z": False,         # two @
+        "sp ace@y.z": False,
+        "": False,
+    }
+    df = spark.createDataFrame([(e,) for e in cases], "email string").select(
+        "email", is_valid_email("email").alias("v")
+    )
+    got = {r["email"]: bool(r["v"]) for r in df.collect()}
+    assert got == cases
+
+
+def test_s3_safe_name_and_file_hash(spark):
+    df = spark.createDataFrame([("my file/v1.csv", "content")], "n string, c string")
+    row = df.select(
+        s3_safe_name("n").alias("s"), file_hash("c").alias("h")
+    ).collect()[0]
+    assert row["s"] == "my_file_v1.csv"
+    assert row["h"] == hashlib.sha256(b"content").hexdigest()

@@ -60,20 +60,16 @@ def test_topk_is_take_ordered(q):
     assert has_operator(q("dedup_embedding_topk_pairs"), "TakeOrderedAndProject")
 
 
-def test_no_python_udfs_on_parity_path(spark):
-    """Parity + dedup/text/sim paths are pure Catalyst: a Python UDF stage
-    (BatchEvalPython / ArrowEvalPython) appearing is a hot-path regression.
-    (media_features is the one sanctioned mapInPandas stage.)"""
-    for name in [
-        "q12_pricing_summary",
-        "dedup_minhash_lsh",
-        "dedup_simhash_pairs",
-        "text_lang_id",
-        "sim_topk_bruteforce",
-        "sim_ann_lsh_topk",
-    ]:
-        plan = formatted_plan(QUERIES[name](spark, SF_DIR_ORACLE))
-        assert "EvalPython" not in plan, name
+def test_no_python_udfs_anywhere(spark):
+    """EVERY registered query except the sanctioned mapInPandas stage
+    (media_features) must be pure Catalyst: a Python UDF stage
+    (BatchEvalPython / ArrowEvalPython / MapInPandas) is a hot-path
+    regression even when results stay correct."""
+    for name, fn in sorted(QUERIES.items()):
+        if name == "media_features":
+            continue
+        plan = formatted_plan(fn(spark, SF_DIR_ORACLE))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
 
 
 def test_lang_id_broadcasts_lexicon(q):
