@@ -149,21 +149,26 @@ def sim_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ANN: random-hyperplane LSH (Spark-side; recall-tested, not oracled)
 # --------------------------------------------------------------------------
 
-def _plane_col(plane: list[float]) -> Column:
-    return F.array(*[F.lit(x) for x in plane])
+def with_signature(df: DataFrame, vec_col: str, sig_name: str) -> DataFrame:
+    """Add a 16-bit random-hyperplane signature column.
 
-
-def signature_col(e: Column) -> Column:
-    """16-bit random-hyperplane signature of an array<double> column."""
+    Uses the aggregate/zip_with fold per plane.  The columnar-unrolled
+    variant that wins for pairwise cosine (dedup.py) LOSES here: 16 planes
+    × 64 terms chained through WHENs is a ~2000-node expression that falls
+    out of whole-stage codegen (measured 2.9s → 19.8s), and projection
+    collapse re-inlines any intermediate dot columns.  The fold runs once
+    per corpus row (not per pair), so interpreted evaluation is fine.
+    """
+    e = F.col(vec_col)
     sig = F.lit(0).cast("bigint")
     for i, plane in enumerate(HYPERPLANES):
         dot = F.aggregate(
-            F.zip_with(e, _plane_col(plane), lambda x, y: x * y),
+            F.zip_with(e, F.array(*[F.lit(x) for x in plane]), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(dot >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-    return sig
+    return df.withColumn(sig_name, sig)
 
 
 def ann_topk(
@@ -184,8 +189,8 @@ def ann_topk(
         F.array(*[F.lit(c) for c in range(PLANE_CHUNKS)])
     ).alias("c")
 
-    c_sig = corpus.withColumn("sig", signature_col(F.col("e")))
-    q_sig = queries.withColumn("qsig", signature_col(F.col("qe")))
+    c_sig = with_signature(corpus, "e", "sig")
+    q_sig = with_signature(queries, "qe", "qsig")
 
     c_chunks = c_sig.select("*", chunk_ids).withColumn(
         "chunk", F.expr(f"shiftrightunsigned(sig, c * {PLANE_CHUNK_BITS})").bitwiseAND(mask)
