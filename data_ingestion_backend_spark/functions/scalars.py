@@ -33,8 +33,13 @@ def norm_header(name: str) -> str:
     Mirrors the semantics of the reference's header matching
     (case/space-insensitive synonym lookup, ``csv_validator.py:132-165``)
     but runs on plain strings because headers are metadata, not data.
+    Removes ALL whitespace (not just spaces) — embedded tabs/CRs from
+    sloppy headers must not defeat the synonym lookup, and the function
+    must be idempotent (hypothesis-tested).
     """
-    return "".join(ch for ch in name.strip().lower() if ch not in " _-")
+    return "".join(
+        ch for ch in name.lower() if not ch.isspace() and ch not in "_-"
+    )
 
 
 def row_hash(*cols: Column | str, sep: str = "|") -> Column:

@@ -1,0 +1,103 @@
+"""Skew and co-location machinery for 100 TB operation.
+
+Two techniques the big-cluster playbook needs beyond AQE's defaults:
+
+- **Salted two-phase aggregation** — when one group key is pathologically
+  hot (a single user with 10⁹ events), the partial-aggregate for that key
+  still lands on one reducer.  Salting splits each group into ``n_salts``
+  subgroups for the first aggregation, then combines subtotals in a
+  second, tiny aggregation.  Works for any decomposable aggregate
+  (sum/count/min/max); results are bit-identical for exact types.
+
+- **Bucketed tables** — pre-hash-partitioning both sides of a recurring
+  fact⋈fact join (``bucketBy`` on the join key, same bucket count) lets
+  Spark plan a SortMergeJoin with NO Exchange on either side: the shuffle
+  happens once at write time and is amortized over every subsequent join.
+  This is the parquet-native answer to the reference's Postgres indexes
+  on FK columns (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed group keys.
+
+    ``aggs`` maps output column name → a *decomposable* aggregate over the
+    input (sum/count/min/max).  Phase 1 aggregates by (keys, salt); phase
+    2 re-aggregates the subtotals by keys — count subtotals are summed,
+    sums summed, mins min'd, maxes max'd.  The salt is derived
+    deterministically from ``salt_source`` (a high-cardinality column,
+    e.g. the event id) so replays produce identical partitioning.
+
+    Example::
+
+        salted_aggregate(events, ["user_id"],
+                         {"n": F.count("*"), "total": F.sum("value")},
+                         salt_source="event_id")
+    """
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+        if salt_source
+        else F.pmod(F.spark_partition_id().cast("long"), F.lit(n_salts))
+    )
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[expr.alias(f"_p_{name}") for name, expr in aggs.items()])
+    )
+
+    def recombine(name: str, expr: Column) -> Column:
+        # sum and count subtotals combine by SUM; min/max by themselves.
+        fn_name = expr._jc.toString().split("(")[0].lower()
+        part = F.col(f"_p_{name}")
+        if fn_name.startswith("min"):
+            return F.min(part).alias(name)
+        if fn_name.startswith("max"):
+            return F.max(part).alias(name)
+        return F.sum(part).alias(name)
+
+    return phase1.groupBy(*keys).agg(
+        *[recombine(name, expr) for name, expr in aggs.items()]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Materialize df as a bucketed+sorted table on the join key.
+
+    One shuffle now, zero shuffles for every future equi-join/aggregation
+    on ``key`` against any table bucketed the same way.  ``path`` makes it
+    an external table (catalog metadata + data at an explicit location —
+    ``spark.sql.warehouse.dir`` is static and often not writable).
+    """
+    writer = (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables — plans with no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

@@ -41,6 +41,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical quirks into clean types."""
+    if name == "events":
+        # runtime-settable; without it Spark refuses TIMESTAMP(NANOS)
+        # parquet outright, so callers on vanilla sessions would fail
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # nanosAsLong shim: LONG nanoseconds → TimestampType (µs precision).
