@@ -1,0 +1,31 @@
+"""Warehouse crash-safety: a half-written version must be invisible."""
+
+from __future__ import annotations
+
+import os
+
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+
+def test_uncommitted_version_invisible(spark, tmp_path):
+    """Simulate a crash between materializing v=N+1 and the pointer swap:
+    readers must keep seeing v=N (snapshot isolation via atomic pointer)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(5).selectExpr(
+        "cast(id as string) job_id", "id job_user_id", "'f' job_filename",
+        "'PENDING' job_status", "0L job_total_rows", "0L job_processed_rows",
+        "0L job_issue_count", "cast(null as string) job_error",
+        "current_timestamp() job_created_at", "current_timestamp() job_updated_at",
+    )
+    wh.write("jobs", df)
+    assert wh.read("jobs").count() == 5
+
+    # crash simulation: v=1 directory appears, pointer never swaps
+    bogus = os.path.join(str(tmp_path / "wh"), "jobs", "v=1")
+    df.limit(1).write.parquet(bogus)
+    assert wh.current_version("jobs") == 0
+    assert wh.read("jobs").count() == 5  # still the committed snapshot
+
+    # next successful write must not collide with the orphan dir
+    wh.write("jobs", df.limit(2))
+    assert wh.read("jobs").count() == 2
