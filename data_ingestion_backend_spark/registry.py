@@ -12,5 +12,6 @@ import data_ingestion_backend_spark.operators.dedup  # noqa: F401,E402 — regis
 import data_ingestion_backend_spark.operators.similarity  # noqa: F401,E402 — registers
 import data_ingestion_backend_spark.operators.multimodal  # noqa: F401,E402 — registers
 import data_ingestion_backend_spark.operators.queries2  # noqa: F401,E402 — registers
+import data_ingestion_backend_spark.operators.sketches  # noqa: F401,E402 — registers
 
 __all__ = ["QUERIES", "ORACLE"]
