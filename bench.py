@@ -46,6 +46,12 @@ HEADLINE = [
     "q28_shipping_priority",
     "q29_regional_revenue",
     "q30_sessionize",
+    "q31_asof_join",
+    "q32_range_join",
+    "q33_rollup",
+    "q34_pivot",
+    "q35_percentiles",
+    "q36_sliding_range_count",
 ]
 
 

@@ -18,6 +18,9 @@ from data_ingestion_backend_spark.operators.queries import DEC2, DEC4, _register
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
 SESSION_GAP_MIN = 30
+RANGE_JOIN_WINDOW_SEC = 600  # q32: events in the 10 min before each purchase
+RANGE_JOIN_BIN_SEC = 600  # bucket width for the binned equi-join rewrite
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # pivot axis
 
 
 @_register(
@@ -170,4 +173,259 @@ def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .orderBy("user_id", "session_no")
+    )
+
+
+@_register(
+    "q31_asof_join",
+    """SELECT a.event_id AS purchase_id, a.user_id,
+              a.ts AS p_ts, b.ts AS last_click_ts
+       FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type = 'purchase') a
+       ASOF LEFT JOIN
+            (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+             FROM events WHERE event_type = 'click') b
+         ON a.user_id = b.user_id AND a.ts > b.ts
+       ORDER BY purchase_id""",
+)
+def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the latest STRICTLY-prior click
+    timestamp for its user (point-in-time lookup, the quotes⋈trades shape).
+
+    Spark-first rewrite: instead of a per-row range probe, union both
+    sides and take a running conditional max over one (user_id, ts)
+    window — a single shuffle, no join blow-up, and the same partitioning
+    sessionization already uses.  Strictness is encoded in the sort key:
+    purchases order BEFORE clicks at equal ts, so the preceding-rows
+    frame can never see a same-timestamp click.  The DuckDB oracle uses
+    its native ASOF JOIN — an independent algorithm for the same answer.
+    """
+    both = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+        )
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(F.when(F.col("is_click") == 1, F.col("ts"))).over(prior)
+    return (
+        both.withColumn("last_click_ts", last_click)
+        .filter(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            "last_click_ts",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@_register(
+    "q32_range_join",
+    f"""SELECT p.event_id AS purchase_id, p.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_prior,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,4))
+                 AS sum_value
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events) e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts - INTERVAL {RANGE_JOIN_WINDOW_SEC} SECOND
+         AND e.ts < p.ts
+        GROUP BY p.event_id, p.user_id
+        ORDER BY purchase_id""",
+)
+def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join, binned: activity in the 10 min before each
+    purchase.
+
+    A raw range-predicate join degenerates to a per-key nested loop.  The
+    scalable rewrite buckets time into fixed bins, explodes the probe
+    side onto every bin its window overlaps (≤2 here), equi-joins on
+    (user_id, bin) — hash join, shuffles prune to exactly the candidate
+    bins — then refines with the precise µs range filter.  Bin width is a
+    dial: ~window size keeps the fan-out at ⌈w/b⌉+1 with minimal
+    false candidates.  The DuckDB oracle runs the plain range join (its
+    IEJoin), again an independent algorithm.
+    """
+    w, b = RANGE_JOIN_WINDOW_SEC, RANGE_JOIN_BIN_SEC
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.select(
+        "user_id", "ts", "value", (F.col("ts").cast("long") / b).cast("long").alias("bin")
+    )
+    probe = p.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                ((F.col("p_ts").cast("long") - w) / b).cast("long"),
+                (F.col("p_ts").cast("long") / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        probe.join(e, (F.col("user_id") == F.col("p_user")) & (probe["bin"] == e["bin"]))
+        .filter(
+            (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {w} SECOND"))
+            & (F.col("ts") < F.col("p_ts"))
+        )
+        .groupBy("purchase_id", "p_user")
+        .agg(
+            F.count("*").alias("n_prior"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast(DEC4).alias("sum_value"),
+        )
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "n_prior",
+            "sum_value",
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@_register(
+    "q33_rollup",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                AS gid,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS sum_qty,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY gid, l_returnflag, l_linestatus""",
+)
+def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in one pass: ROLLUP (flag, status) emits the
+    detail rows, per-flag subtotals, and the grand total from a single
+    scan — Spark expands the grouping sets before the exchange, so the
+    partial-aggregation (map-side combine) shape is preserved.  gid is
+    the standard grouping bitmask distinguishing "NULL because subtotal"
+    from a (hypothetical) NULL data value.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(DEC2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "q34_pivot",
+    """SELECT user_id,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+       FROM events
+       GROUP BY user_id
+       ORDER BY user_id""",
+)
+def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user event counts, one column per type.
+
+    The pivot values are DECLARED (not discovered), which matters twice:
+    no extra distinct-scan job to enumerate them, and a stable output
+    schema the driver/oracle can hash.  Catalyst compiles this to the
+    same single-pass conditional aggregation the oracle SQL spells out.
+    """
+    wide = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+    return renamed.orderBy("user_id")
+
+
+@_register(
+    "q35_percentiles",
+    """SELECT event_type,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.50), 6) AS p50,
+              round(quantile_cont(value, 0.75), 6) AS p75,
+              round(quantile_cont(value, 0.95), 6) AS p95
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""",
+)
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolation percentiles per group (the GK sketch in
+    sketches.py is the approximate/mergeable scale path; this is the
+    verification-grade twin).  Spark's `percentile` matches DuckDB's
+    `quantile_cont` definition; results rounded to 6 dp so the last-ulp
+    interpolation arithmetic can't flip the value hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25D, 0.50D, 0.75D, 0.95D))")
+    agg = ev.groupBy("event_type").agg(pct.alias("ps"))
+    return agg.select(
+        "event_type",
+        *[
+            F.round(F.col("ps")[i], 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    ).orderBy("event_type")
+
+
+@_register(
+    "q36_sliding_range_count",
+    """SELECT event_id, user_id,
+              CAST(COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY epoch_s
+                RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                AS n_prev_hour
+       FROM (SELECT event_id, user_id,
+                    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT)
+                      AS epoch_s
+             FROM events)
+       ORDER BY event_id""",
+)
+def q36_sliding_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity via a RANGE (value-based) frame —
+    the frame boundary is a time offset, not a row count, so bursts at
+    one timestamp are handled as peers and sparse users don't over-reach.
+    One window = one shuffle on user_id; at 100 TB this partitioning is
+    shared with sessionization/as-of, so the exchange is reusable.
+    RANGE frames need a numeric sort key in both engines → epoch seconds
+    (µs-exact division, see the ns→µs note in queries.py).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("CAST(ts AS LONG)").alias("epoch_s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, -1)
+    )
+    return (
+        ev.withColumn("n_prev_hour", F.count("*").over(w))
+        .select("event_id", "user_id", "n_prev_hour")
+        .orderBy("event_id")
     )

@@ -80,3 +80,29 @@ def test_no_python_udfs_anywhere(spark):
 
 def test_lang_id_broadcasts_lexicon(q):
     assert has_operator(q("text_lang_id"), "BroadcastHashJoin")
+
+
+def test_range_join_stays_hash_join(q):
+    """The binned rewrite exists to keep the interval join an equi-join:
+    a nested-loop/cartesian plan here is the exact failure mode it guards
+    against."""
+    plan = formatted_plan(q("q32_range_join"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_and_range_window_single_shuffle(q):
+    # union+window as-of and the RANGE-frame count must each plan ONE
+    # hash shuffle (the user_id repartition) — no join, no second data
+    # shuffle; the only other exchange is the presentation ORDER BY's
+    # rangepartitioning.
+    for name in ("q31_asof_join", "q36_sliding_range_count"):
+        plan = formatted_plan(q(name))
+        assert plan.count("hashpartitioning") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_rollup_keeps_partial_aggregation(q):
+    plan = formatted_plan(q("q33_rollup"))
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final around the shuffle
