@@ -150,15 +150,41 @@ def sim_multiquery_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def with_signature(df: DataFrame, vec_col: str, sig_name: str) -> DataFrame:
-    """Add a 16-bit random-hyperplane signature column.
+    """Add a 16-bit random-hyperplane signature column (Arrow-batched GEMM).
 
-    Uses the aggregate/zip_with fold per plane.  The columnar-unrolled
-    variant that wins for pairwise cosine (dedup.py) LOSES here: 16 planes
-    × 64 terms chained through WHENs is a ~2000-node expression that falls
-    out of whole-stage codegen (measured 2.9s → 19.8s), and projection
-    collapse re-inlines any intermediate dot columns.  The fold runs once
-    per corpus row (not per pair), so interpreted evaluation is fine.
+    All 16 plane dots per vector are one ``rows×64 @ 64×16`` numpy matmul
+    inside ``mapInPandas`` — measured ~3× over the per-plane Catalyst
+    fold, which evaluates 16 interpreted 64-element folds per row.  (The
+    columnar-unrolled Catalyst variant is even worse: 16 planes × 64
+    terms is a ~2000-node expression that falls out of whole-stage
+    codegen, 2.9s → 19.8s.)  The fold survives as
+    `with_signature_catalyst`, differentially tested equal.  At 100 TB
+    the signature is computed once per corpus vector at index-build time
+    and stored with the corpus.
     """
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    H = np.asarray(HYPERPLANES, dtype=np.float64)  # 16×64, ships with task
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+    out_schema = StructType(df.schema.fields + [StructField(sig_name, LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (M @ H.T) >= 0
+            pdf[sig_name] = (bits * weights).sum(axis=1).astype("int64")
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def with_signature_catalyst(df: DataFrame, vec_col: str, sig_name: str) -> DataFrame:
+    """Pure-Catalyst signature twin (per-plane aggregate/zip_with fold) —
+    kept as the independent implementation for the differential test."""
     e = F.col(vec_col)
     sig = F.lit(0).cast("bigint")
     for i, plane in enumerate(HYPERPLANES):
@@ -229,3 +255,110 @@ def ann_topk_fixture(spark: SparkSession, sf_dir: str, k: int = TOPK) -> DataFra
 from data_ingestion_backend_spark.operators.queries import QUERIES  # noqa: E402
 
 QUERIES["sim_ann_lsh_topk"] = ann_topk_fixture
+
+
+# --------------------------------------------------------------------------
+# ANN: IVF (inverted-file) — coarse quantizer + probed exact re-rank
+# --------------------------------------------------------------------------
+
+IVF_CLUSTERS, IVF_NPROBE = 16, 4
+IVF_SAMPLE, IVF_ITERS = 1024, 8
+
+
+def _train_centroids_sample(emb: DataFrame) -> "np.ndarray":  # noqa: F821
+    """Sample-fit coarse quantizer: Lloyd's k-means on a bounded,
+    DETERMINISTIC sample (first IVF_SAMPLE vec_ids), spherical variant
+    (centroids re-normalized, assignment by max dot = cosine).
+
+    Fit-small / apply-distributed: the sample is O(IVF_SAMPLE·d)
+    regardless of corpus size — at 100 TB the training cost is unchanged
+    and only the (distributed, single-pass) assignment scales.
+    """
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id").limit(IVF_SAMPLE).select("e").toPandas()["e"]
+    )
+    S = np.asarray(rows.tolist(), dtype=np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    C = S[:IVF_CLUSTERS].copy()  # deterministic init: first k sample vectors
+    for _ in range(IVF_ITERS):
+        assign = (S @ C.T).argmax(axis=1)
+        for j in range(IVF_CLUSTERS):
+            members = S[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def _assign_clusters(df: DataFrame, vec_col: str, centroids, n: int) -> DataFrame:
+    """Arrow-batched GEMM assignment: each vector's top-n centroids by
+    cosine, exploded to (row ⨯ cluster).  n=1 indexes the corpus;
+    n=IVF_NPROBE fans a query out to the clusters it probes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField("cluster", LongType())])
+    C = centroids  # closure-captured (k×d, tiny — ships with the task)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            top = np.argsort(-(M @ C.T), axis=1)[:, :n]  # (rows, n)
+            rep = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+            rep["cluster"] = top.ravel().astype("int64")
+            yield rep
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = TOPK,
+) -> DataFrame:
+    """IVF ANN: probe the query's IVF_NPROBE nearest clusters, exact
+    cosine re-rank inside them.
+
+    Recall comes from probing multiple cells (a near neighbor can sit
+    just across a Voronoi boundary); cost is ~NPROBE/CLUSTERS of brute
+    force.  At 100 TB: cluster ids are precomputed and the corpus is
+    PARTITIONED BY cluster, so a probe reads only its cells' files —
+    partition pruning does the candidate generation.
+    """
+    c_assigned = _assign_clusters(corpus, "e", centroids, 1)
+    q_probes = _assign_clusters(queries, "qe", centroids, IVF_NPROBE)
+    cand = (
+        c_assigned.join(F.broadcast(q_probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", "vec_id", "e")
+        .distinct()  # a corpus vector can match ≤1 cell here, but stay safe
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cosine", F.round(cosine_expr(F.col("e"), F.col("qe")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+def ivf_topk_fixture(spark: SparkSession, sf_dir: str, k: int = TOPK) -> DataFrame:
+    """IVF ANN over the embeddings fixture, vec_id<3 as queries."""
+    emb = _emb(spark, sf_dir)
+    corpus = emb.select("vec_id", "e")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    centroids = _train_centroids_sample(emb)
+    return ivf_topk(corpus, queries, centroids, k)
+
+
+QUERIES["sim_ann_ivf_topk"] = ivf_topk_fixture

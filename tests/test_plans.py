@@ -61,9 +61,15 @@ def test_topk_is_take_ordered(q):
 
 
 # Arrow-batched pandas stages that are the DESIGNED hot path, not a
-# regression: media decode (binary columns) and blocked-GEMM cosine
-# (per-pair arithmetic where vectorized numpy beats row expressions).
-SANCTIONED_PANDAS = {"media_features", "dedup_embedding_topk_pairs"}
+# regression: media decode (binary columns) and dense linear algebra
+# (blocked-GEMM cosine, LSH signatures, IVF assignment) where vectorized
+# numpy beats row expressions.
+SANCTIONED_PANDAS = {
+    "media_features",
+    "dedup_embedding_topk_pairs",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+}
 
 
 def test_no_python_udfs_anywhere(spark):

@@ -37,6 +37,55 @@ def test_ann_deterministic(spark):
     assert a == b
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF (16 cells, 4 probed) must recover a healthy share of the exact
+    top-5 per query — near-orthogonal fixture vectors are the hard case
+    for a coarse quantizer, so the bar is deliberately moderate."""
+    from data_ingestion_backend_spark.operators.similarity import ivf_topk_fixture
+
+    exact = QUERIES["sim_multiquery_topk"](spark, SF_DIR_ORACLE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = ivf_topk_fixture(spark, SF_DIR_ORACLE, k=10).collect()
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(want & approx_sets.get(qid, set())) / len(want)
+        for qid, want in exact_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_ivf_deterministic(spark):
+    from data_ingestion_backend_spark.operators.similarity import ivf_topk_fixture
+
+    a = sorted(map(tuple, ivf_topk_fixture(spark, SF_DIR_ORACLE).collect()))
+    b = sorted(map(tuple, ivf_topk_fixture(spark, SF_DIR_ORACLE).collect()))
+    assert a == b
+
+
+def test_signature_gemm_matches_catalyst(spark):
+    """GEMM LSH signatures must equal the Catalyst fold bit-for-bit."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _emb,
+        with_signature,
+        with_signature_catalyst,
+    )
+
+    emb = _emb(spark, SF_DIR_ORACLE).select("vec_id", "e")
+    a = {
+        r["vec_id"]: r["sig"]
+        for r in with_signature(emb, "e", "sig").collect()
+    }
+    b = {
+        r["vec_id"]: r["sig"]
+        for r in with_signature_catalyst(emb, "e", "sig").collect()
+    }
+    assert a == b
+
+
 def test_minhash_finds_planted_neardups(spark):
     """The fixture documents contain planted ~0.99-Jaccard pairs; the LSH
     pipeline must surface them (non-vacuous result)."""
