@@ -32,6 +32,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from data_ingestion_backend_spark.operators.queries import _register
 from data_ingestion_backend_spark.sources.fixtures import load_table
@@ -84,6 +85,36 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.array(F.col("ltext")))
     )
     return toks.select("doc_id", F.explode(shingles).alias("s"))
+
+
+def _verify_jaccard(
+    per_doc: DataFrame, pairs: DataFrame, threshold: float | None
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, from per-doc arrays.
+
+    ``per_doc`` carries each document's distinct-shingle array + size, so
+    verification is two hash joins on the (small) per-doc table plus an
+    ``array_intersect`` per surviving pair — candidates are the sparse
+    output of LSH/inverted-index blocking, so the per-pair array work is
+    negligible next to re-joining the exploded shingle table (which cost
+    two extra full shingle pipelines before this rewrite).
+    """
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"), F.col("n").alias("na")
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"), F.col("n").alias("nb")
+    )
+    i = F.size(F.array_intersect("ssa", "ssb")).cast("double")
+    jac = i / (F.col("na") + F.col("nb") - i)
+    out = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"), jac.alias("_j"))
+    )
+    if threshold is not None:
+        out = out.filter(F.col("_j") >= threshold)
+    return out.drop("_j").orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -178,15 +209,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only quadratic step is *within identical band buckets*;
     verification joins shingles for candidate pairs only.  AQE handles a
     hot bucket via skew-join splitting; shingle-hash shuffles are uniform.
+
+    One pass builds minhash signatures AND the per-doc shingle arrays in
+    the same groupBy (Spark re-executes common subplans that feed
+    different aggregates — a second groupBy would re-run the whole
+    shingle pipeline), persisted MEMORY_AND_DISK because three plan arms
+    (banding, verify-a, verify-b) consume it.
     """
     sh = _docs_shingled(spark, sf_dir)
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("bigint")
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{j}")
-            for j, (a, b) in enumerate(MINHASH_COEFFS)
-        ]
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{j}")
+                for j, (a, b) in enumerate(MINHASH_COEFFS)
+            ],
+            F.collect_list("s").alias("ss"),
+            F.count("*").alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sig = per_doc
     band_structs = F.array(
         *[
             F.struct(
@@ -218,30 +262,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _exact_jaccard(sh, cand, JACCARD_THRESHOLD)
-
-
-def _exact_jaccard(sh: DataFrame, pairs: DataFrame, threshold: float | None) -> DataFrame:
-    """Exact shingle-set Jaccard for the given candidate pairs."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        pairs.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.s") == F.col("a.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    out = (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"), jac.alias("_j"))
-    )
-    if threshold is not None:
-        out = out.filter(F.col("_j") >= threshold)
-    return out.drop("_j").orderBy("doc_a", "doc_b")
+    return _verify_jaccard(per_doc, cand, JACCARD_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
@@ -256,33 +277,47 @@ def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's random pairs collapse to Hamming 0 on token-level SimHash),
     while shingle sets stay discriminative — planted near-dups land at
     Hamming ≤7 with random pairs ≥15.
+
+    Physical shape — measured sweet spot between intermediate size and
+    expression width (all at sf0.1, noop sink, steady-state):
+
+    - explode 60 bit-rows/shingle + 2 groupBys: 15M-row intermediate, 2.4 s
+    - single groupBy with 60 bit-sum aggs: tiny intermediate but a huge
+      generated aggregate (~10 s one-time codegen compile), 2.4 s steady
+    - THIS: explode 4 chunk-rows/shingle, groupBy(doc_id, chunk) with 15
+      unconditional bit-sums ``SUM((h >> i) & 1)``, reassemble each 15-bit
+      chunk via ``vote_i = 2·cnt_i − n > 0``, then sum the 4 chunk parts
+      per doc: 1M-row intermediate, narrow fast-compiling expressions,
+      1.7 s steady.  Both shuffles are map-side combined.
     """
     tok = _docs_shingled(spark, sf_dir).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint")
     )
-    votes = tok.select(
+    ck = tok.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("i"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("c"),
         F.col("h"),
-    ).select(
-        "doc_id",
-        "i",
-        # python wrapper for shift fns takes only literal counts; use SQL expr
-        F.when(F.expr("shiftrightunsigned(h, i)").bitwiseAND(1) == 1, 1)
-        .otherwise(-1)
-        .alias("v"),
     )
-    return (
-        votes.groupBy("doc_id", "i")
-        .agg(F.sum("v").alias("score"))
-        .groupBy("doc_id")
-        .agg(
+    per_chunk = ck.groupBy("doc_id", "c").agg(
+        F.count("*").alias("n"),
+        *[
             F.sum(
-                F.when(
-                    F.col("score") > 0, F.expr("shiftleft(cast(1 as bigint), i)")
-                ).otherwise(F.lit(0).cast("bigint"))
-            ).alias("simhash")
-        )
+                F.expr(f"int(shiftrightunsigned(h, c*{SIMHASH_CHUNK_BITS}+{j}) & 1)")
+            ).alias(f"c{j}")
+            for j in range(SIMHASH_CHUNK_BITS)
+        ],
+    )
+    zero = F.lit(0).cast("bigint")
+    part = zero
+    for j in range(SIMHASH_CHUNK_BITS):
+        part = part + F.when(
+            2 * F.col(f"c{j}") > F.col("n"),
+            F.expr(f"shiftleft(cast(1 as bigint), c*{SIMHASH_CHUNK_BITS}+{j})"),
+        ).otherwise(zero)
+    return (
+        per_chunk.select("doc_id", part.alias("p"))
+        .groupBy("doc_id")
+        .agg(F.sum("p").alias("simhash"))
     )
 
 
@@ -347,8 +382,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 6 over 60 bits must share ≥1 exact chunk (pigeonhole needs
     ≤3 flips/4 chunks — with ≤6 flips, some chunk is clean), so the
     bucket join loses nothing while staying linear in bucket sizes.
+
+    The signature table is persisted: both sides of the chunk self-join
+    consume it, and it is two orders of magnitude smaller than the vote
+    pipeline that builds it.
     """
-    sig = _simhash_sig(spark, sf_dir)
+    sig = _simhash_sig(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -425,19 +464,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join from going quadratic on stopword-ish shingles.
     Near-dups always share rare shingles, so recall at high thresholds is
     unaffected.
+
+    The inverted index is one groupBy over the exploded shingles:
+    ``s → collect_list(doc_id)``, df-pruned by posting-list size.
+    Candidate pairs expand *inside* each rare posting list (≤ MAX_DF docs
+    → ≤ MAX_DF² tiny pairs, generated map-side) instead of the classic
+    two-sided self-join on the shingle string — removes two hash joins
+    and a wide string shuffle from the plan.  The exploded table feeds
+    two arms (per-doc arrays, inverted index), hence the persist.
     """
-    sh = _docs_shingled(spark, sf_dir)
-    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= NGRAM_MAX_DF
-    ).select("s")
-    a, b = sh.alias("a"), sh.alias("b")
+    sh = _docs_shingled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = sh.groupBy("doc_id").agg(
+        F.collect_list("s").alias("ss"), F.count("*").alias("n")
+    )
+    postings = (
+        sh.groupBy("s")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= NGRAM_MAX_DF)
+    )
     cand = (
-        a.join(rare, "s")
-        .join(b, (F.col("b.s") == F.col("a.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    return _exact_jaccard(sh, cand, 0.5)
+    return _verify_jaccard(per_doc, cand, 0.5)
 
 
 # --------------------------------------------------------------------------
