@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from data_ingestion_backend_spark.operators.queries import _register
 from data_ingestion_backend_spark.sources.fixtures import load_table
@@ -124,24 +123,42 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by stopword voting (broadcast lexicon join + argmax).
 
     Scale shape: explode → broadcast-hash-join against a ~100-row lexicon →
-    partial-aggregated counts → per-doc argmax window.  No shuffle of the
-    raw text, only of (doc_id, lang, hits).
+    ONE groupBy(doc_id) with a conditional count per language (map-side
+    combined pivot; the language set is a compile-time constant) → flat
+    argmax expression (hits desc, lang asc — mirrors the oracle's window
+    tiebreak).  No shuffle of the raw text and no window exchange: one
+    data shuffle total, vs groupBy(doc,lang) + window + re-join before.
     """
     docs = load_table(spark, sf_dir, "documents")
     sw = docs.sparkSession.createDataFrame(
         [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
         "lang string, word string",
     )
+    langs = sorted(STOPWORDS)
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     )
     votes = (
         tok.join(F.broadcast(sw), "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("hits"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == lg, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"h_{lg}")
+                for lg in langs
+            ]
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
-    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    best_hits = F.greatest(*[F.col(f"h_{lg}") for lg in langs])
+    best_lang = F.lit("und")
+    for lg in reversed(langs):  # first lang alphabetically wins ties
+        best_lang = F.when(F.col(f"h_{lg}") == best_hits, lg).otherwise(best_lang)
+    best = votes.select(
+        "doc_id",
+        best_lang.alias("lang"),
+        best_hits.alias("hits"),
+    )
     return (
         docs.select("doc_id")
         .join(best, "doc_id", "left")

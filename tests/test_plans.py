@@ -108,7 +108,11 @@ def test_asof_and_range_window_single_shuffle(q):
         assert "Join" not in plan, name
 
 
-def test_rollup_keeps_partial_aggregation(q):
+def test_rollup_two_phase_no_expand(q):
+    # q33 is a two-phase rollup: the base groupBy must keep the partial+final
+    # hash-aggregate pair around its shuffle, and the plan must NOT contain an
+    # Expand node (the native .rollup() shape that triples shuffle input —
+    # the subtotal tiers re-aggregate the tiny detail aggregate instead).
     plan = formatted_plan(q("q33_rollup"))
-    assert "Expand" in plan
+    assert "Expand" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final around the shuffle
