@@ -70,7 +70,7 @@ def main() -> None:
     names += [
         n
         for n in QUERIES
-        if n.split("_")[0] in {"dedup", "sim", "text", "sketch"} and n not in names
+        if n.split("_")[0] in {"dedup", "sim", "text", "sketch", "prep"} and n not in names
     ]
 
     # warm-up (JVM/codegen/file listing) — untimed

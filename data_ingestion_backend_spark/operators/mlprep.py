@@ -1,0 +1,233 @@
+"""Training-data preparation operators (LLM-pipeline stages beyond dedup).
+
+The four pipeline stages every large-scale pre-training corpus build runs
+after dedup/quality, each pure Catalyst with a dual-dialect DuckDB oracle:
+
+- **repetition scoring** — Gopher-style duplicate-n-gram signal (the
+  fraction of a document's bigrams claimed by its single most frequent
+  bigram); high values flag boilerplate/spam for filtering.
+- **IDF rarity scoring** — corpus-level document frequencies joined back
+  per token; the mean-IDF score separates stock phrasing from rare
+  content and is the building block for TF-IDF style filters.
+- **deterministic split assignment** — content-hash bucketing into
+  train/val/test.  Hash-of-id, not random(): re-runs, backfills, and
+  incremental loads land every document in the same split forever.
+- **sequence packing** — greedy token-budget packing of documents into
+  fixed-size training sequences via a running-sum window; the standard
+  concat-then-chunk approximation, shard-parallel.
+
+Scale notes: repetition and IDF shuffle (doc_id, token)-sized rows with
+map-side combine; split assignment is embarrassingly parallel (no
+shuffle); packing shuffles once on the shard key and windows within the
+shard — shard count scales with the cluster, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_backend_spark.operators.queries import _register
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+TRAIN_PCT, VAL_PCT = 98, 1  # remaining 1% = test
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 8
+
+
+@_register(
+    "prep_repetition",
+    """WITH bg AS (
+         SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(string_split(text, ' ')), 2)),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1])) AS b
+         FROM documents
+         WHERE len(string_split(text, ' ')) >= 2
+       ),
+       per AS (
+         SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+       ),
+       agg AS (
+         SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+         FROM per GROUP BY doc_id
+       )
+       SELECT d.doc_id,
+              CAST(COALESCE(a.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+              CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              round(CASE WHEN a.n_bigrams > 0
+                         THEN CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams
+                         ELSE 0.0 END, 6) AS top_bigram_frac
+       FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
+)
+def prep_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: top-bigram fraction per document.
+
+    Two map-side-combined aggregations over (doc_id, bigram) rows — the
+    same two-step tokenize-then-transform shingling as dedup (inlining
+    split() into the lambda re-splits per element; see dedup.py).  Docs
+    with fewer than two tokens have no bigrams and score 0.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")
+        ).alias("b"),
+    )
+    agg = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
+    ).otherwise(0.0)
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram_count", F.lit(0)).cast("bigint").alias(
+                "top_bigram_count"
+            ),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(frac, 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "prep_idf_rarity",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents
+       ),
+       n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w)
+       SELECT t.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+              round(AVG(ln((n.n_docs + 1.0) / (f.df + 1.0))), 4) AS mean_idf
+       FROM tok t CROSS JOIN n JOIN dfreq f ON f.w = t.w
+       GROUP BY t.doc_id
+       ORDER BY t.doc_id""",
+)
+def prep_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token IDF per document (corpus-rarity quality score).
+
+    Document frequencies come from one distinct-(doc, token) aggregation;
+    idf = ln((N+1)/(df+1)).  The token→df table is far smaller than the
+    corpus (vocabulary-sized) — at scale it broadcasts; here Catalyst
+    picks that automatically after AQE sees its size.  N arrives as a
+    broadcast 1-row aggregate (no driver-side count, plan stays lazy).
+    Rounded to 4 dp so double-summation order cannot flip the oracle hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).distinct()
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    return (
+        tok.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_tokens"),
+            F.round(F.avg(idf), 4).alias("mean_idf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "prep_split_assign",
+    f"""SELECT doc_id,
+              CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+                % 100 AS bucket,
+              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+                        % 100 < {TRAIN_PCT} THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+                        % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents ORDER BY doc_id""",
+)
+def prep_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-id hash.
+
+    ``bucket = int(md5(doc_id)[:8], 16) % 100`` — stable across re-runs,
+    backfills, and engines (md5 is the only cross-engine hash; never use
+    rand() or monotonically_increasing_id for splits).  No shuffle: the
+    assignment is a projection, so it composes with any downstream
+    partitioning for free.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(bucket < TRAIN_PCT, "train")
+            .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "prep_pack_sequences",
+    f"""WITH sized AS (
+         SELECT doc_id,
+                doc_id % {PACK_SHARDS} AS shard,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents
+       )
+       SELECT doc_id, shard, n_tokens,
+              CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
+       FROM sized ORDER BY doc_id""",
+)
+def prep_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (concat-then-chunk).
+
+    Documents are sharded by id, ordered within the shard, and assigned
+    ``pack_id = tokens_before_me // BUDGET`` via a running-sum window —
+    the standard streaming approximation of bin packing used when
+    assembling fixed-length pre-training sequences.  One shuffle (the
+    shard hash); window state is O(1) per row.  Shard count scales with
+    the cluster so no shard outgrows an executor.
+    """
+    sized = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(before / PACK_BUDGET_TOKENS).cast("bigint").alias("pack_id"),
+    ).orderBy("doc_id")
