@@ -149,7 +149,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _minhash_oracle_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in ``pairs`` (the thresholded near-dup pairs);
+    reused by the pairs oracle and the cluster-closure oracle."""
     hash_expr = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
     mins = ",\n            ".join(
         f"min(({a} * {hash_expr} + {b}) % {MINHASH_P}) AS m{j}"
@@ -162,7 +164,7 @@ def _minhash_oracle_sql() -> str:
         for c in range(N_BANDS)
     )
     return f"""
-      WITH sh AS (
+      sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
       ),
       sig AS (
@@ -186,15 +188,22 @@ def _minhash_oracle_sql() -> str:
         JOIN sh a ON a.doc_id = c.doc_a
         JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
         GROUP BY c.doc_a, c.doc_b
-      )
-      SELECT i.doc_a, i.doc_b,
-             round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
-      ORDER BY i.doc_a, i.doc_b
-    """
+      ),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+      )"""
+
+
+def _minhash_oracle_sql() -> str:
+    return (
+        f"WITH {_minhash_ctes()} "
+        "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
+    )
 
 
 @_register("dedup_minhash_lsh", _minhash_oracle_sql())
@@ -263,6 +272,98 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verify_jaccard(per_doc, cand, JACCARD_THRESHOLD)
+
+
+@_register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_minhash_ctes()},
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+      ),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+      )
+      SELECT id AS doc_id,
+             MIN(lbl) AS cluster_id,
+             MIN(lbl) = id AS is_canonical
+      FROM reach GROUP BY id ORDER BY doc_id""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster closure: connected components over the MinHash
+    pairs, keeping the lowest doc_id per component as canonical — the
+    step that turns a pair list into an actual keep/drop decision.
+
+    Spark side is iterative min-label propagation (the standard
+    distributed CC algorithm): each round every node takes the min of its
+    own label and its neighbors' labels; converges in O(component
+    diameter) rounds — near-dup clusters are shallow, and the loop stops
+    as soon as a round changes nothing.  Each round is one join + one
+    aggregate on (nodes + 2·edges) rows; at 100 TB this is large-scale
+    CC exactly as run in production dedup pipelines (no driver-side
+    union-find — the driver only sees the converged/changed counter).
+    The DuckDB oracle reaches the same fixpoint via a recursive CTE — an
+    entirely independent evaluation strategy.
+    """
+    # localCheckpoint truncates the (large) LSH lineage so each CC round
+    # plans against a leaf scan instead of re-analyzing the whole minhash
+    # DAG — measured ~2 s/round of pure planning without it, ~0.1 s with.
+    # (On a real cluster prefer reliable checkpointing: executor loss
+    # under localCheckpoint forfeits the truncated lineage.)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    und = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Propagate only over edge-connected docs (the dedup subgraph is a tiny
+    # fraction of the corpus); singletons rejoin at the end as their own
+    # cluster.  At scale this keeps every CC round proportional to the
+    # near-dup population, not the corpus.
+    labels = und.select(F.col("a").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(20):  # diameter bound; near-dup components are shallow
+        nbr = (
+            und.join(labels, und.a == labels.doc_id)
+            .groupBy("b")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.b, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lbl"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("lbl"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
