@@ -34,6 +34,8 @@ from data_ingestion_backend_spark.sources.fixtures import load_table
 TRAIN_PCT, VAL_PCT = 98, 1  # remaining 1% = test
 PACK_BUDGET_TOKENS = 512
 PACK_SHARDS = 8
+SAMPLE_PER_MILLE = 100  # stratified sample keep-rate: 100/1000 = 10%
+DECON_NGRAM = 8  # contamination n-gram width (long n-grams are rare by design)
 
 
 @_register(
@@ -231,3 +233,120 @@ def prep_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(before / PACK_BUDGET_TOKENS).cast("bigint").alias("pack_id"),
     ).orderBy("doc_id")
+
+
+def _sample_bucket_sql() -> str:
+    return (
+        "CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS STRING)), 1, 8))"
+        " AS BIGINT) % 1000"
+    )
+
+
+@_register(
+    "prep_sample_stratified",
+    f"""SELECT doc_id, source FROM documents
+       WHERE {_sample_bucket_sql()} < {SAMPLE_PER_MILLE}
+       ORDER BY doc_id""",
+)
+def prep_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: ~10% per source stratum.
+
+    keep ⇔ ``int(md5(source:doc_id)[:8], 16) % 1000 < 100``.  Unlike
+    ``df.sample()`` this is reproducible across runs, engines, and
+    repartitions, composes with incremental loads (a document's fate
+    never changes), and samples every stratum at the same rate without a
+    per-stratum pass.  Pure projection+filter — no shuffle, no state.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(bucket < SAMPLE_PER_MILLE)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _split_bucket_sql() -> str:
+    return (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) % 100"
+    )
+
+
+@_register(
+    "prep_decontaminate",
+    f"""WITH grams AS (
+         SELECT doc_id,
+                {_split_bucket_sql()} AS bucket,
+                unnest(CASE WHEN len(string_split(text, ' ')) >= {DECON_NGRAM}
+                       THEN list_distinct(list_transform(
+                              range(1, len(string_split(text, ' ')) - {DECON_NGRAM - 2}),
+                              i -> array_to_string(
+                                     string_split(text, ' ')[i:i+{DECON_NGRAM - 1}], ' ')))
+                       ELSE [] END) AS g
+         FROM documents
+       ),
+       train AS (SELECT doc_id, g FROM grams WHERE bucket < {TRAIN_PCT}),
+       test  AS (SELECT doc_id, g FROM grams WHERE bucket >= {TRAIN_PCT + VAL_PCT})
+       SELECT t.doc_id,
+              CAST(COUNT(DISTINCT x.doc_id) AS BIGINT) AS n_test_docs_hit
+       FROM train t JOIN test x ON x.g = t.g
+       GROUP BY t.doc_id
+       ORDER BY t.doc_id""",
+)
+def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any long n-gram with
+    the held-out test split.
+
+    The standard pre-training hygiene pass: {DECON_NGRAM}-gram exact
+    overlap (long n-grams are rare by construction, so the inverted-index
+    join stays sparse — the reason production decontamination uses 8-13
+    grams, not shingle-width ones).  Splits come from the same
+    deterministic md5 bucketing as prep_split_assign, so the check is
+    stable across runs.  Scale shape: explode distinct n-grams → hash
+    join train-side × (tiny) test-side → distinct-count per train doc;
+    the test side of the join broadcasts at any corpus size where the
+    held-out set is benchmark-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    toks = docs.select(
+        "doc_id", bucket.alias("bucket"), F.split(F.col("text"), " ").alias("t")
+    ).filter(F.size("t") >= DECON_NGRAM)
+    gram_parts = ", ".join(f"t[i+{k}]" for k in range(DECON_NGRAM))
+    grams = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(t)-{DECON_NGRAM}),"
+                    f" i -> concat_ws(' ', {gram_parts}))"
+                )
+            )
+        ).alias("g"),
+    )
+    train = grams.filter(F.col("bucket") < TRAIN_PCT).select("doc_id", "g")
+    test = grams.filter(F.col("bucket") >= TRAIN_PCT + VAL_PCT).select(
+        F.col("doc_id").alias("test_doc"), "g"
+    )
+    return (
+        train.join(F.broadcast(test), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("test_doc").cast("bigint").alias("n_test_docs_hit"))
+        .orderBy("doc_id")
+    )
