@@ -79,7 +79,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # best-of-2: absorbs JIT/GC/page-cache noise
+        for _ in range(3):  # best-of-3: absorbs JIT/GC/page-cache noise
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             # noop sink: executes the complete physical plan (scan→…→sort)
