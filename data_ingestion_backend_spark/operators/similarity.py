@@ -58,6 +58,39 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sim_centroids",
+    f"""SELECT label, i - 1 AS pos,
+              round(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+              CAST(COUNT(*) AS BIGINT) AS n_vectors
+       FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
+       GROUP BY label, i
+       ORDER BY label, pos""",
+)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (elementwise vector mean).
+
+    The vector-aggregation primitive under IVF training, cluster
+    analytics, and class prototypes, in long form (label, dim, value):
+    posexplode each vector once, then ONE map-side-combined groupBy on
+    (label, pos) — sums flow as scalars, never as arrays, so the shuffle
+    carries (labels × dims) rows regardless of corpus size.  Rounded to
+    6 dp so double-summation order cannot flip the oracle hash.
+    """
+    e = _emb(spark, sf_dir).select(
+        "label", F.posexplode(F.col("e")).alias("pos", "v")
+    )
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count("*").alias("n_vectors"),
+        )
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "centroid", "n_vectors")
+        .orderBy("label", "pos")
+    )
+
+
+@_register(
     "sim_topk_bruteforce",
     f"""WITH q AS (
           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
