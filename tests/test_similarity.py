@@ -110,6 +110,34 @@ def test_simhash_pairs_overlap_minhash(spark):
     assert len(mh & sh) / len(mh) >= 0.5
 
 
+def test_clusters_close_pairs_transitively(spark):
+    """dedup_clusters must be the transitive closure of the pair list:
+    every pair shares a cluster, every cluster id is the component min,
+    and non-paired docs are their own singleton cluster."""
+    pairs = QUERIES["dedup_minhash_lsh"](spark, SF_DIR_ORACLE).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters"](spark, SF_DIR_ORACLE).collect()
+    }
+    assert pairs, "no near-dup pairs found"
+    paired = set()
+    for r in pairs:
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
+        paired |= {r["doc_a"], r["doc_b"]}
+    # cluster id = min member of its component
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for doc, lbl in labels.items():
+        members[lbl].add(doc)
+    for lbl, docs in members.items():
+        assert lbl == min(docs)
+    # singletons label themselves
+    for doc, lbl in labels.items():
+        if doc not in paired:
+            assert lbl == doc
+
+
 def test_gemm_pairs_match_catalyst_twin(spark):
     """Blocked-GEMM exact top-k pairs must equal the independent
     pure-Catalyst implementation row for row (same rounding, same order):
