@@ -68,11 +68,23 @@ class Warehouse:
 
     # -- read / write --------------------------------------------------------
 
-    def read(self, table: str) -> DataFrame:
-        v = self.current_version(table)
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to ``version``.
+
+        Snapshots are immutable, so any retained version is a consistent
+        read (the Delta/Iceberg ``VERSION AS OF`` semantics); versions
+        older than the vacuum horizon raise rather than silently reading
+        a half-deleted directory.
+        """
+        v = self.current_version(table) if version is None else version
         if v < 0:
             return self.spark.createDataFrame([], SCHEMAS[table])
-        return self.spark.read.parquet(self._version_path(table, v))
+        path = self._version_path(table, v)
+        if version is not None and not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"{table} v={version} not retained (vacuumed or never written)"
+            )
+        return self.spark.read.parquet(path)
 
     def write(self, table: str, df: DataFrame) -> int:
         """Materialize df as the next version and commit the pointer."""
