@@ -52,6 +52,7 @@ HEADLINE = [
     "q34_pivot",
     "q35_percentiles",
     "q36_sliding_range_count",
+    "q37_funnel",
 ]
 
 

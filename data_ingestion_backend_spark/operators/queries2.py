@@ -470,3 +470,69 @@ def q36_sliding_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "n_prev_hour")
         .orderBy("event_id")
     )
+
+
+@_register(
+    "q37_funnel",
+    """WITH e AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+       ),
+       v AS (
+         SELECT user_id, MIN(ts) AS first_view
+         FROM e WHERE event_type = 'view' GROUP BY user_id
+       ),
+       c AS (
+         SELECT e.user_id, MIN(e.ts) AS first_click
+         FROM e JOIN v ON v.user_id = e.user_id
+         WHERE e.event_type = 'click' AND e.ts > v.first_view
+         GROUP BY e.user_id
+       ),
+       p AS (
+         SELECT e.user_id, MIN(e.ts) AS first_purchase
+         FROM e JOIN c ON c.user_id = e.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+         GROUP BY e.user_id
+       )
+       SELECT v.user_id, v.first_view, c.first_click, p.first_purchase
+       FROM v
+       LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+       ORDER BY v.user_id""",
+)
+def q37_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: ordered view → click → purchase per user.
+
+    Each stage is MIN(ts) strictly after the previous stage's timestamp —
+    the staged-aggregation formulation (filter → join previous stage →
+    min), which shuffles only (user, ts) pairs per stage and never
+    materializes event sequences.  Each stage's input shrinks (funnel!),
+    so the joins get cheaper as they go; all three aggregations are
+    map-side combined.  The DuckDB oracle mirrors the logic on native
+    nanosecond timestamps cast to µs (matching Spark's ns→µs load shim).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "first_view", "first_click", "first_purchase")
+        .orderBy("user_id")
+    )
