@@ -536,3 +536,77 @@ def q37_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "first_view", "first_click", "first_purchase")
         .orderBy("user_id")
     )
+
+
+@_register(
+    "q38_cube",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                AS gid,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS sum_qty,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)
+       ORDER BY gid, l_returnflag, l_linestatus""",
+)
+def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (flag, status): all four grouping tiers, two-phase like q33.
+
+    Native ``.cube()`` Expands every input row ×4 before the exchange;
+    here the (tiny, decimal-exact) detail aggregate is computed once and
+    every other tier — per-flag, per-status, grand total — re-aggregates
+    it.  gid uses the standard GROUPING bitmask (flag bit 2, status
+    bit 1).  Same scale argument as q33 with a 4× instead of 3× win.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    detail = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(DEC2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nulls = F.lit(None).cast("string")
+
+    def tier(gdf, flag_col, status_col, gid):
+        return gdf.select(
+            flag_col.alias("l_returnflag"),
+            status_col.alias("l_linestatus"),
+            F.lit(gid).cast("bigint").alias("gid"),
+            "sum_qty",
+            "n",
+        )
+
+    d0 = tier(detail, F.col("l_returnflag"), F.col("l_linestatus"), 0)
+    d1 = tier(
+        detail.groupBy("l_returnflag").agg(
+            F.sum("sum_qty").cast(DEC2).alias("sum_qty"), F.sum("n").alias("n")
+        ),
+        F.col("l_returnflag"),
+        nulls,
+        1,
+    )
+    d2 = tier(
+        detail.groupBy("l_linestatus").agg(
+            F.sum("sum_qty").cast(DEC2).alias("sum_qty"), F.sum("n").alias("n")
+        ),
+        nulls,
+        F.col("l_linestatus"),
+        2,
+    )
+    d3 = tier(
+        detail.agg(F.sum("sum_qty").cast(DEC2).alias("sum_qty"), F.sum("n").alias("n")),
+        nulls,
+        nulls,
+        3,
+    )
+    return (
+        d0.unionByName(d1)
+        .unionByName(d2)
+        .unionByName(d3)
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
