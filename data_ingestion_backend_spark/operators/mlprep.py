@@ -350,3 +350,42 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("test_doc").cast("bigint").alias("n_test_docs_hit"))
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "prep_length_deciles",
+    """SELECT doc_id, source,
+              round(PERCENT_RANK() OVER w, 6) AS len_pctile,
+              CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+              CASE WHEN PERCENT_RANK() OVER w BETWEEN 0.05 AND 0.95
+                   THEN 'keep' ELSE 'clip' END AS length_filter
+       FROM documents
+       WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+       ORDER BY doc_id""",
+)
+def prep_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-distribution position: percentile rank, decile,
+    and the tail-clipping verdict (drop the shortest/longest 5% within
+    each source) — the standard outlier-length filter computed per
+    stratum so verbose sources don't swallow terse ones.
+
+    percent_rank is an exact rational ((rank-1)/(n-1)) and ntile's
+    remainder rule is pinned by the SQL standard, so both engines agree
+    bit-for-bit given the deterministic (n_chars, doc_id) tiebreak.
+    One shuffle on source; window state is O(1) per row.
+    """
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.round(pr, 6).alias("len_pctile"),
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+            F.when((pr >= 0.05) & (pr <= 0.95), "keep")
+            .otherwise("clip")
+            .alias("length_filter"),
+        )
+        .orderBy("doc_id")
+    )
