@@ -150,10 +150,17 @@ def read_csv(spark: SparkSession, path: str, dialect: CsvDialect | None = None) 
     # (csv_validator.py:84-90).  Single-byte decode never fails, so a
     # PERMISSIVE read cannot drop rows on charset grounds.
     charset = "UTF-8" if dialect.encoding == "utf-8" else "ISO-8859-1"
+    # multiLine + escape='"': RFC-4180 semantics — quoted fields may contain
+    # the delimiter, doubled quotes, and embedded NEWLINES, exactly like the
+    # reference's stdlib csv.reader (csv_validator.py:276-281).  multiLine
+    # makes each file single-split; ingestion parallelism is across files
+    # (uploads are file-sized by reference semantics), so nothing is lost.
     raw = (
         spark.read.option("header", True)
         .option("sep", dialect.delimiter)
         .option("encoding", charset)
+        .option("multiLine", True)
+        .option("escape", '"')
         .option("mode", "PERMISSIVE")
         .csv(path)
     )

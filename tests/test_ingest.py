@@ -79,6 +79,35 @@ def test_sniff_rejects(tmp_path):
 
 # --- happy path -------------------------------------------------------------
 
+def test_ingest_rfc4180_quoting(spark, wh, tmp_path):
+    """Quoted fields may contain the delimiter, doubled quotes, and embedded
+    newlines — stdlib csv.reader semantics (the reference's parser,
+    csv_validator.py:276-281).  Spark side needs multiLine + escape='\"'."""
+    import csv
+
+    path = _write(
+        tmp_path,
+        "tricky.csv",
+        "email,first_name,last_name,company\n"
+        'a@x.com,"Smith, Jr.",Alpha,"Acme, Inc."\n'
+        'c@x.com,"Multi\nLine",Gamma,GCo\n'
+        'd@x.com,"Say ""hi""",Delta,DCo\n',
+    )
+    job_id = ingest_file(spark, wh, path, USER)
+    job = wh.read("jobs").collect()[0]
+    assert job["job_status"] == JobStatus.COMPLETED
+    assert job["job_total_rows"] == 3  # the quoted newline is NOT a row break
+
+    rows = sorted(wh.read("staging").collect(), key=lambda r: r["line_no"])
+    with open(path, newline="") as fh:
+        expect = list(csv.DictReader(fh))
+    assert len(rows) == len(expect)
+    for e, r in zip(expect, rows):
+        assert (e["email"], e["first_name"], e["company"]) == (
+            r["email"], r["first_name"], r["company"],
+        )
+
+
 def test_ingest_clean_file(spark, wh, tmp_path):
     path = _write(
         tmp_path,
