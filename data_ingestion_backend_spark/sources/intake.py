@@ -97,14 +97,24 @@ def map_headers(raw_headers: list[str]) -> dict:
     return out
 
 
-def sniff_dialect(path: str) -> CsvDialect:
+def sniff_dialect(path: str, max_bytes: int | None = None) -> CsvDialect:
     """File-level validation + dialect detection on a bounded head sample.
 
     Raises :class:`IntakeError` for upload-level rejects (wrong extension,
-    empty file, header-only file, missing required headers).
+    empty file, oversized file, header-only file, missing required headers).
+
+    ``max_bytes`` mirrors the reference's hard upload cap
+    (``MAX_FILE_SIZE = 5*1024*1024``, csv_validator.py:15,45-47).  It
+    defaults to None (no cap): the cap existed as single-process
+    backpressure, which Spark's split-parallel reads make unnecessary —
+    pass ``5 * 1024 * 1024`` to reproduce reference behavior exactly.
     """
     if not path.lower().endswith(".csv"):
         raise IntakeError(f"not a .csv file: {os.path.basename(path)}")
+    if max_bytes is not None and os.path.getsize(path) > max_bytes:
+        raise IntakeError(
+            f"file exceeds size cap: {os.path.getsize(path)} > {max_bytes} bytes"
+        )
     head = _read_head(path)
     if not head.strip():
         raise IntakeError("empty file")

@@ -79,6 +79,18 @@ def test_sniff_rejects(tmp_path):
 
 # --- happy path -------------------------------------------------------------
 
+def test_size_cap_optional(tmp_path):
+    """max_bytes mirrors the reference's 5MB reject (csv_validator.py:15);
+    default is uncapped (Spark removes the single-process ceiling)."""
+    path = _write(
+        tmp_path, "big.csv",
+        "email,first_name,last_name,company\n" + "a@x.com,A,B,C\n" * 100,
+    )
+    sniff_dialect(path)  # no cap: fine
+    with pytest.raises(IntakeError, match="size cap"):
+        sniff_dialect(path, max_bytes=64)
+
+
 def test_ingest_rfc4180_quoting(spark, wh, tmp_path):
     """Quoted fields may contain the delimiter, doubled quotes, and embedded
     newlines — stdlib csv.reader semantics (the reference's parser,
