@@ -101,3 +101,44 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables — plans with no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+# --- driver-graded query: the salted path against a plain-SQL oracle --------
+
+from data_ingestion_backend_spark.operators.queries import DEC2, _register  # noqa: E402
+from data_ingestion_backend_spark.sources.fixtures import load_table  # noqa: E402
+
+
+@_register(
+    "scale_salted_user_totals",
+    """SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS total_value
+       FROM events
+       GROUP BY user_id
+       ORDER BY user_id""",
+)
+def scale_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event totals via the SALTED two-phase aggregation path.
+
+    Functionally identical to a plain groupBy (which is exactly what the
+    DuckDB oracle runs) but executed as (user_id, salt)-partial →
+    recombine, the shape that survives a pathologically hot user at
+    100 TB.  Decimal sums make the two-phase recombination bit-exact, so
+    the salted plan is oracle-certified — not just property-tested.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").cast(DEC2).alias("v")
+    )
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        {"n_events": F.count("*"), "total_value": F.sum("v")},
+        salt_source="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast(DEC2).alias("total_value"),
+    ).orderBy("user_id")
