@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_backend_spark.operators.queries import QUERIES, _register
+from data_ingestion_backend_spark.operators.queries import _register
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
 FEATURE_DIM = 8
@@ -129,10 +129,31 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_features_oracle() -> str:
+    # The stub decoder is pure md5 arithmetic, so the WHOLE Arrow-batched
+    # mapInPandas stage gets a differential oracle: digest byte k = hex
+    # chars (2k+1, 2k+2); width/height from bytes 0-1, features from bytes
+    # 2-9.  CAST AS FLOAT matches the float32 rounding of the Spark-side
+    # `array<float>` schema bit-for-bit.
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(md5(text), {2 * k + 1}, 2)) AS INT)"
+
+    feats = ", ".join(
+        f"CAST({byte(2 + i)} / 255.0 AS FLOAT)" for i in range(FEATURE_DIM)
+    )
+    return f"""SELECT doc_id AS media_id,
+              CAST(1 + {byte(0)} % 64 AS INT) AS width,
+              CAST(1 + {byte(1)} % 64 AS INT) AS height,
+              [{feats}] AS feature
+       FROM documents ORDER BY media_id"""
+
+
+@_register("media_features", _media_features_oracle())
 def media_features_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded features over the fixture media table (rows-only check —
-    the pandas decode stage is not SQL-expressible)."""
+    """Decoded features over the fixture media table.
+
+    This certifies the *pandas decode stage itself* against SQL: the stub
+    kernel is deterministic md5 arithmetic, so DuckDB recomputes the same
+    width/height/feature values without ever running Python — schema,
+    Arrow batching, float32 rounding, and row coverage all gated."""
     return decode_media(media_table(spark, sf_dir)).orderBy("media_id")
-
-
-QUERIES["media_features"] = media_features_fixture
