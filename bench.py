@@ -53,6 +53,8 @@ HEADLINE = [
     "q35_percentiles",
     "q36_sliding_range_count",
     "q37_funnel",
+    "q38_cube",
+    "q39_retention",
 ]
 
 

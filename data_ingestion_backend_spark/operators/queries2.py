@@ -610,3 +610,45 @@ def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d3)
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+@_register(
+    "q39_retention",
+    """WITH e AS (
+         SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+       ),
+       cohort AS (
+         SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id
+       )
+       SELECT c.cohort_day,
+              CAST(date_diff('day', c.cohort_day, e.d) AS BIGINT) AS day_offset,
+              CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+       FROM e JOIN cohort c ON c.user_id = e.user_id
+       GROUP BY c.cohort_day, day_offset
+       ORDER BY c.cohort_day, day_offset""",
+)
+def q39_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted as active per day-offset since joining.
+
+    The other canonical product-analytics query beside the funnel.  Two
+    aggregations: per-user first day (map-side combined), then
+    distinct-user counts per (cohort, offset) — the distinct is over
+    user_id, which both engines compute exactly; offsets stay in integer
+    days so no engine week-epoch convention can drift.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("datediff(d, cohort_day)").cast("bigint").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
