@@ -108,6 +108,29 @@ def test_asof_and_range_window_single_shuffle(q):
         assert "Join" not in plan, name
 
 
+def test_cube_two_phase_no_expand(q):
+    # q38 mirrors q33's two-phase shape: no Expand (native .cube() would
+    # quadruple shuffle input), partial+final aggregates still paired.
+    plan = formatted_plan(q("q38_cube"))
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_fact_joins_use_shuffle_hash(q):
+    # q28/q29's lineitem⋈orders must stay a shuffled hash join — falling
+    # back to sort-merge re-adds two O(n log n) sorts nobody consumes.
+    for name in ("q28_shipping_priority", "q29_regional_revenue"):
+        plan = formatted_plan(q(name))
+        assert "ShuffledHashJoin" in plan, name
+
+
+def test_salted_agg_two_tiers(q):
+    # The salted path must keep both aggregation tiers (per-salt partial,
+    # then recombine) — collapsing them re-creates the hot-key reducer.
+    plan = formatted_plan(q("scale_salted_user_totals"))
+    assert plan.count("HashAggregate") >= 4  # 2 tiers × (partial+final)
+
+
 def test_rollup_two_phase_no_expand(q):
     # q33 is a two-phase rollup: the base groupBy must keep the partial+final
     # hash-aggregate pair around its shuffle, and the plan must NOT contain an
