@@ -652,3 +652,44 @@ def q39_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@_register(
+    "q40_json_agg",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS sum_k,
+              CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS min_k,
+              CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                AS max_k
+       FROM events
+       GROUP BY event_type
+       ORDER BY event_type""",
+)
+def q40_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing feeding aggregation: from_json with a declared
+    schema (not per-key string extraction — one parse, typed struct,
+    columns prune into it), then integer aggregates per event type.
+
+    Scale: the parse is map-side, the aggregate is map-side combined; a
+    declared schema also means corrupt documents surface as NULLs rather
+    than runtime errors (PERMISSIVE semantics), which is the behavior a
+    100 TB pipeline needs.  DuckDB oracle uses its native JSON extraction
+    — a different parser arriving at the same integers.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+            F.min("p.k").cast("bigint").alias("min_k"),
+            F.max("p.k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
