@@ -55,6 +55,7 @@ HEADLINE = [
     "q37_funnel",
     "q38_cube",
     "q39_retention",
+    "q40_json_agg",
 ]
 
 
