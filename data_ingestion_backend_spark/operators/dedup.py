@@ -314,6 +314,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (On a real cluster prefer reliable checkpointing: executor loss
     # under localCheckpoint forfeits the truncated lineage.)
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # Size the loop's partitioning to the SUBGRAPH, not the corpus: the
+    # checkpoint inherits corpus-scale partitioning, so every CC round
+    # would schedule corpus-scale task counts for edge-scale data.  The
+    # count is free (reads the checkpoint).
+    n_edges = pairs.count()
+    parts = max(1, min(n_edges // 500_000 + 1, 200))
+    if parts < pairs.rdd.getNumPartitions():
+        pairs = pairs.repartition(parts)
     und = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
