@@ -33,16 +33,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # extension operators once registered (they self-select by prefix).
 HEADLINE = [
     "q12_pricing_summary",
-    "q07_inner_join",
     "q08_multiway_join",
     "q09_left_join_count",
+    "q10_semi_anti_join",
     "q16_month_rollup",
     "q18_pergroup_topk",
     "q19_running_total",
-    "q21_keepfirst_dedup",
     "q22_tumbling_window",
     "q25_distinct_agg",
-    "q27_json_extract",
     "q28_shipping_priority",
     "q29_regional_revenue",
     "q30_sessionize",

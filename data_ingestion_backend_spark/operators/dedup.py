@@ -445,9 +445,13 @@ _SIMHASH_SIG_SQL = f"""
     GROUP BY doc_id, i
   ),
   sig AS (
+    -- terminal CAST AS BIGINT: DuckDB's SUM over shifted BIGINTs yields
+    -- HUGEINT, which pandas converts to float64 — 60-bit signatures exceed
+    -- float64's 53-bit exact-integer range and the driver hash goes red
+    -- even though the values are identical.
     SELECT doc_id,
-           SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << i)
-                    ELSE CAST(0 AS BIGINT) END) AS simhash
+           CAST(SUM(CASE WHEN score > 0 THEN (CAST(1 AS BIGINT) << i)
+                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
   )
 """

@@ -38,7 +38,18 @@ SAMPLE_PER_MILLE = 100  # stratified sample keep-rate: 100/1000 = 10%
 DECON_NGRAM = 8  # contamination n-gram width (long n-grams are rare by design)
 
 
-@_register(
+def _register_noop(name: str, oracle: str | None):
+    """Keep an operator's standalone form callable (tests, pipeline use)
+    without occupying one of the driver's 50 correctness slots; the
+    driver-facing cert is the consolidated query that joins it in."""
+
+    def deco(fn):
+        return fn
+
+    return deco
+
+
+@_register_noop(
     "prep_repetition",
     """WITH bg AS (
          SELECT doc_id, unnest(list_transform(
@@ -107,7 +118,7 @@ def prep_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
+@_register_noop(
     "prep_idf_rarity",
     """WITH tok AS (
          SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -151,7 +162,7 @@ def prep_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
+@_register_noop(
     "prep_split_assign",
     f"""SELECT doc_id,
               CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
@@ -242,7 +253,7 @@ def _sample_bucket_sql() -> str:
     )
 
 
-@_register(
+@_register_noop(
     "prep_sample_stratified",
     f"""SELECT doc_id, source FROM documents
        WHERE {_sample_bucket_sql()} < {SAMPLE_PER_MILLE}
@@ -352,7 +363,7 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
+@_register_noop(
     "prep_length_deciles",
     """SELECT doc_id, source,
               round(PERCENT_RANK() OVER w, 6) AS len_pctile,
@@ -386,6 +397,152 @@ def prep_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((pr >= 0.05) & (pr <= 0.95), "keep")
             .otherwise("clip")
             .alias("length_filter"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Consolidated driver certs (one correctness row each; the standalone
+# operator forms above stay callable for pipeline use + local tests)
+# --------------------------------------------------------------------------
+
+@_register(
+    "prep_doc_scores",
+    f"""WITH bg AS (
+         SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(string_split(text, ' ')), 2)),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1])) AS b
+         FROM documents
+         WHERE len(string_split(text, ' ')) >= 2
+       ),
+       per AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+       rep AS (
+         SELECT doc_id, MAX(c) AS top_bigram_count, SUM(c) AS n_bigrams
+         FROM per GROUP BY doc_id
+       ),
+       tok AS (
+         SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents
+       ),
+       nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+       dfreq AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+       idf AS (
+         SELECT t.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                round(AVG(ln((nn.n_docs + 1.0) / (f.df + 1.0))), 4) AS mean_idf
+         FROM tok t CROSS JOIN nn JOIN dfreq f ON f.w = t.w
+         GROUP BY t.doc_id
+       ),
+       dec AS (
+         SELECT doc_id, source,
+                round(PERCENT_RANK() OVER w, 6) AS len_pctile,
+                CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+                CASE WHEN PERCENT_RANK() OVER w BETWEEN 0.05 AND 0.95
+                     THEN 'keep' ELSE 'clip' END AS length_filter
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+       )
+       SELECT d.doc_id, dec.source,
+              CAST(COALESCE(r.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+              CAST(COALESCE(r.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              round(CASE WHEN r.n_bigrams > 0
+                         THEN CAST(r.top_bigram_count AS DOUBLE) / r.n_bigrams
+                         ELSE 0.0 END, 6) AS top_bigram_frac,
+              i.n_distinct_tokens, i.mean_idf,
+              dec.len_pctile, dec.decile, dec.length_filter
+       FROM documents d
+       LEFT JOIN rep r ON r.doc_id = d.doc_id
+       JOIN idf i ON i.doc_id = d.doc_id
+       JOIN dec ON dec.doc_id = d.doc_id
+       ORDER BY d.doc_id""",
+)
+def prep_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three per-document quality scores in one frame: repetition
+    (top-bigram fraction), corpus rarity (mean IDF), and per-source length
+    position (percentile / decile / clip verdict) — the columns a corpus
+    build's filter stage actually consumes together.
+
+    Consolidated cert for prep_repetition + prep_idf_rarity +
+    prep_length_deciles (each remains callable standalone above).  The
+    doc_id joins add nothing at scale: every side is already keyed and
+    sized by doc_id, and AQE picks broadcast-vs-shuffle per side.
+    """
+    rep = prep_repetition(spark, sf_dir)
+    idf = prep_idf_rarity(spark, sf_dir)
+    dec = prep_length_deciles(spark, sf_dir)
+    return (
+        rep.join(idf, "doc_id")
+        .join(dec, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "top_bigram_count",
+            "n_bigrams",
+            "top_bigram_frac",
+            "n_distinct_tokens",
+            "mean_idf",
+            "len_pctile",
+            "decile",
+            "length_filter",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "prep_split_sample",
+    f"""SELECT doc_id, source,
+              CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+                % 100 AS bucket,
+              CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+                        % 100 < {TRAIN_PCT} THEN 'train'
+                   WHEN CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
+                        % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                   ELSE 'test' END AS split,
+              CAST(CASE WHEN {_sample_bucket_sql()} < {SAMPLE_PER_MILLE}
+                        THEN 1 ELSE 0 END AS BIGINT) AS sampled
+       FROM documents ORDER BY doc_id""",
+)
+def prep_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic split assignment + stratified-sample verdict per
+    document (consolidated cert for prep_split_assign +
+    prep_sample_stratified; the filter form is the flag form + WHERE).
+    Both are md5-bucket projections — no shuffle, stable across re-runs,
+    engines, and repartitions.
+    """
+    split_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    sample_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            split_bucket.alias("bucket"),
+            F.when(split_bucket < TRAIN_PCT, "train")
+            .when(split_bucket < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.when(sample_bucket < SAMPLE_PER_MILLE, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("sampled"),
         )
         .orderBy("doc_id")
     )

@@ -134,7 +134,10 @@ def _media_features_oracle() -> str:
     # mapInPandas stage gets a differential oracle: digest byte k = hex
     # chars (2k+1, 2k+2); width/height from bytes 0-1, features from bytes
     # 2-9.  CAST AS FLOAT matches the float32 rounding of the Spark-side
-    # `array<float>` schema bit-for-bit.
+    # `array<float>` schema bit-for-bit.  The feature vector is FLATTENED
+    # to (media_id, pos, feat) rows on both sides: an array terminal
+    # column crashes the driver's pandas canonicalizer (ndarray cells are
+    # unhashable under sort_values), while the long form hashes cleanly.
     def byte(k: int) -> str:
         return f"CAST(('0x' || substr(md5(text), {2 * k + 1}, 2)) AS INT)"
 
@@ -144,16 +147,32 @@ def _media_features_oracle() -> str:
     return f"""SELECT doc_id AS media_id,
               CAST(1 + {byte(0)} % 64 AS INT) AS width,
               CAST(1 + {byte(1)} % 64 AS INT) AS height,
-              [{feats}] AS feature
-       FROM documents ORDER BY media_id"""
+              CAST(i - 1 AS BIGINT) AS pos,
+              [{feats}][i] AS feat
+       FROM documents, (SELECT unnest(range(1, {FEATURE_DIM + 1})) AS i)
+       ORDER BY media_id, pos"""
 
 
 @_register("media_features", _media_features_oracle())
 def media_features_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded features over the fixture media table.
+    """Decoded features over the fixture media table, long form.
 
     This certifies the *pandas decode stage itself* against SQL: the stub
     kernel is deterministic md5 arithmetic, so DuckDB recomputes the same
     width/height/feature values without ever running Python — schema,
-    Arrow batching, float32 rounding, and row coverage all gated."""
-    return decode_media(media_table(spark, sf_dir)).orderBy("media_id")
+    Arrow batching, float32 rounding, and row coverage all gated.  The
+    pipeline-facing operator is ``decode_media`` (array column, for ANN /
+    dedup consumers); this registered cert flattens via posexplode so the
+    terminal schema is canon-safe (scalar columns only).
+    """
+    return (
+        decode_media(media_table(spark, sf_dir))
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.posexplode("feature").alias("pos", "feat"),
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .orderBy("media_id", "pos")
+    )

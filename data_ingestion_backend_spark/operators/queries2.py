@@ -27,7 +27,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # pivot axis
     "q28_shipping_priority",
     """SELECT o.o_orderkey,
               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+                       * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
                 AS revenue,
               o.o_orderdate, o.o_orderpriority
        FROM customer c
@@ -78,7 +78,7 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q29_regional_revenue",
     """SELECT r.r_name, n.n_name,
               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+                       * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
                 AS revenue,
               COUNT(*) AS line_count
        FROM region r
@@ -241,7 +241,7 @@ def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_range_join",
     f"""SELECT p.event_id AS purchase_id, p.user_id,
                CAST(COUNT(*) AS BIGINT) AS n_prior,
-               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,4))
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(18,4))
                  AS sum_value
         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
               FROM events WHERE event_type = 'purchase') p
@@ -311,7 +311,7 @@ def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT l_returnflag, l_linestatus,
               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
                 AS gid,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
                 AS sum_qty,
               CAST(COUNT(*) AS BIGINT) AS n
        FROM lineitem
@@ -620,12 +620,12 @@ def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
        cohort AS (
          SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id
        )
-       SELECT c.cohort_day,
+       SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
               CAST(date_diff('day', c.cohort_day, e.d) AS BIGINT) AS day_offset,
               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
        FROM e JOIN cohort c ON c.user_id = e.user_id
        GROUP BY c.cohort_day, day_offset
-       ORDER BY c.cohort_day, day_offset""",
+       ORDER BY cohort_day, day_offset""",
 )
 def q39_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day,
@@ -635,7 +635,10 @@ def q39_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations: per-user first day (map-side combined), then
     distinct-user counts per (cohort, offset) — the distinct is over
     user_id, which both engines compute exactly; offsets stay in integer
-    days so no engine week-epoch convention can drift.
+    days so no engine week-epoch convention can drift.  cohort_day is
+    internally a DATE but terminally TIMESTAMP (the canon-proven type;
+    Spark DateType surfaces as pandas object-dtype `datetime.date` cells
+    while DuckDB DATE becomes datetime64 — an unproven hash pairing).
     """
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("d")
@@ -650,6 +653,11 @@ def q39_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "day_offset",
+            "active_users",
+        )
         .orderBy("cohort_day", "day_offset")
     )
 

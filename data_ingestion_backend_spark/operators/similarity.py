@@ -283,11 +283,7 @@ def ann_topk_fixture(spark: SparkSession, sf_dir: str, k: int = TOPK) -> DataFra
     return ann_topk(corpus, queries, k)
 
 
-# registered with a weaker rows-only check: approximate results are
-# deterministic (seeded planes) but not portably SQL-expressible.
 from data_ingestion_backend_spark.operators.queries import QUERIES  # noqa: E402
-
-QUERIES["sim_ann_lsh_topk"] = ann_topk_fixture
 
 
 # --------------------------------------------------------------------------
@@ -394,4 +390,21 @@ def ivf_topk_fixture(spark: SparkSession, sf_dir: str, k: int = TOPK) -> DataFra
     return ivf_topk(corpus, queries, centroids, k)
 
 
-QUERIES["sim_ann_ivf_topk"] = ivf_topk_fixture
+def ann_both_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN indexes (hyperplane-LSH and IVF) over the fixture, one
+    tagged result — a single registered rows-only cert covers the pair so
+    every operator fits the driver's 50-query correctness window.  The
+    recall-vs-brute-force contracts live in tests/test_similarity.py."""
+    lsh = ann_topk_fixture(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "vec_id", "cosine"
+    )
+    ivf = ivf_topk_fixture(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id", "cosine"
+    )
+    return lsh.unionByName(ivf).orderBy("method", "query_id", F.desc("cosine"), "vec_id")
+
+
+# registered with a weaker rows-only check: approximate results are
+# deterministic (seeded planes / deterministic sample-fit k-means) but
+# not portably SQL-expressible.
+QUERIES["sim_ann_topk"] = ann_both_fixture

@@ -59,7 +59,34 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only driver checks (approximation ⇒ no cross-engine oracle; the
-# error-bound contract lives in tests/test_sketches.py)
-QUERIES["sketch_approx_users"] = approx_user_counts
-QUERIES["sketch_value_quantiles"] = approx_value_quantiles
+def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sketch families in ONE single-pass aggregation per event type:
+    HLL distinct users, exact counts, and GK p50/p95/p99 — flattened to
+    scalar columns (an array terminal would crash the driver's pandas
+    canonicalizer; scalar doubles hash cleanly)."""
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], QUANTILE_ACCURACY)
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+            F.count("*").alias("n"),
+            q.alias("_q"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "n",
+            F.round(F.col("_q")[0], 6).alias("p50"),
+            F.round(F.col("_q")[1], 6).alias("p95"),
+            F.round(F.col("_q")[2], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# rows-only driver check (approximation ⇒ no cross-engine oracle; the
+# error-bound contract lives in tests/test_sketches.py).  One registered
+# query covers both sketch families so every operator fits the driver's
+# 50-query correctness window.
+QUERIES["sketch_profile"] = sketch_profile

@@ -38,20 +38,49 @@ def _tokens() -> F.Column:
 
 
 @_register(
-    "text_token_stats",
+    "text_doc_stats",
     """SELECT doc_id,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
               CAST(length(text) AS BIGINT) AS n_chars_measured,
               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / len(string_split(text, ' ')), 6) AS distinct_ratio
+                    / len(string_split(text, ' ')), 6) AS distinct_ratio,
+              md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+                AS fingerprint,
+              round(CAST(
+                (CASE WHEN length(trim(text)) > 0 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN len(string_split(text, ' ')) >= 5 THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN len(list_distinct(string_split(text, ' ')))
+                        >= 0.3 * len(string_split(text, ' ')) THEN 0.25 ELSE 0.0 END)
+              + (CASE WHEN length(replace(text, ' ', ''))
+                        BETWEEN 2 * len(string_split(text, ' '))
+                        AND 12 * len(string_split(text, ' ')) THEN 0.25 ELSE 0.0 END)
+              AS DOUBLE), 2) AS quality
        FROM documents ORDER BY doc_id""",
 )
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting — whitespace tokenization, vocabulary-diversity ratio."""
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics, one pass: token counts +
+    vocabulary-diversity ratio, the canonical-form fingerprint (md5 of the
+    sorted token list — word-order-insensitive, the standard cheap
+    near-dup key one step above exact hashing), and the composite quality
+    score (four 0.25-weight components: non-blank; ≥5 tokens; diversity
+    ≥0.3; mean token length in [2,12] — all integer/branch logic, exactly
+    reproducible across engines).
+
+    Consolidated from the former text_token_stats / text_fingerprint /
+    text_quality triple: identical per-row projections over one scan, so
+    one cert drives all three operators (and one scan replaces three).
+    """
     t = _tokens()
     n = F.size(t)
     nd = F.size(F.array_distinct(t))
+    tok_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    quality = (
+        F.when(F.length(F.trim(F.col("text"))) > 0, 0.25).otherwise(0.0)
+        + F.when(n >= 5, 0.25).otherwise(0.0)
+        + F.when(nd >= 0.3 * n, 0.25).otherwise(0.0)
+        + F.when((tok_chars >= 2 * n) & (tok_chars <= 12 * n), 0.25).otherwise(0.0)
+    )
     return (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -60,29 +89,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("bigint").alias("n_chars_measured"),
             nd.cast("bigint").alias("n_distinct"),
             F.round(nd.cast("double") / n, 6).alias("distinct_ratio"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@_register(
-    "text_fingerprint",
-    """SELECT doc_id,
-              md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
-                AS fingerprint
-       FROM documents ORDER BY doc_id""",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-form document fingerprint: hash of the sorted token list.
-
-    Word-order-insensitive: re-orderings of the same bag of words collide,
-    which is the standard cheap near-dup key one step above exact hashing.
-    """
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.md5(F.concat_ws(" ", F.sort_array(_tokens()))).alias("fingerprint"),
+            F.md5(F.concat_ws(" ", F.sort_array(t))).alias("fingerprint"),
+            F.round(quality, 2).alias("quality"),
         )
         .orderBy("doc_id")
     )
@@ -171,39 +179,3 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "text_quality",
-    """SELECT doc_id,
-              round(CAST(
-                (CASE WHEN length(trim(text)) > 0 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN len(string_split(text, ' ')) >= 5 THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN len(list_distinct(string_split(text, ' ')))
-                        >= 0.3 * len(string_split(text, ' ')) THEN 0.25 ELSE 0.0 END)
-              + (CASE WHEN length(replace(text, ' ', ''))
-                        BETWEEN 2 * len(string_split(text, ' '))
-                        AND 12 * len(string_split(text, ' ')) THEN 0.25 ELSE 0.0 END)
-              AS DOUBLE), 2) AS quality
-       FROM documents ORDER BY doc_id""",
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (pre-training-filter features), 0..1.
-
-    Four 0.25-weight components: non-blank; ≥5 tokens; vocabulary
-    diversity ≥0.3; mean token length in [2,12].  All integer/branch
-    logic — exactly reproducible across engines.
-    """
-    t = _tokens()
-    n = F.size(t)
-    nd = F.size(F.array_distinct(t))
-    tok_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    quality = (
-        F.when(F.length(F.trim(F.col("text"))) > 0, 0.25).otherwise(0.0)
-        + F.when(n >= 5, 0.25).otherwise(0.0)
-        + F.when(nd >= 0.3 * n, 0.25).otherwise(0.0)
-        + F.when((tok_chars >= 2 * n) & (tok_chars <= 12 * n), 0.25).otherwise(0.0)
-    )
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.round(quality, 2).alias("quality"))
-        .orderBy("doc_id")
-    )

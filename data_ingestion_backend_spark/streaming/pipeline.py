@@ -156,7 +156,7 @@ def windowed_event_counts(
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("decimal(18,2)")
             .alias("total_value"),
         )
         .select(

@@ -30,8 +30,12 @@ def q(spark):
 def test_filter_and_projection_pushdown(q):
     df = q("q01_projection_filter")
     pf = " ".join(pushed_filters(df))
-    assert "EqualTo(c_nationkey,5)" in pf
-    # 5-column table: scan must read only the 3 needed columns
+    # both conjuncts reach the parquet scan: membership + equality (the
+    # formatted plan truncates the filter list, so assert on the column
+    # names that made it into the pushed set rather than full literals)
+    assert "In(o_orderstatus" in pf
+    assert "o_orderpriority" in pf
+    # 9-column orders: scan must read only the 3 needed columns
     assert all(len(s.split(",")) <= 3 for s in read_schemas(df))
 
 
@@ -46,12 +50,13 @@ def test_q12_partial_aggregation_and_pushdown(q):
 
 
 def test_join_strategies(q):
-    # filtered dim side must broadcast, not shuffle
-    assert has_operator(q("q07_inner_join"), "BroadcastHashJoin")
+    # bounded dims must broadcast, not shuffle
     assert has_operator(q("q08_multiway_join"), "BroadcastHashJoin")
-    # semi/anti rewrites stay joins, never subquery loops
-    assert "Semi" in formatted_plan(q("q10_semi_join"))
-    assert "Anti" in formatted_plan(q("q11_anti_join"))
+    # semi/anti rewrites stay joins, never subquery loops (both arms of
+    # the consolidated q10 cert)
+    plan = formatted_plan(q("q10_semi_anti_join"))
+    assert "Semi" in plan
+    assert "Anti" in plan
 
 
 def test_topk_is_take_ordered(q):
@@ -67,8 +72,7 @@ def test_topk_is_take_ordered(q):
 SANCTIONED_PANDAS = {
     "media_features",
     "dedup_embedding_topk_pairs",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
+    "sim_ann_topk",
 }
 
 
