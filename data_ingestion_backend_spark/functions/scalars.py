@@ -57,6 +57,23 @@ def row_hash(*cols: Column | str, sep: str = "|") -> Column:
     return F.md5(F.concat_ws(sep, *normed))
 
 
+def contact_id_hash(user_id: int | Column, row_hash: Column | str) -> Column:
+    """Owner-scoped contact identity: ``md5(user_id|staging_row_hash)``.
+
+    Content alone is NOT the identity: two users ingesting byte-identical
+    rows must each get their own contact (the reference scopes contacts per
+    staging row via FK provenance, ``src/models/contact.py:11-29``; a
+    content-only id silently drops the second user's contact at promotion
+    and lets one user's cascade delete remove another's rows on content
+    collision).  Scoping the hash by owner restores per-tenant isolation
+    while keeping replay-safety: the id is still a pure function of
+    (owner, content).
+    """
+    uid = F.lit(user_id) if isinstance(user_id, int) else user_id
+    rh = F.col(row_hash) if isinstance(row_hash, str) else row_hash
+    return F.md5(F.concat_ws("|", uid.cast("string"), rh))
+
+
 def file_hash(content_col: Column | str) -> Column:
     """File-level sha256 over raw bytes/text (F3)."""
     col = F.col(content_col) if isinstance(content_col, str) else content_col

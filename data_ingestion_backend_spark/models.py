@@ -123,7 +123,7 @@ ISSUE_ITEMS_SCHEMA = T.StructType(
 
 CONTACTS_SCHEMA = T.StructType(
     [
-        T.StructField("contact_id", T.StringType(), False),  # == staging_row_hash
+        T.StructField("contact_id", T.StringType(), False),  # md5(user_id|staging_row_hash)
         T.StructField("contacts_user_id", T.LongType(), False),  # denormalized owner
         T.StructField("email", T.StringType(), False),
         T.StructField("first_name", T.StringType(), False),

@@ -334,7 +334,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("a").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("lbl")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    for _ in range(20):  # diameter bound; near-dup components are shallow
+    # Safety bound, not a silent truncation: min-label propagation needs
+    # O(diameter) rounds and near-dup components are shallow, but a
+    # pathological chain-shaped component could exceed any fixed cap — in
+    # which case the labels are WRONG, so converge-or-raise (the oracle's
+    # recursive CTE always runs to fixpoint; exiting early would silently
+    # disagree with it).
+    max_rounds, changed = 50, -1
+    for _ in range(max_rounds):
         nbr = (
             und.join(labels, und.a == labels.doc_id)
             .groupBy("b")
@@ -360,6 +367,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation not converged after "
+            f"{max_rounds} rounds ({changed} labels still changing) — "
+            f"component diameter exceeds the bound; raise max_rounds"
+        )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(labels, "doc_id", "left")

@@ -355,8 +355,13 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = grams.filter(F.col("bucket") >= TRAIN_PCT + VAL_PCT).select(
         F.col("doc_id").alias("test_doc"), "g"
     )
+    # No static broadcast hint: the test split is 1% OF THE CORPUS, so its
+    # exploded 8-gram table grows with the data — at 100 TB it is far past
+    # any broadcast limit and a forced hint would OOM the driver.  AQE
+    # sees the runtime size and still broadcasts whenever it genuinely
+    # fits (it does at every fixture SF).
     return (
-        train.join(F.broadcast(test), "g")
+        train.join(test, "g")
         .groupBy("doc_id")
         .agg(F.count_distinct("test_doc").cast("bigint").alias("n_test_docs_hit"))
         .orderBy("doc_id")

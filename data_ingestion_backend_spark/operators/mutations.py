@@ -14,7 +14,9 @@ versioned warehouse, so replays are idempotent.
 - M3 cascade delete (reference FK ``ondelete=CASCADE``,
   ``src/models/issue.py:34,57-58,74`` + ``job_repository.py:202-226``):
   deleting a job anti-joins every child table; contacts follow through
-  their provenance (``contact_id == staging_row_hash`` of the job's rows).
+  their provenance (``contact_id == md5(user_id|staging_row_hash)`` of the
+  job's rows — owner-scoped, so cross-tenant content collisions never
+  cascade).
   Children are rewritten before the parent so a crash leaves orphan-free
   state (delete gate re-checkable).
 """
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from data_ingestion_backend_spark.functions.scalars import contact_id_hash
 from data_ingestion_backend_spark.models import JobStatus, StagingStatus
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
 
@@ -121,8 +124,10 @@ def delete_job(wh: Warehouse, job_id: str, user_id: int) -> None:
         )
 
     doomed_staging = wh.read("staging").filter(F.col("staging_job_id") == job_id)
+    # owner-scoped provenance: only THIS user's contacts can match, so a
+    # content collision with another tenant's rows never cascades there
     doomed_hashes = doomed_staging.select(
-        F.col("staging_row_hash").alias("contact_id")
+        contact_id_hash(user_id, "staging_row_hash").alias("contact_id")
     ).distinct()
     doomed_issues = wh.read("issues").filter(F.col("issues_job_id") == job_id).select(
         "issue_id"

@@ -23,28 +23,72 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: combine functions a salted subtotal can be merged with
+_COMBINES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, Column | tuple[Column, str]],
     n_salts: int = 16,
     salt_source: str | None = None,
 ) -> DataFrame:
     """Two-phase (salted) aggregation for skewed group keys.
 
-    ``aggs`` maps output column name → a *decomposable* aggregate over the
-    input (sum/count/min/max).  Phase 1 aggregates by (keys, salt); phase
-    2 re-aggregates the subtotals by keys — count subtotals are summed,
-    sums summed, mins min'd, maxes max'd.  The salt is derived
+    ``aggs`` maps output column name → ``(aggregate, combine)`` where
+    ``aggregate`` is a *decomposable* aggregate over the input and
+    ``combine`` ∈ {'sum','min','max'} says how phase 2 merges the per-salt
+    subtotals (count/sum subtotals combine by SUM; min/max by themselves).
+    A bare ``Column`` is accepted for the common cases and resolved
+    against a strict allowlist of self-describing expressions — anything
+    unrecognized (avg, count_distinct, first, ...) raises rather than
+    being silently mis-combined, because a wrong recombination returns
+    plausible-looking wrong numbers.  Phase 1 aggregates by (keys, salt);
+    phase 2 re-aggregates the subtotals by keys.  The salt is derived
     deterministically from ``salt_source`` (a high-cardinality column,
     e.g. the event id) so replays produce identical partitioning.
 
     Example::
 
         salted_aggregate(events, ["user_id"],
-                         {"n": F.count("*"), "total": F.sum("value")},
+                         {"n": F.count("*"),
+                          "total": (F.sum("value"), "sum"),
+                          "last_ts": (F.max("ts"), "max")},
                          salt_source="event_id")
     """
+
+    def resolve(name: str, spec: Column | tuple[Column, str]) -> tuple[Column, str]:
+        if isinstance(spec, tuple):
+            expr, combine = spec
+            if combine not in _COMBINES:
+                raise ValueError(
+                    f"salted_aggregate: unknown combine {combine!r} for "
+                    f"{name!r}; expected one of {sorted(_COMBINES)}"
+                )
+            return expr, combine
+        # Bare-Column convenience path: infer ONLY from unambiguous
+        # expression text.  Notably count(col) is NOT inferable:
+        # count_distinct(col) stringifies identically ("count(x)"), and
+        # silently summing distinct-count subtotals is wrong — only
+        # count(*) / count(1) (which cannot be distinct) are accepted.
+        s = str(spec)
+        inner = s.split("'")[1].strip().lower() if "'" in s else s.lower()
+        head = inner.split("(")[0]
+        if head in ("sum", "min", "max"):
+            return spec, "sum" if head == "sum" else head
+        if inner in ("count(1)", "count(*)"):
+            return spec, "sum"
+        raise ValueError(
+            f"salted_aggregate: cannot infer a combine for {name!r} "
+            f"(expression {inner!r}); pass an explicit "
+            f"(expr, 'sum'|'min'|'max') tuple — non-decomposable "
+            f"aggregates (avg, count_distinct, first, ...) cannot be "
+            f"salted this way, and count(col) is ambiguous with "
+            f"count_distinct(col) in string form"
+        )
+
+    resolved = {name: resolve(name, spec) for name, spec in aggs.items()}
     salt = (
         F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
         if salt_source
@@ -53,21 +97,13 @@ def salted_aggregate(
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
-        .agg(*[expr.alias(f"_p_{name}") for name, expr in aggs.items()])
+        .agg(*[expr.alias(f"_p_{name}") for name, (expr, _) in resolved.items()])
     )
-
-    def recombine(name: str, expr: Column) -> Column:
-        # sum and count subtotals combine by SUM; min/max by themselves.
-        fn_name = expr._jc.toString().split("(")[0].lower()
-        part = F.col(f"_p_{name}")
-        if fn_name.startswith("min"):
-            return F.min(part).alias(name)
-        if fn_name.startswith("max"):
-            return F.max(part).alias(name)
-        return F.sum(part).alias(name)
-
     return phase1.groupBy(*keys).agg(
-        *[recombine(name, expr) for name, expr in aggs.items()]
+        *[
+            _COMBINES[combine](F.col(f"_p_{name}")).alias(name)
+            for name, (_, combine) in resolved.items()
+        ]
     )
 
 

@@ -23,7 +23,9 @@ Pinned semantics (deterministic, order-independent):
    reference ``contact_repository.py:76-80``).
 4. **Promotion** — rows that survive all checks become SUCCESS and are
    promoted to ``contacts`` denormalized with the owning user id (J6);
-   ``contact_id`` = ``staging_row_hash`` (content-derived → replay-safe).
+   ``contact_id`` = ``md5(user_id|staging_row_hash)`` (owner-scoped AND
+   content-derived → replay-safe without cross-tenant collisions; see
+   ``functions.scalars.contact_id_hash``).
 
 Issue ids are ``md5(job|type|key)`` — content-derived, so reprocessing a
 job regenerates identical ids (St3 idempotency).
@@ -42,7 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_ingestion_backend_spark.functions.scalars import is_valid_email, norm_text
+from data_ingestion_backend_spark.functions.scalars import (
+    contact_id_hash,
+    is_valid_email,
+    norm_text,
+)
 from data_ingestion_backend_spark.models import (
     CANONICAL_COLUMNS,
     IssueType,
@@ -112,13 +118,17 @@ def validate_staging(
     rows = rows.withColumn("_dup_loser", F.col("_dup_group") & (F.col("_dup_rank") > 1))
 
     # 3. EXISTING_EMAIL (ownership-scoped semi-join against contacts) --------
+    # No static broadcast hint: one user's contact set is usually small
+    # but is NOT bounded by construction (a tenant can own the bulk of the
+    # table), so the hint is AQE's call — it broadcasts when the runtime
+    # size fits and falls back to a shuffle join when it does not.
     existing_emails = (
         contacts.filter(F.col("contacts_user_id") == F.lit(user_id))
         .select(norm_text("email").alias("_email_n"))
         .distinct()
     )
     rows = rows.join(
-        F.broadcast(existing_emails.withColumn("_exists", F.lit(True))),
+        existing_emails.withColumn("_exists", F.lit(True)),
         on="_email_n",
         how="left",
     ).withColumn(
@@ -185,7 +195,7 @@ def validate_staging(
 
     # promotion --------------------------------------------------------------
     contacts_new = rows.filter(ok).select(
-        F.col("staging_row_hash").alias("contact_id"),
+        contact_id_hash(user_id, "staging_row_hash").alias("contact_id"),
         F.lit(user_id).cast("long").alias("contacts_user_id"),
         "email",
         "first_name",

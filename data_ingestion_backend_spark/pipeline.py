@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_backend_spark.functions.scalars import contact_id_hash
 from data_ingestion_backend_spark.models import JobStatus, StagingStatus
 from data_ingestion_backend_spark.operators.validate import validate_staging
 from data_ingestion_backend_spark.sources.intake import IntakeError, read_csv, sniff_dialect
@@ -80,12 +81,15 @@ def ingest_file(
 
     # Reprocess must see the world as if this job never ran: exclude the
     # contacts this job itself promoted last time (provenance:
-    # contact_id == staging_row_hash), else rows flag EXISTING_EMAIL
-    # against themselves and reprocessing would not be idempotent.
+    # contact_id == md5(user_id|staging_row_hash)), else rows flag
+    # EXISTING_EMAIL against themselves and reprocessing would not be
+    # idempotent.  The owner scope means identical content ingested by
+    # ANOTHER user is untouched here (their contact stays visible and
+    # correctly triggers EXISTING_EMAIL only within their own jobs).
     prior_hashes = (
         wh.read("staging")
         .filter(F.col("staging_job_id") == job_id)
-        .select(F.col("staging_row_hash").alias("contact_id"))
+        .select(contact_id_hash(user_id, "staging_row_hash").alias("contact_id"))
         .distinct()
     )
     contacts_base = wh.read("contacts").join(prior_hashes, "contact_id", "left_anti")

@@ -37,6 +37,18 @@ def has_operator(df: DataFrame, op: str) -> bool:
     return op in formatted_plan(df)
 
 
+def static_broadcast_hints(df: DataFrame) -> int:
+    """Count STATIC broadcast hints in the analyzed logical plan.
+
+    A runtime (AQE) broadcast choice is invisible here — this sees only
+    ``F.broadcast(...)`` / ``hint('broadcast')`` the query author forced.
+    Forced broadcasts on inputs that grow with the data are driver OOMs
+    waiting for scale, so plan tests pin the hint count on such paths.
+    """
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"(?i)ResolvedHint.*broadcast", analyzed))
+
+
 def assert_scan_pruned(df: DataFrame, table_cols: int, max_cols: int) -> None:
     """Assert at least one scan reads ≤ max_cols of the table's columns."""
     widths = [len(s.split(",")) for s in read_schemas(df)]

@@ -55,6 +55,31 @@ class CsvDialect:
     delimiter: str
     header_map: dict  # raw header name -> canonical column name
     raw_headers: tuple
+    # True ⇔ the head sample shows a quoted field spanning physical lines,
+    # i.e. the file actually needs RFC-4180 newline handling.  multiLine
+    # reads make each file a SINGLE split (one task parses the whole file),
+    # so it must be paid only when required; default True = safe.
+    needs_multiline: bool = True
+
+
+def _sniff_embedded_newlines(text: str, delimiter: str) -> bool:
+    """Does any quoted field in the (complete lines of the) head sample
+    contain an embedded newline?  Exact for the sampled region: parse with
+    the stdlib csv reader — the same parser whose semantics the multiLine
+    Spark read reproduces — and flag any field carrying a newline."""
+    import csv as _csv
+    import io
+
+    # drop the final (possibly byte-truncated) line so we never judge a
+    # half-read quoted field as spanning lines
+    clipped = text[: text.rfind("\n") + 1] if "\n" in text else text
+    try:
+        for record in _csv.reader(io.StringIO(clipped), delimiter=delimiter):
+            if any("\n" in field or "\r" in field for field in record):
+                return True
+    except _csv.Error:
+        return True  # unparseable sample → take the safe single-split path
+    return False
 
 
 def _read_head(path: str, n: int = HEAD_SAMPLE_BYTES) -> bytes:
@@ -137,6 +162,7 @@ def sniff_dialect(path: str, max_bytes: int | None = None) -> CsvDialect:
         delimiter=delimiter,
         header_map=header_map,
         raw_headers=tuple(raw_headers),
+        needs_multiline=_sniff_embedded_newlines(text, delimiter),
     )
 
 
@@ -160,16 +186,19 @@ def read_csv(spark: SparkSession, path: str, dialect: CsvDialect | None = None) 
     # (csv_validator.py:84-90).  Single-byte decode never fails, so a
     # PERMISSIVE read cannot drop rows on charset grounds.
     charset = "UTF-8" if dialect.encoding == "utf-8" else "ISO-8859-1"
-    # multiLine + escape='"': RFC-4180 semantics — quoted fields may contain
-    # the delimiter, doubled quotes, and embedded NEWLINES, exactly like the
-    # reference's stdlib csv.reader (csv_validator.py:276-281).  multiLine
-    # makes each file single-split; ingestion parallelism is across files
-    # (uploads are file-sized by reference semantics), so nothing is lost.
+    # escape='"': RFC-4180 semantics — quoted fields may contain the
+    # delimiter and doubled quotes, exactly like the reference's stdlib
+    # csv.reader (csv_validator.py:276-281).  multiLine (quoted fields
+    # containing embedded NEWLINES) additionally forces each file to a
+    # SINGLE split — one task parses the whole file — so it is paid only
+    # when the head sample shows the file actually needs it; plain files
+    # read split-parallel, which is what lets ingestion scale past the
+    # reference's 5 MB ceiling to multi-GB uploads.
     raw = (
         spark.read.option("header", True)
         .option("sep", dialect.delimiter)
         .option("encoding", charset)
-        .option("multiLine", True)
+        .option("multiLine", dialect.needs_multiline)
         .option("escape", '"')
         .option("mode", "PERMISSIVE")
         .csv(path)
@@ -192,15 +221,22 @@ def read_csv(spark: SparkSession, path: str, dialect: CsvDialect | None = None) 
 def with_line_numbers(df: DataFrame, col_name: str = "line_no") -> DataFrame:
     """Assign a 1-based total-order row number without a global sort.
 
-    Two passes: (1) count rows per input partition (tiny result → driver),
-    (2) per-partition ``row_number`` + the partition's cumulative offset.
-    Both passes see the same deterministic scan, so the numbering is stable.
-    This is the scalable replacement for ``ROW_NUMBER() OVER (ORDER BY …)``
-    when the order wanted is "source order".
+    The input is materialized ONCE (``localCheckpoint``), then (1) rows
+    are counted per materialized partition (tiny result → driver) and
+    (2) numbered as per-partition ``row_number`` + the partition's
+    cumulative offset.  The checkpoint is what makes this sound: both
+    actions read the SAME frozen partitioning, so the partition-id
+    assignment cannot skew between the count pass and the numbering pass
+    no matter how the upstream reader splits the file (split-parallel
+    CSV, config changes, speculative re-reads).  The materialization is
+    not wasted — ingest consumes the parsed rows several times right
+    after (validation DAG + snapshot writes).  This is the scalable
+    replacement for ``ROW_NUMBER() OVER (ORDER BY …)`` when the order
+    wanted is "source order".
     """
     from pyspark.sql.window import Window
 
-    tagged = df.withColumn("_pid", F.spark_partition_id())
+    tagged = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     counts = dict(
         tagged.groupBy("_pid").count().collect()
     )  # one row per partition: control-plane sized

@@ -32,16 +32,43 @@ from data_ingestion_backend_spark.models import SCHEMAS
 _POINTER = "_CURRENT"
 
 
+#: default per-table write parallelism: control-plane ledgers are tiny and
+#: coalesce to a bounded file count (their lineage is often shuffle-wide —
+#: unions of windowed branches produced 800-task writes of near-empty
+#: files); DATA-plane tables (staging, contacts) keep their full plan
+#: parallelism (None = no coalesce) — an 8-task ceiling on a multi-GB
+#: staging write would serialize the cluster behind 8 cores.  At scale AQE
+#: already sizes the upstream shuffle partitions to the data volume, so
+#: file counts track bytes, not a fixed constant.
+DEFAULT_WRITE_PARTITIONS: dict[str, int | None] = {
+    "jobs": 8,
+    "issues": 8,
+    "issue_items": 8,
+    "staging": None,
+    "contacts": None,
+}
+_CONTROL_PLANE_DEFAULT = 8
+
+
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str, write_partitions: int = 8):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        write_partitions: dict[str, int | None] | int | None = None,
+    ):
         self.spark = spark
         self.root = root
-        # Snapshot rewrites inherit the (often shuffle-wide) partitioning
-        # of their lineage — unions of windowed branches produced 800-task
-        # writes under default shuffle settings.  Control-plane tables are
-        # small; coalesce to a bounded file count.  Deployments with
-        # data-plane-sized staging raise this (or swap in Delta/Iceberg).
-        self.write_partitions = write_partitions
+        if isinstance(write_partitions, int):
+            # uniform override (legacy form) — applies to every table
+            self.write_partitions = dict.fromkeys(
+                DEFAULT_WRITE_PARTITIONS, write_partitions
+            )
+        else:
+            self.write_partitions = {
+                **DEFAULT_WRITE_PARTITIONS,
+                **(write_partitions or {}),
+            }
         os.makedirs(root, exist_ok=True)
 
     # -- version bookkeeping -------------------------------------------------
@@ -90,7 +117,9 @@ class Warehouse:
         """Materialize df as the next version and commit the pointer."""
         nxt = self.current_version(table) + 1
         path = self._version_path(table, nxt)
-        df.coalesce(self.write_partitions).write.mode("overwrite").parquet(path)
+        parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
+        out = df if parts is None else df.coalesce(parts)
+        out.write.mode("overwrite").parquet(path)
         self._commit(table, nxt)
         return nxt
 

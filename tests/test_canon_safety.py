@@ -1,0 +1,110 @@
+"""Driver-canonicalizer conformance: every registered query must emit
+terminal types the grading driver's pandas-based canonicalization is
+proven to hash consistently across Spark and DuckDB.
+
+The driver converts both results to pandas, sorts columns by name, sorts
+rows by all columns, and hashes cell values.  Round-1 evidence pinned the
+type-lossy paths:
+
+- DECIMAL with precision > 18 — DuckDB's hugeint-backed pandas path
+  hashes differently from Spark's ``Decimal`` objects (values equal).
+- HUGEINT on the oracle side — pandas converts to float64, losing exact
+  integers past 2^53 (the 60-bit simhash failure).
+- Spark ``date_trunc`` (TIMESTAMP) vs DuckDB ``date_trunc`` (DATE for
+  day-or-coarser parts) — the one true cross-engine type mismatch.
+- array/map/struct terminal columns — ``sort_values`` on ndarray cells
+  raises ``unhashable type`` and the whole row errs.
+
+This test fails locally on any registered query that reintroduces one of
+those shapes, BEFORE the driver run does.  Schema inspection only — no
+data is executed, so the whole registry checks in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import types as T
+
+from data_ingestion_backend_spark.registry import ORACLE, QUERIES
+from tests.conftest import SF_DIR_SMALL
+from tests.oracle_utils import duckdb_connection
+
+# terminal Spark types proven green with the driver canon in round 1
+_SAFE_ATOMS = (
+    T.StringType,
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.FloatType,
+    T.BooleanType,
+    T.TimestampType,
+    T.TimestampNTZType,  # fixture timestamps surface as NTZ; proven green r01
+)
+
+# DuckDB terminal type names that are canon-hazards on the oracle side
+_DUCK_FORBIDDEN = {"HUGEINT", "UHUGEINT"}
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb_connection(SF_DIR_SMALL)
+    yield con
+    con.close()
+
+
+def _spark_schemas(spark):
+    return {name: fn(spark, SF_DIR_SMALL).schema for name, fn in QUERIES.items()}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_spark_terminal_types_canon_safe(spark, name):
+    schema = QUERIES[name](spark, SF_DIR_SMALL).schema
+    for field in schema.fields:
+        dt = field.dataType
+        assert not isinstance(
+            dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+        ), f"{name}.{field.name}: nested/binary terminal ({dt}) crashes the driver canon"
+        assert not isinstance(dt, T.DateType), (
+            f"{name}.{field.name}: DATE terminal — Spark DateType becomes "
+            f"object-dtype `datetime.date` cells in pandas while DuckDB DATE "
+            f"becomes datetime64; align on TIMESTAMP instead"
+        )
+        if isinstance(dt, T.DecimalType):
+            assert dt.precision <= 18, (
+                f"{name}.{field.name}: DECIMAL({dt.precision},{dt.scale}) — "
+                f"precision >18 takes DuckDB's hugeint-backed pandas path; "
+                f"cast the terminal column to DECIMAL(18,x)"
+            )
+        else:
+            assert isinstance(dt, _SAFE_ATOMS), (
+                f"{name}.{field.name}: unvetted terminal type {dt}"
+            )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_terminal_types_canon_safe(spark, con, name):
+    """The DuckDB side of each oracle must agree with Spark on type
+    CATEGORY per column (timestamp-vs-date, decimal-vs-integer drift) and
+    never produce a HUGEINT."""
+    rel = con.sql(ORACLE[name])
+    duck = dict(zip(rel.columns, [str(t).upper() for t in rel.types]))
+    spark_fields = {
+        f.name: f.dataType for f in QUERIES[name](spark, SF_DIR_SMALL).schema.fields
+    }
+    assert sorted(duck) == sorted(spark_fields), f"{name}: column sets differ"
+    for col, dtype in duck.items():
+        base = dtype.split("(")[0]
+        assert base not in _DUCK_FORBIDDEN, f"{name}.{col}: oracle yields {dtype}"
+        sdt = spark_fields[col]
+        if base == "DATE":
+            pytest.fail(
+                f"{name}.{col}: oracle yields DATE while the canon-proven "
+                f"pairing is TIMESTAMP/TIMESTAMP"
+            )
+        if isinstance(sdt, (T.TimestampType, T.TimestampNTZType)):
+            assert base.startswith("TIMESTAMP"), (
+                f"{name}.{col}: spark TIMESTAMP vs duckdb {dtype}"
+            )

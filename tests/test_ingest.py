@@ -91,6 +91,45 @@ def test_size_cap_optional(tmp_path):
         sniff_dialect(path, max_bytes=64)
 
 
+def test_split_parallel_ingest_line_numbers(spark, tmp_path):
+    """A plain CSV (no quoted newlines) must read split-PARALLEL (multiple
+    input splits, not the single-split multiLine path) and still number
+    rows in exact file order across the splits."""
+    from data_ingestion_backend_spark.sources.intake import read_csv
+
+    n = 3000
+    body = "email,first_name,last_name,company\n" + "".join(
+        f"u{i}@x.com,F{i},L{i},C{i}\n" for i in range(n)
+    )
+    path = _write(tmp_path, "big_plain.csv", body)
+    d = sniff_dialect(path)
+    assert d.needs_multiline is False
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")  # force splits
+    try:
+        rows = read_csv(spark, path, d)
+        import pyspark.sql.functions as SF
+
+        n_parts = rows.select(SF.spark_partition_id()).distinct().count()
+        assert n_parts > 1, "expected a multi-split scan"
+        got = rows.select("line_no", "email").orderBy("line_no").collect()
+        assert [r["line_no"] for r in got] == list(range(1, n + 1))
+        # numbering matches file order, including across split boundaries
+        assert [r["email"] for r in got] == [f"u{i}@x.com" for i in range(n)]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_quoted_newline_file_detected_multiline(tmp_path):
+    path = _write(
+        tmp_path,
+        "embedded.csv",
+        'email,first_name,last_name,company\na@x.com,"A\nnn",Ames,Acme\n',
+    )
+    assert sniff_dialect(path).needs_multiline is True
+
+
 def test_ingest_rfc4180_quoting(spark, wh, tmp_path):
     """Quoted fields may contain the delimiter, doubled quotes, and embedded
     newlines — stdlib csv.reader semantics (the reference's parser,
@@ -291,6 +330,27 @@ def test_delete_job_cascade_no_orphans(spark, wh, messy_job):
     assert orphans == 0
     # contacts promoted by the deleted job are gone; seed contact remains
     assert sorted(c["email"] for c in wh.read("contacts").collect()) == ["e@x.com"]
+
+
+def test_cross_tenant_content_collision_isolated(spark, wh, tmp_path):
+    """Two users ingest byte-identical content: both get their own contact
+    (owner-scoped contact_id), and one user's cascade delete never removes
+    the other's rows — the cross-tenant isolation contract."""
+    body = "email,first_name,last_name,company\nz@x.com,Zed,Zulu,Zeta\nbad-row,,,\n"
+    p1 = _write(tmp_path, "same_a.csv", body)
+    p2 = _write(tmp_path, "same_b.csv", body)
+    job_a = ingest_file(spark, wh, p1, 1)  # NEEDS_REVIEW (bad row) → deletable
+    ingest_file(spark, wh, p2, 2)
+
+    contacts = wh.read("contacts").collect()
+    # identical content, two tenants → two distinct contacts, distinct ids
+    assert sorted(c["contacts_user_id"] for c in contacts) == [1, 2]
+    assert len({c["contact_id"] for c in contacts}) == 2
+
+    delete_job(wh, job_a, 1)
+    remaining = wh.read("contacts").collect()
+    assert [c["contacts_user_id"] for c in remaining] == [2]
+    assert remaining[0]["email"] == "z@x.com"
 
 
 def test_delete_completed_job_blocked(spark, wh, tmp_path):

@@ -92,6 +92,27 @@ def test_lang_id_broadcasts_lexicon(q):
     assert has_operator(q("text_lang_id"), "BroadcastHashJoin")
 
 
+def test_no_static_broadcast_on_unbounded_inputs(spark, q):
+    """Inputs that GROW with the data (the test split's n-gram table, a
+    user's contact-email set) must not carry a forced broadcast hint —
+    at 100 TB a static hint there is a driver OOM.  AQE may still choose
+    to broadcast at runtime when the actual size fits; that choice is
+    invisible to the analyzed logical plan this inspects."""
+    from data_ingestion_backend_spark.models import SCHEMAS
+    from data_ingestion_backend_spark.operators.validate import validate_staging
+    from data_ingestion_backend_spark.plans.audit import static_broadcast_hints
+
+    assert static_broadcast_hints(q("prep_decontaminate")) == 0
+
+    staging = spark.createDataFrame([], SCHEMAS["staging"])
+    contacts = spark.createDataFrame([], SCHEMAS["contacts"])
+    result = validate_staging(staging, contacts, user_id=1)
+    assert static_broadcast_hints(result.staging) == 0
+
+    # the bounded-by-construction lexicon broadcast stays static (control)
+    assert static_broadcast_hints(q("text_lang_id")) == 1
+
+
 def test_range_join_stays_hash_join(q):
     """The binned rewrite exists to keep the interval join an equi-join:
     a nested-loop/cartesian plan here is the exact failure mode it guards

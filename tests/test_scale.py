@@ -45,6 +45,31 @@ def test_salted_aggregate_matches_direct(spark):
     assert salted == direct
 
 
+def test_salted_aggregate_explicit_combine_and_rejects(spark):
+    """Non-decomposable / ambiguous aggregates must raise, not silently
+    recombine with SUM; explicit (expr, combine) tuples are the API."""
+    ev = load_table(spark, SF_DIR_ORACLE, "events").limit(100)
+    # explicit tuples work end-to-end
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {"n": (F.count("*"), "sum"), "hi": (F.max("event_id"), "max")},
+        salt_source="event_id",
+    ).collect()
+    assert out
+    # avg is not decomposable into sum/min/max subtotals
+    with pytest.raises(ValueError, match="cannot infer"):
+        salted_aggregate(ev, ["event_type"], {"a": F.avg("value")})
+    # count(col) is string-ambiguous with count_distinct(col) — refuse both
+    with pytest.raises(ValueError, match="cannot infer"):
+        salted_aggregate(ev, ["event_type"], {"c": F.count("value")})
+    with pytest.raises(ValueError, match="cannot infer"):
+        salted_aggregate(ev, ["event_type"], {"d": F.count_distinct("value")})
+    # bad explicit combine name
+    with pytest.raises(ValueError, match="unknown combine"):
+        salted_aggregate(ev, ["event_type"], {"n": (F.count("*"), "avg")})
+
+
 @pytest.mark.usefixtures("spark")
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Same-bucketed tables must join with zero shuffles (the write-time

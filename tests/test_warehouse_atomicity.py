@@ -31,6 +31,38 @@ def test_uncommitted_version_invisible(spark, tmp_path):
     assert wh.read("jobs").count() == 2
 
 
+def test_per_table_write_parallelism(spark, tmp_path):
+    """Data-plane tables (staging) must keep the plan's write parallelism;
+    control-plane ledgers (jobs) coalesce to a bounded file count — an
+    8-task ceiling on a multi-GB staging write would serialize the cluster."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    staging = (
+        spark.range(20000)
+        .repartition(24)
+        .selectExpr(
+            "cast(id as string) staging_id", "'j' staging_job_id", "id line_no",
+            "'a@x.com' email", "'A' first_name", "'B' last_name", "'C' company",
+            "'READY' staging_status", "cast(id as string) staging_row_hash",
+        )
+    )
+    v = wh.write("staging", staging)
+    files = [
+        f
+        for f in os.listdir(os.path.join(str(tmp_path / "wh"), "staging", f"v={v}"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 8, f"staging write capped at {len(files)} files"
+    # per-table override still honored
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"), write_partitions={"staging": 2})
+    v2 = wh2.write("staging", staging)
+    files2 = [
+        f
+        for f in os.listdir(os.path.join(str(tmp_path / "wh2"), "staging", f"v={v2}"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files2) <= 2
+
+
 def test_time_travel_read(spark, tmp_path):
     """Retained versions stay readable (VERSION AS OF); vacuumed versions
     raise instead of silently reading a half-deleted directory."""
