@@ -37,9 +37,81 @@ def _tokens() -> F.Column:
     return F.split(F.col("text"), " ")
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction (pre-training hygiene)
+# --------------------------------------------------------------------------
+# Patterns are deliberately restricted to syntax Java regex (Spark) and RE2
+# (DuckDB) evaluate identically: character classes, bounded repetition, no
+# lookaround/backreferences.  Order matters for redaction: URLs first (they
+# embed dots and digits the narrower patterns could partially claim).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+)
+
+
+def pii_counts(col: F.Column) -> dict[str, F.Column]:
+    """Per-kind PII match counts (map-side projection, zero shuffle)."""
+    return {
+        f"n_pii_{kind}": F.regexp_count(col, F.lit(pat)).cast("bigint")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def redact_pii(col: F.Column) -> F.Column:
+    """Replace every PII match with its typed placeholder.
+
+    The standard corpus-hygiene transform before pre-training: emails,
+    phone numbers, bare IPs and URLs become ``<EMAIL>``/``<PHONE>``/
+    ``<IP>``/``<URL>``.  Chained global ``regexp_replace`` — stays inside
+    whole-stage codegen, no shuffle, composable with any downstream op.
+    """
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def _pii_planted_spark() -> F.Column:
+    """Fixture text carries no PII, so the cert PLANTS a deterministic
+    specimen of each kind, derived from doc_id (the same technique the
+    dedup fixtures use with planted near-dups): detection counts and the
+    redacted-text hash then certify non-trivially against the oracle."""
+    d = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d, F.lit("@example.com"),
+        F.lit(" tel 555-867-5309 ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" site https://ex.org/d/"), d,
+    )
+
+
+def _pii_planted_sql() -> str:
+    return (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' tel 555-867-5309 ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || ' site https://ex.org/d/' || CAST(doc_id AS VARCHAR)"
+    )
+
+
+def _pii_sql_cols() -> str:
+    counts = ",\n              ".join(
+        f"CAST(len(regexp_extract_all({_pii_planted_sql()}, '{pat}')) AS BIGINT)"
+        f" AS n_pii_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    redacted = _pii_planted_sql()
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"{counts},\n              md5({redacted}) AS redacted_hash"
+
+
 @_register(
     "text_doc_stats",
-    """SELECT doc_id,
+    f"""SELECT doc_id,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
               CAST(length(text) AS BIGINT) AS n_chars_measured,
               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
@@ -55,7 +127,8 @@ def _tokens() -> F.Column:
               + (CASE WHEN length(replace(text, ' ', ''))
                         BETWEEN 2 * len(string_split(text, ' '))
                         AND 12 * len(string_split(text, ' ')) THEN 0.25 ELSE 0.0 END)
-              AS DOUBLE), 2) AS quality
+              AS DOUBLE), 2) AS quality,
+              {_pii_sql_cols()}
        FROM documents ORDER BY doc_id""",
 )
 def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +143,11 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Consolidated from the former text_token_stats / text_fingerprint /
     text_quality triple: identical per-row projections over one scan, so
     one cert drives all three operators (and one scan replaces three).
+    Also certifies PII detection (`pii_counts`) and redaction
+    (`redact_pii`) — over a deterministically PII-planted twin of the
+    text, since the fixtures ship no PII (see `_pii_planted_spark`); the
+    md5 of the fully redacted string pins the redaction byte-for-byte
+    across engines.
     """
     t = _tokens()
     n = F.size(t)
@@ -81,6 +159,7 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(nd >= 0.3 * n, 0.25).otherwise(0.0)
         + F.when((tok_chars >= 2 * n) & (tok_chars <= 12 * n), 0.25).otherwise(0.0)
     )
+    planted = _pii_planted_spark()
     return (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -91,6 +170,8 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nd.cast("double") / n, 6).alias("distinct_ratio"),
             F.md5(F.concat_ws(" ", F.sort_array(t))).alias("fingerprint"),
             F.round(quality, 2).alias("quality"),
+            *[c.alias(name) for name, c in pii_counts(planted).items()],
+            F.md5(redact_pii(planted)).alias("redacted_hash"),
         )
         .orderBy("doc_id")
     )
