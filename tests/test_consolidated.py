@@ -1,0 +1,121 @@
+"""The consolidated driver certs must stay equal to the standalone
+operator forms they certify — the merge is registry-window plumbing, not
+a semantic change.  (Registry is capped at the driver's 50-row
+correctness window; see COVERAGE.md "Registry sizing".)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.mlprep import (
+    prep_doc_scores,
+    prep_idf_rarity,
+    prep_length_deciles,
+    prep_repetition,
+    prep_sample_stratified,
+    prep_split_assign,
+    prep_split_sample,
+)
+from data_ingestion_backend_spark.operators.sketches import (
+    approx_user_counts,
+    sketch_profile,
+)
+from tests.conftest import SF_DIR_SMALL
+
+
+def test_split_sample_matches_standalone_forms(spark):
+    merged = {
+        r["doc_id"]: (r["bucket"], r["split"], r["sampled"])
+        for r in prep_split_sample(spark, SF_DIR_SMALL).collect()
+    }
+    split = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in prep_split_assign(spark, SF_DIR_SMALL).collect()
+    }
+    sampled_ids = {
+        r["doc_id"] for r in prep_sample_stratified(spark, SF_DIR_SMALL).collect()
+    }
+    assert set(merged) == set(split)
+    for doc_id, (bucket, sp, flag) in merged.items():
+        assert (bucket, sp) == split[doc_id]
+        assert (flag == 1) == (doc_id in sampled_ids)
+
+
+def test_doc_scores_matches_standalone_forms(spark):
+    merged = {r["doc_id"]: r for r in prep_doc_scores(spark, SF_DIR_SMALL).collect()}
+    rep = {r["doc_id"]: r for r in prep_repetition(spark, SF_DIR_SMALL).collect()}
+    idf = {r["doc_id"]: r for r in prep_idf_rarity(spark, SF_DIR_SMALL).collect()}
+    dec = {r["doc_id"]: r for r in prep_length_deciles(spark, SF_DIR_SMALL).collect()}
+    assert set(merged) == set(rep) == set(idf) == set(dec)
+    for doc_id, m in merged.items():
+        assert m["top_bigram_frac"] == rep[doc_id]["top_bigram_frac"]
+        assert m["n_bigrams"] == rep[doc_id]["n_bigrams"]
+        assert m["mean_idf"] == idf[doc_id]["mean_idf"]
+        assert m["n_distinct_tokens"] == idf[doc_id]["n_distinct_tokens"]
+        assert (m["len_pctile"], m["decile"], m["length_filter"]) == (
+            dec[doc_id]["len_pctile"],
+            dec[doc_id]["decile"],
+            dec[doc_id]["length_filter"],
+        )
+
+
+def test_sketch_profile_matches_standalone_forms(spark):
+    merged = {
+        r["event_type"]: r for r in sketch_profile(spark, SF_DIR_SMALL).collect()
+    }
+    users = {
+        r["event_type"]: (r["approx_users"], r["n"])
+        for r in approx_user_counts(spark, SF_DIR_SMALL).collect()
+    }
+    assert set(merged) == set(users)
+    for et, m in merged.items():
+        assert (m["approx_users"], m["n"]) == users[et]
+        # quantiles are flattened scalars, ordered, within the value domain
+        assert m["p50"] <= m["p95"] <= m["p99"]
+
+
+def test_ann_combined_matches_standalone_forms(spark):
+    from data_ingestion_backend_spark.operators.similarity import (
+        ann_both_fixture,
+        ann_topk_fixture,
+        ivf_topk_fixture,
+    )
+
+    both = ann_both_fixture(spark, SF_DIR_SMALL).collect()
+    lsh = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in ann_topk_fixture(spark, SF_DIR_SMALL).collect()
+    }
+    ivf = {
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in ivf_topk_fixture(spark, SF_DIR_SMALL).collect()
+    }
+    got_lsh = {
+        (r["query_id"], r["vec_id"], r["cosine"]) for r in both if r["method"] == "lsh"
+    }
+    got_ivf = {
+        (r["query_id"], r["vec_id"], r["cosine"]) for r in both if r["method"] == "ivf"
+    }
+    assert got_lsh == lsh
+    assert got_ivf == ivf
+
+
+def test_setops_arms_match_native_forms(spark):
+    from data_ingestion_backend_spark.registry import QUERIES
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+
+    out = QUERIES["q17_setops"](spark, SF_DIR_SMALL).collect()
+    c = load_table(spark, SF_DIR_SMALL, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    s = load_table(spark, SF_DIR_SMALL, "supplier").select(
+        F.col("s_nationkey").alias("k")
+    )
+    expect = {
+        "union": {r["k"] for r in c.union(s).distinct().collect()},
+        "intersect": {r["k"] for r in c.intersect(s).collect()},
+        "except": {r["k"] for r in c.subtract(s).collect()},
+    }
+    for op in expect:
+        assert {r["k"] for r in out if r["op"] == op} == expect[op], op
