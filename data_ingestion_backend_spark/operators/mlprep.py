@@ -38,18 +38,25 @@ SAMPLE_PER_MILLE = 100  # stratified sample keep-rate: 100/1000 = 10%
 DECON_NGRAM = 8  # contamination n-gram width (long n-grams are rare by design)
 
 
-def _register_noop(name: str, oracle: str | None):
-    """Keep an operator's standalone form callable (tests, pipeline use)
-    without occupying one of the driver's 50 correctness slots; the
-    driver-facing cert is the consolidated query that joins it in."""
+#: standalone-form oracles, exercised by tests/test_oracle_queries.py's
+#: local gate only — these operators stay callable for pipeline use but
+#: don't occupy one of the driver's 50 correctness slots (the
+#: driver-facing cert is the consolidated query that joins them in).
+STANDALONE_QUERIES: dict = {}
+STANDALONE_ORACLES: dict[str, str] = {}
 
+
+def _register_standalone(name: str, oracle: str | None):
     def deco(fn):
+        STANDALONE_QUERIES[name] = fn
+        if oracle is not None:
+            STANDALONE_ORACLES[name] = oracle
         return fn
 
     return deco
 
 
-@_register_noop(
+@_register_standalone(
     "prep_repetition",
     """WITH bg AS (
          SELECT doc_id, unnest(list_transform(
@@ -118,7 +125,7 @@ def prep_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register_noop(
+@_register_standalone(
     "prep_idf_rarity",
     """WITH tok AS (
          SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -162,7 +169,7 @@ def prep_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register_noop(
+@_register_standalone(
     "prep_split_assign",
     f"""SELECT doc_id,
               CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT)
@@ -253,7 +260,7 @@ def _sample_bucket_sql() -> str:
     )
 
 
-@_register_noop(
+@_register_standalone(
     "prep_sample_stratified",
     f"""SELECT doc_id, source FROM documents
        WHERE {_sample_bucket_sql()} < {SAMPLE_PER_MILLE}
@@ -368,7 +375,7 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register_noop(
+@_register_standalone(
     "prep_length_deciles",
     """SELECT doc_id, source,
               round(PERCENT_RANK() OVER w, 6) AS len_pctile,

@@ -25,6 +25,23 @@ def test_query_matches_oracle(spark, con, name):
     compare_query(df, con, ORACLE[name])
 
 
+def _standalone_registry():
+    from data_ingestion_backend_spark.operators.mlprep import (
+        STANDALONE_ORACLES,
+        STANDALONE_QUERIES,
+    )
+
+    return STANDALONE_QUERIES, STANDALONE_ORACLES
+
+
+@pytest.mark.parametrize("name", sorted(_standalone_registry()[1]))
+def test_standalone_form_matches_oracle(spark, con, name):
+    """Operators folded into consolidated driver certs keep their own
+    local differential gate in the standalone form."""
+    queries, oracles = _standalone_registry()
+    compare_query(queries[name](spark, SF_DIR_ORACLE), con, oracles[name])
+
+
 def test_every_query_has_entry():
     # Queries without oracle SQL are allowed (weaker rows-only check),
     # but every oracle must have a query.
