@@ -52,6 +52,21 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+# GPT-2-style pre-tokenizer silhouette: contraction suffixes, space-glued
+# letter runs, digit runs, punctuation runs.  ASCII classes only so Java
+# regex (Spark) and RE2 (DuckDB) count identically (cross-engine probed);
+# a real BPE vocab merges WITHIN these pieces, so this count upper-bounds
+# and closely tracks true BPE token counts — the budget estimator used
+# before committing a corpus to tokenization.
+BPE_SPLIT_REGEX = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+|'"
+
+
+def bpe_token_count(col: F.Column) -> F.Column:
+    """Approximate BPE token count via the pre-tokenizer split (F2/§2.10
+    token counting, the regex half; whitespace counting is `n_tokens`)."""
+    return F.regexp_count(col, F.lit(BPE_SPLIT_REGEX)).cast("bigint")
+
+
 def pii_counts(col: F.Column) -> dict[str, F.Column]:
     """Per-kind PII match counts (map-side projection, zero shuffle)."""
     return {
@@ -113,6 +128,9 @@ def _pii_sql_cols() -> str:
     "text_doc_stats",
     f"""SELECT doc_id,
               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(len(regexp_extract_all(text,
+                '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+|'''))
+                AS BIGINT) AS n_tokens_bpe,
               CAST(length(text) AS BIGINT) AS n_chars_measured,
               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
               round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -165,6 +183,7 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             n.cast("bigint").alias("n_tokens"),
+            bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
             F.length("text").cast("bigint").alias("n_chars_measured"),
             nd.cast("bigint").alias("n_distinct"),
             F.round(nd.cast("double") / n, 6).alias("distinct_ratio"),
