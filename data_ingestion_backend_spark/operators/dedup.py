@@ -1,6 +1,6 @@
 """Deduplication operators for LLM-data pipelines (SURVEY §2.10).
 
-Five dedup families, all pure Catalyst expressions (no Python UDFs), each
+Six dedup families, all pure Catalyst expressions (no Python UDFs), each
 with a dual-dialect DuckDB oracle where portable:
 
 - **exact**      keep-first by content hash (the staging_row_hash pattern
@@ -15,6 +15,9 @@ with a dual-dialect DuckDB oracle where portable:
                  without LSH approximation.
 - **embedding**  cosine near-dup over vectors (top-k most-similar pairs;
                  brute force here, LSH-bucketed variant in similarity.py).
+- **winnowing**  rolling-hash fingerprints (per-window k-gram-hash minima,
+                 MOSS-style) → PARTIAL-overlap pairs — copied passages,
+                 not just near-identical whole documents.
 
 Portability pins shared by Spark and DuckDB texts:
 - integer shingle hash = CAST(first-8-hex-chars(md5(s)) AS BIGINT) — both
@@ -34,7 +37,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from data_ingestion_backend_spark.operators.queries import _register
+from data_ingestion_backend_spark.operators.queries import (
+    _register,
+    _register_standalone,
+)
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
 # --- shared constants (baked into BOTH dialect texts) -----------------------
@@ -773,4 +779,166 @@ def _embedding_topk_pairs_catalyst(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return pairs.orderBy(F.desc("cosine"), "doc_a", "doc_b").limit(
         COSINE_TOPK_PAIRS
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# --------------------------------------------------------------------------
+# The MOSS/winnowing scheme (Schleimer, Wilkerson, Aiken, SIGMOD'03): hash
+# every k-gram in SEQUENCE (the rolling-hash pass), then keep the minimum
+# hash of each w-window of consecutive k-gram hashes.  Guarantee: any
+# shared token run of length ≥ w+k-1 between two documents yields at least
+# one shared fingerprint — the partial-overlap detector the whole-document
+# similarity family (minhash/simhash/Jaccard) cannot provide, because
+# those compare SETS and dilute a short shared run inside big documents.
+
+WINNOW_K = 3   # k-gram width (tokens) — matches the shingle width
+WINNOW_W = 4   # winnowing window (k-gram hashes per window)
+WINNOW_MIN_SHARED = 2   # pairs sharing ≥ this many fingerprints
+WINNOW_MAX_DF = 20      # df-prune: drop fingerprints in > this many docs
+
+
+def _winnow_hash_seq() -> F.Column:
+    """ORDERED k-gram hash sequence per document (column over `t`).
+
+    Unlike `_docs_shingled` this keeps duplicates and order — winnowing is
+    positional.  The md5→15-hex-digit bigint is the same k-gram hash the
+    rest of the dedup family uses; "rolling" refers to the O(1) update
+    mechanics of the scan, not the hash semantics, so the certified
+    artifact (per-window minima) is implementation-independent.
+    """
+    gram = "concat_ws(' ', " + ", ".join(
+        f"t[i+{j}]" for j in range(WINNOW_K)
+    ) + ")"
+    return F.expr(
+        f"transform(sequence(0, size(t)-{WINNOW_K}),"
+        f" i -> cast(conv(substring(md5({gram}), 1, 15), 16, 10) as bigint))"
+    )
+
+
+_WINNOW_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  ),
+  hseq AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {WINNOW_K}
+                THEN list_transform(
+                       range(1, len(t) - {WINNOW_K - 2}),
+                       i -> CAST(('0x' || substr(md5(
+                              array_to_string(t[i:i+{WINNOW_K - 1}], ' ')),
+                              1, 15)) AS BIGINT))
+                ELSE [CAST(('0x' || substr(md5(array_to_string(t, ' ')),
+                       1, 15)) AS BIGINT)]
+           END AS h
+    FROM toks
+  ),
+  wins AS (
+    SELECT doc_id,
+           CASE WHEN len(h) >= {WINNOW_W}
+                THEN list_distinct(list_transform(
+                       range(1, len(h) - {WINNOW_W - 2}),
+                       j -> list_min(h[j:j+{WINNOW_W - 1}])))
+                ELSE [list_min(h)]
+           END AS fps
+    FROM hseq
+  )
+"""
+
+
+@_register_standalone(
+    "dedup_winnow_fp",
+    _WINNOW_SQL
+    + """SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""",
+)
+def dedup_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint table: (doc_id, fp) — the per-window minima
+    of the ordered k-gram hash sequence, distinct per document.
+
+    Scale shape: pure per-document projection (tokenize → hash sequence →
+    window minima → distinct) with one explode — no shuffle at all; the
+    fingerprint table is ~|doc|/w rows per document and is what gets
+    stored/indexed at 100 TB.  Locally oracled (standalone gate); the
+    pair query below is the graded-pipeline consumer.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.col("text")).alias("ltext"),
+        F.split(F.lower(F.col("text")), " ").alias("t"),
+    )
+    fallback_hash = F.expr(
+        "cast(conv(substring(md5(concat_ws(' ', t)), 1, 15), 16, 10) as bigint)"
+    )
+    hseq = toks.select(
+        "doc_id",
+        F.when(F.size("t") >= WINNOW_K, _winnow_hash_seq())
+        .otherwise(F.array(fallback_hash))
+        .alias("h"),
+    )
+    wins = hseq.select(
+        "doc_id",
+        F.when(
+            F.size("h") >= WINNOW_W,
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(h)-{WINNOW_W}),"
+                    f" j -> array_min(slice(h, j+1, {WINNOW_W})))"
+                )
+            ),
+        )
+        .otherwise(F.array(F.array_min("h")))
+        .alias("fps"),
+    )
+    return wins.select("doc_id", F.explode("fps").alias("fp")).orderBy(
+        "doc_id", "fp"
+    )
+
+
+@_register_standalone(
+    "dedup_winnow_pairs",
+    _WINNOW_SQL
+    + f""",
+      fp AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+      rare AS (
+        SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAX_DF}
+      ),
+      shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+        FROM fp a JOIN rare r ON a.fp = r.fp
+        JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps
+      FROM shared WHERE shared_fps >= {WINNOW_MIN_SHARED}
+      ORDER BY doc_a, doc_b""",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing ≥
+    WINNOW_MIN_SHARED winnowing fingerprints — catches copied PASSAGES,
+    not just near-identical whole documents.
+
+    Scale shape: the same df-pruned inverted-index join as
+    ``dedup_ngram_jaccard`` (posting lists of rare fingerprints expand to
+    pairs; quadratic only within a fingerprint's ≤WINNOW_MAX_DF posting
+    list), but over the ~w×-smaller winnowed table instead of all
+    shingles — the standard plagiarism/contamination index layout.
+    """
+    fp = dedup_winnow_fp(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    rare = fp.groupBy("fp").count().filter(F.col("count") <= WINNOW_MAX_DF)
+    posting = fp.join(rare.select("fp"), "fp")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
     )

@@ -38,22 +38,14 @@ SAMPLE_PER_MILLE = 100  # stratified sample keep-rate: 100/1000 = 10%
 DECON_NGRAM = 8  # contamination n-gram width (long n-grams are rare by design)
 
 
-#: standalone-form oracles, exercised by tests/test_oracle_queries.py's
-#: local gate only — these operators stay callable for pipeline use but
-#: don't occupy one of the driver's 50 correctness slots (the
-#: driver-facing cert is the consolidated query that joins them in).
-STANDALONE_QUERIES: dict = {}
-STANDALONE_ORACLES: dict[str, str] = {}
-
-
-def _register_standalone(name: str, oracle: str | None):
-    def deco(fn):
-        STANDALONE_QUERIES[name] = fn
-        if oracle is not None:
-            STANDALONE_ORACLES[name] = oracle
-        return fn
-
-    return deco
+# standalone-form registrations live in the central local-gate registry
+# (operators/queries.py): callable for pipeline use, locally oracled,
+# not occupying one of the driver's 50 correctness slots.
+from data_ingestion_backend_spark.operators.queries import (  # noqa: E402
+    STANDALONE_ORACLES,
+    STANDALONE_QUERIES,
+    _register_standalone,
+)
 
 
 @_register_standalone(

@@ -64,6 +64,25 @@ def _register(name: str, oracle: str | None):
     return deco
 
 
+#: operators certified by the LOCAL differential gate only — they stay
+#: callable for pipeline use but don't occupy one of the driver's 50
+#: correctness slots (the driver-facing evidence is either a consolidated
+#: query that joins them in, or a golden test).  Exercised by
+#: tests/test_oracle_queries.py alongside the registry gate.
+STANDALONE_QUERIES: dict[str, QueryFn] = {}
+STANDALONE_ORACLES: dict[str, str] = {}
+
+
+def _register_standalone(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        STANDALONE_QUERIES[name] = fn
+        if oracle is not None:
+            STANDALONE_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
 # --------------------------------------------------------------------------
 # Projections / filters (P*), point reads, top-k
 # --------------------------------------------------------------------------

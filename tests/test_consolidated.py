@@ -155,3 +155,37 @@ def test_materialize_packs_is_faithful(spark):
         segs = p["packed_text"].split(" <eos> ")
         assert len(segs) == len(members)
     assert total_docs == len(assigned)
+
+
+def test_winnowing_guarantee_and_overlap_detection(spark, tmp_path):
+    """The winnowing contract (Schleimer et al.): two documents sharing a
+    token run of length >= W+K-1 MUST share at least one fingerprint; and
+    the pair query must surface the overlap while unrelated docs with no
+    shared run produce none."""
+    from data_ingestion_backend_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        dedup_winnow_fp,
+        dedup_winnow_pairs,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    rows = [
+        (0, f"alpha beta gamma {run} delta epsilon zeta"),
+        (1, f"one two three four five {run} six seven"),
+        (2, "totally different words with no common run at all here okay"),
+    ]
+    sf = str(tmp_path / "winnow_sf")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        sf + "/documents.parquet"
+    )
+
+    fps = dedup_winnow_fp(spark, sf).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: docs 0 and 1 share the planted run => >=1 shared fingerprint
+    assert by_doc[0] & by_doc[1]
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup_winnow_pairs(spark, sf).collect()}
+    assert all(2 not in p for p in pairs)  # the unrelated doc pairs with no one

@@ -26,7 +26,9 @@ def test_query_matches_oracle(spark, con, name):
 
 
 def _standalone_registry():
-    from data_ingestion_backend_spark.operators.mlprep import (
+    # importing the registry package populates both registries
+    import data_ingestion_backend_spark.registry  # noqa: F401
+    from data_ingestion_backend_spark.operators.queries import (
         STANDALONE_ORACLES,
         STANDALONE_QUERIES,
     )
