@@ -191,6 +191,41 @@ def sessionize_stream(
     )
 
 
+def dedup_docs_stream(
+    doc_stream: DataFrame,
+    corpus_hashes: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus-ingestion gate: admit only genuinely NEW documents.
+
+    Two dedup layers in one plan, the shape an always-on training-data
+    intake runs:
+
+    1. **within-stream**: ``dropDuplicatesWithinWatermark`` on the content
+       hash — re-deliveries and duplicate uploads inside the watermark
+       horizon collapse to one row, with state bounded by event time
+       (never grows with corpus size);
+    2. **against the corpus**: stream-static left-anti join on the
+       existing corpus's content-hash index — the static side is
+       re-scanned per micro-batch, so an index refresh (e.g. a nightly
+       compaction adding the day's admissions) is picked up without
+       restarting the query.
+
+    ``doc_stream``: streaming (doc_id, ts, text, ...);
+    ``corpus_hashes``: static (content_hash) — e.g.
+    ``dedup_exact(...).filter("is_first").select("content_hash")``.
+    At 100 TB the static side is a bucketed hash table, not a broadcast;
+    the anti-join shuffles only the (tiny) per-batch arrivals.
+    """
+    hashed = doc_stream.withColumn("content_hash", F.md5(F.col("text")))
+    fresh = hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    return fresh.join(
+        corpus_hashes.select("content_hash"), "content_hash", "left_anti"
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Keep-first streaming dedup on (user_id, event_type) (streaming Q21).
 

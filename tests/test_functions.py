@@ -96,3 +96,59 @@ def test_redact_pii_preserves_clean_text(spark):
     clean = "the quick brown fox version 2 jumped at 3 pm over 12 logs"
     df = spark.createDataFrame([(clean,)], "t string")
     assert df.select(redact_pii(F.col("t")).alias("r")).collect()[0]["r"] == clean
+
+
+def test_pii_and_bpe_regexes_cross_engine_adversarial(spark):
+    """The dialect-equivalence claim (Java regex vs RE2) hardened on
+    adversarial strings: deterministic pseudo-random soup over the
+    characters the patterns care about, counts compared engine-to-engine
+    for every pattern, and the full redaction chain compared by md5."""
+    import random
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_backend_spark.operators.text import (
+        BPE_SPLIT_REGEX,
+        PII_PATTERNS,
+        bpe_token_count,
+        pii_counts,
+        redact_pii,
+    )
+
+    rng = random.Random(20260813)
+    alphabet = list("a b 1 . @ ' - : / ( ) x 9 _ % +".split(" ")) + [" ", "@x.co", "http://t.co/z", "555-123-4567", "9.9.9.9", "u@v.org", "'s"]
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    spark_rows = (
+        df.select(
+            "t",
+            bpe_token_count(F.col("t")).alias("bpe"),
+            *[c.alias(n) for n, c in pii_counts(F.col("t")).items()],
+            F.md5(redact_pii(F.col("t"))).alias("red"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    for r in spark_rows:
+        t = r["t"]
+        d_bpe = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, BPE_SPLIT_REGEX]
+        ).fetchone()[0]
+        assert d_bpe == r["bpe"], (t, d_bpe, r["bpe"])
+        red = t
+        for kind, pat, repl in PII_PATTERNS:
+            d_n = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+            ).fetchone()[0]
+            assert d_n == r[f"n_pii_{kind}"], (t, kind, d_n, r[f"n_pii_{kind}"])
+            red = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [red, pat, repl]
+            ).fetchone()[0]
+        d_md5 = con.execute("SELECT md5(?)", [red]).fetchone()[0]
+        assert d_md5 == r["red"], (t, red)
+    con.close()

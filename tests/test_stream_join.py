@@ -50,3 +50,44 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert want, "fixture produced no attributed pairs — vacuous test"
     assert got == want
+
+
+def test_streaming_doc_ingestion_gate(spark, tmp_path):
+    """dedup_docs_stream admits exactly the documents that are new BOTH
+    within the stream and against the static corpus index."""
+    from data_ingestion_backend_spark.streaming.pipeline import dedup_docs_stream
+
+    corpus = spark.createDataFrame(
+        [(i, f"existing doc number {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    corpus_hashes = corpus.select(F.md5(F.col("text")).alias("content_hash"))
+
+    # arrivals: 2 copies of corpus doc 1, 2 copies of a new doc, 1 more new doc
+    arrivals = [
+        (100, "2024-01-01 10:00:00", "existing doc number 1"),
+        (101, "2024-01-01 10:01:00", "a brand new document"),
+        (102, "2024-01-01 10:02:00", "a brand new document"),
+        (103, "2024-01-01 10:03:00", "existing doc number 1"),
+        (104, "2024-01-01 10:04:00", "another new one entirely"),
+    ]
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        arrivals, "doc_id long, ts string, text string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    emitted: list = []
+
+    q = (
+        dedup_docs_stream(stream, corpus_hashes)
+        .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+
+    texts = sorted(r["text"] for r in emitted)
+    assert texts == ["a brand new document", "another new one entirely"]
