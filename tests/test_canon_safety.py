@@ -108,3 +108,29 @@ def test_oracle_terminal_types_canon_safe(spark, con, name):
             assert base.startswith("TIMESTAMP"), (
                 f"{name}.{col}: spark TIMESTAMP vs duckdb {dtype}"
             )
+
+
+# rows-only BY DESIGN: approximate algorithms with no cross-engine value
+# oracle; their contracts are recall / error-bound tests
+ROWS_ONLY_ALLOWED = {"sim_ann_topk", "sketch_profile"}
+
+
+def test_registry_fits_driver_window():
+    """The grading driver records correctness rows for the FIRST 50
+    registered queries only — exceeding 50 silently un-grades whatever
+    registers last (the round-1 failure mode this guards against)."""
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registered queries — consolidate into tagged/wide "
+        f"certs (see COVERAGE.md 'Registry sizing') instead of exceeding "
+        f"the driver's 50-row correctness window"
+    )
+
+
+def test_every_registered_query_is_oracled_or_whitelisted_rows_only():
+    missing = set(QUERIES) - set(ORACLE) - ROWS_ONLY_ALLOWED
+    assert not missing, (
+        f"queries with neither an oracle nor a rows-only justification: "
+        f"{sorted(missing)}"
+    )
+    stale = ROWS_ONLY_ALLOWED - set(QUERIES)
+    assert not stale, f"rows-only whitelist names unknown queries: {sorted(stale)}"
