@@ -798,7 +798,12 @@ def _embedding_topk_pairs_catalyst(spark: SparkSession, sf_dir: str) -> DataFram
 
 WINNOW_K = 3   # k-gram width (tokens) — matches the shingle width
 WINNOW_W = 4   # winnowing window (k-gram hashes per window)
-WINNOW_MIN_SHARED = 2   # pairs sharing ≥ this many fingerprints
+# Pairs sharing ≥ this many fingerprints.  MUST stay 1 for the winnowing
+# guarantee to hold end-to-end: a shared run of exactly w+k-1 tokens is
+# only promised ONE shared fingerprint — a higher threshold would silently
+# drop minimum-length detectable overlaps.  Raise only as an explicit
+# precision knob with that trade-off in mind.
+WINNOW_MIN_SHARED = 1
 WINNOW_MAX_DF = 20      # df-prune: drop fingerprints in > this many docs
 
 
@@ -867,7 +872,6 @@ def dedup_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.lower(F.col("text")).alias("ltext"),
         F.split(F.lower(F.col("text")), " ").alias("t"),
     )
     fallback_hash = F.expr(

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_ingestion_backend_spark.functions.scalars import contact_id_hash
 from data_ingestion_backend_spark.models import JobStatus, StagingStatus
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
 
@@ -124,11 +123,13 @@ def delete_job(wh: Warehouse, job_id: str, user_id: int) -> None:
         )
 
     doomed_staging = wh.read("staging").filter(F.col("staging_job_id") == job_id)
-    # owner-scoped provenance: only THIS user's contacts can match, so a
-    # content collision with another tenant's rows never cascades there
-    doomed_hashes = doomed_staging.select(
-        contact_id_hash(user_id, "staging_row_hash").alias("contact_id")
-    ).distinct()
+    # owner-scoped provenance (both contact-id generations, keyed by
+    # (contact_id, contacts_user_id)): only THIS user's contacts can
+    # match, so a content collision with another tenant's rows — current
+    # or pre-upgrade legacy — never cascades there
+    from data_ingestion_backend_spark.pipeline import _provenance_ids
+
+    doomed_keys = _provenance_ids(doomed_staging, user_id)
     doomed_issues = wh.read("issues").filter(F.col("issues_job_id") == job_id).select(
         "issue_id"
     )
@@ -140,7 +141,9 @@ def delete_job(wh: Warehouse, job_id: str, user_id: int) -> None:
     )
     wh.write(
         "contacts",
-        wh.read("contacts").join(doomed_hashes, "contact_id", "left_anti"),
+        wh.read("contacts").join(
+            doomed_keys, ["contact_id", "contacts_user_id"], "left_anti"
+        ),
     )
     wh.write("issues", wh.read("issues").filter(F.col("issues_job_id") != job_id))
     wh.write("staging", wh.read("staging").filter(F.col("staging_job_id") != job_id))

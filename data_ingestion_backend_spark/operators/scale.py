@@ -40,21 +40,26 @@ def salted_aggregate(
     ``aggregate`` is a *decomposable* aggregate over the input and
     ``combine`` ∈ {'sum','min','max'} says how phase 2 merges the per-salt
     subtotals (count/sum subtotals combine by SUM; min/max by themselves).
-    A bare ``Column`` is accepted for the common cases and resolved
-    against a strict allowlist of self-describing expressions — anything
-    unrecognized (avg, count_distinct, first, ...) raises rather than
-    being silently mis-combined, because a wrong recombination returns
-    plausible-looking wrong numbers.  Phase 1 aggregates by (keys, salt);
-    phase 2 re-aggregates the subtotals by keys.  The salt is derived
-    deterministically from ``salt_source`` (a high-cardinality column,
-    e.g. the event id) so replays produce identical partitioning.
+    The tuple is the API; a bare ``Column`` is accepted ONLY where the
+    expression text is unambiguous: ``min``/``max`` (whose DISTINCT
+    variants are semantically identical, so mis-detection is harmless)
+    and literal ``count(*)``/``count(1)``.  Everything else — including
+    bare ``F.sum`` — raises: ``sum_distinct(v)`` stringifies *identically*
+    to ``sum(v)`` ("sum(v)"), and silently SUM-combining distinct
+    subtotals returns plausible-looking wrong numbers (a value appearing
+    under several salts re-counts once per salt).  Passing an explicit
+    ``(expr, combine)`` is the caller asserting decomposability.
+    Phase 1 aggregates by (keys, salt); phase 2 re-aggregates the
+    subtotals by keys.  The salt is derived deterministically from
+    ``salt_source`` (a high-cardinality column, e.g. the event id) so
+    replays produce identical partitioning.
 
     Example::
 
         salted_aggregate(events, ["user_id"],
                          {"n": F.count("*"),
                           "total": (F.sum("value"), "sum"),
-                          "last_ts": (F.max("ts"), "max")},
+                          "last_ts": F.max("ts")},
                          salt_source="event_id")
     """
 
@@ -67,25 +72,20 @@ def salted_aggregate(
                     f"{name!r}; expected one of {sorted(_COMBINES)}"
                 )
             return expr, combine
-        # Bare-Column convenience path: infer ONLY from unambiguous
-        # expression text.  Notably count(col) is NOT inferable:
-        # count_distinct(col) stringifies identically ("count(x)"), and
-        # silently summing distinct-count subtotals is wrong — only
-        # count(*) / count(1) (which cannot be distinct) are accepted.
         s = str(spec)
         inner = s.split("'")[1].strip().lower() if "'" in s else s.lower()
         head = inner.split("(")[0]
-        if head in ("sum", "min", "max"):
-            return spec, "sum" if head == "sum" else head
+        if head in ("min", "max"):
+            return spec, head  # DISTINCT variant is semantically identical
         if inner in ("count(1)", "count(*)"):
             return spec, "sum"
         raise ValueError(
             f"salted_aggregate: cannot infer a combine for {name!r} "
             f"(expression {inner!r}); pass an explicit "
-            f"(expr, 'sum'|'min'|'max') tuple — non-decomposable "
-            f"aggregates (avg, count_distinct, first, ...) cannot be "
-            f"salted this way, and count(col) is ambiguous with "
-            f"count_distinct(col) in string form"
+            f"(expr, 'sum'|'min'|'max') tuple — bare sum is refused "
+            f"because sum_distinct stringifies identically to sum, and "
+            f"non-decomposable aggregates (avg, count_distinct, first, "
+            f"...) cannot be salted at all"
         )
 
     resolved = {name: resolve(name, spec) for name, spec in aggs.items()}
@@ -170,7 +170,7 @@ def scale_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_aggregate(
         ev,
         ["user_id"],
-        {"n_events": F.count("*"), "total_value": F.sum("v")},
+        {"n_events": F.count("*"), "total_value": (F.sum("v"), "sum")},
         salt_source="event_id",
     )
     return out.select(

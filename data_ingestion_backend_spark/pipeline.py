@@ -86,13 +86,15 @@ def ingest_file(
     # idempotent.  The owner scope means identical content ingested by
     # ANOTHER user is untouched here (their contact stays visible and
     # correctly triggers EXISTING_EMAIL only within their own jobs).
-    prior_hashes = (
-        wh.read("staging")
-        .filter(F.col("staging_job_id") == job_id)
-        .select(contact_id_hash(user_id, "staging_row_hash").alias("contact_id"))
-        .distinct()
+    # Both id generations are matched (see _provenance_ids): warehouses
+    # written before the owner-scoped scheme carry bare staging_row_hash
+    # ids, and missing them here would break reprocess idempotency for
+    # exactly the jobs the exclusion exists to protect.
+    prior_staging = wh.read("staging").filter(F.col("staging_job_id") == job_id)
+    prior_ids = _provenance_ids(prior_staging, user_id)
+    contacts_base = wh.read("contacts").join(
+        prior_ids, ["contact_id", "contacts_user_id"], "left_anti"
     )
-    contacts_base = wh.read("contacts").join(prior_hashes, "contact_id", "left_anti")
 
     result = validate_staging(staging, contacts_base, user_id)
 
@@ -131,6 +133,27 @@ def ingest_file(
     ).dropDuplicates(["contact_id"])
     wh.write("contacts", contacts_base.unionByName(new_contacts))
     return job_id
+
+
+def _provenance_ids(staging_rows: DataFrame, user_id: int) -> DataFrame:
+    """(contact_id, contacts_user_id) keys a set of staging rows could
+    have promoted under EITHER id generation: the current owner-scoped
+    ``md5(user_id|row_hash)`` and the legacy bare ``staging_row_hash``
+    (pre-scoping warehouses) — so reprocess exclusion and cascade delete
+    keep working across an upgrade without a migration pass.  Consumers
+    anti-join on BOTH columns: legacy ids are content-derived and so can
+    collide across tenants in pre-upgrade data, and the owner column is
+    what pins the match to this user's own promotions.
+    """
+    scoped = staging_rows.select(
+        contact_id_hash(user_id, "staging_row_hash").alias("contact_id")
+    )
+    legacy = staging_rows.select(F.col("staging_row_hash").alias("contact_id"))
+    return (
+        scoped.unionByName(legacy)
+        .distinct()
+        .withColumn("contacts_user_id", F.lit(user_id).cast("long"))
+    )
 
 
 def _ledger_row(

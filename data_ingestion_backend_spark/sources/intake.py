@@ -166,6 +166,24 @@ def sniff_dialect(path: str, max_bytes: int | None = None) -> CsvDialect:
     )
 
 
+def _has_odd_quote_parity_line(spark: SparkSession, path: str) -> bool:
+    """EXACT distributed check for quoted fields spanning physical lines.
+
+    Under RFC-4180 quoting (doubled-quote escaping), a record contains an
+    embedded newline iff some physical line carries an ODD number of
+    ``\"`` characters.  The head-sample sniff can miss a first quoted
+    newline past 64 KB; this scan closes that hole before committing to a
+    split-parallel (line-based) parse.  Cost: one splittable pass over the
+    raw text that short-circuits on the first offending line — no CSV
+    parsing, no shuffle; a false positive (a stray quote in an unquoted
+    field) merely falls back to the always-correct single-split read.
+    """
+    odd = spark.read.text(path).filter(
+        F.expr("length(regexp_replace(value, '[^\"]', '')) % 2 = 1")
+    )
+    return bool(odd.take(1))
+
+
 def read_csv(spark: SparkSession, path: str, dialect: CsvDialect | None = None) -> DataFrame:
     """Distributed CSV parse with the sniffed dialect → canonical columns.
 
@@ -194,11 +212,16 @@ def read_csv(spark: SparkSession, path: str, dialect: CsvDialect | None = None) 
     # when the head sample shows the file actually needs it; plain files
     # read split-parallel, which is what lets ingestion scale past the
     # reference's 5 MB ceiling to multi-GB uploads.
+    multiline = dialect.needs_multiline
+    if not multiline and _has_odd_quote_parity_line(spark, path):
+        # the head sample missed a quoted newline deeper in the file —
+        # a line-based parse would tear that record; take the safe path
+        multiline = True
     raw = (
         spark.read.option("header", True)
         .option("sep", dialect.delimiter)
         .option("encoding", charset)
-        .option("multiLine", dialect.needs_multiline)
+        .option("multiLine", multiline)
         .option("escape", '"')
         .option("mode", "PERMISSIVE")
         .csv(path)

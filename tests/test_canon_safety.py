@@ -55,10 +55,6 @@ def con():
     con.close()
 
 
-def _spark_schemas(spark):
-    return {name: fn(spark, SF_DIR_SMALL).schema for name, fn in QUERIES.items()}
-
-
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_spark_terminal_types_canon_safe(spark, name):
     schema = QUERIES[name](spark, SF_DIR_SMALL).schema

@@ -188,4 +188,5 @@ def test_winnowing_guarantee_and_overlap_detection(spark, tmp_path):
     assert by_doc[0] & by_doc[1]
 
     pairs = {(r["doc_a"], r["doc_b"]) for r in dedup_winnow_pairs(spark, sf).collect()}
+    assert (0, 1) in pairs  # the planted overlap MUST surface as a pair
     assert all(2 not in p for p in pairs)  # the unrelated doc pairs with no one

@@ -353,6 +353,52 @@ def test_cross_tenant_content_collision_isolated(spark, wh, tmp_path):
     assert remaining[0]["email"] == "z@x.com"
 
 
+def test_legacy_contact_ids_still_reprocessable_and_deletable(spark, wh, tmp_path):
+    """A warehouse written under the pre-scoping contact-id scheme
+    (contact_id == bare staging_row_hash) must keep working after the
+    upgrade: reprocess stays idempotent (no self-EXISTING_EMAIL) and
+    cascade delete still removes the job's own legacy contacts — while a
+    DIFFERENT tenant's legacy contact with identical content survives."""
+    import pyspark.sql.functions as SF
+
+    body = "email,first_name,last_name,company\nz@x.com,Zed,Zulu,Zeta\nbad-row,,,\n"
+    path = _write(tmp_path, "legacy.csv", body)
+    job_id = ingest_file(spark, wh, path, USER)
+
+    # rewrite this user's contact to the LEGACY id form, and plant another
+    # tenant's legacy contact with the SAME content hash
+    staging_hash = (
+        wh.read("staging")
+        .filter(SF.col("staging_status") == StagingStatus.SUCCESS)
+        .collect()[0]["staging_row_hash"]
+    )
+    legacy = wh.read("contacts").withColumn(
+        "contact_id",
+        SF.when(SF.col("contacts_user_id") == USER, SF.lit(staging_hash)).otherwise(
+            SF.col("contact_id")
+        ),
+    )
+    other = legacy.filter(SF.col("contacts_user_id") == USER).withColumn(
+        "contacts_user_id", SF.lit(99).cast("long")
+    )
+    wh.write("contacts", legacy.unionByName(other))
+
+    # reprocess: legacy own-promotion must be excluded → still idempotent
+    reprocess_job(spark, wh, path, USER)
+    statuses = {
+        r["staging_status"]
+        for r in wh.read("staging")
+        .filter(SF.col("email") == "z@x.com")
+        .collect()
+    }
+    assert StagingStatus.SUCCESS in statuses  # not self-flagged EXISTING_EMAIL
+
+    # delete: this user's (legacy-id) contact goes; tenant 99's twin stays
+    delete_job(wh, job_id, USER)
+    remaining = wh.read("contacts").collect()
+    assert [c["contacts_user_id"] for c in remaining] == [99]
+
+
 def test_delete_completed_job_blocked(spark, wh, tmp_path):
     path = _write(tmp_path, "ok.csv", "email,first_name,last_name,company\nq@x.com,Q,W,E\n")
     job_id = ingest_file(spark, wh, path, USER)  # COMPLETED (no issues)

@@ -36,10 +36,11 @@ def test_salted_aggregate_matches_direct(spark):
             *[e.alias(n) for n, e in aggs.items()]
         ).collect()
     }
+    salted_spec = dict(aggs, total=(aggs["total"], "sum"))  # sum needs explicit combine
     salted = {
         r["user_id"]: (r["n"], r["total"], r["first_ev"], r["last_ev"])
         for r in salted_aggregate(
-            skewed, ["user_id"], aggs, n_salts=16, salt_source="event_id"
+            skewed, ["user_id"], salted_spec, n_salts=16, salt_source="event_id"
         ).collect()
     }
     assert salted == direct
@@ -65,6 +66,10 @@ def test_salted_aggregate_explicit_combine_and_rejects(spark):
         salted_aggregate(ev, ["event_type"], {"c": F.count("value")})
     with pytest.raises(ValueError, match="cannot infer"):
         salted_aggregate(ev, ["event_type"], {"d": F.count_distinct("value")})
+    # sum_distinct stringifies as "sum(DISTINCT v)" — its head would pass a
+    # naive allowlist, but distinct subtotals are NOT sum-combinable
+    with pytest.raises(ValueError, match="cannot infer"):
+        salted_aggregate(ev, ["event_type"], {"sd": F.sum_distinct("value")})
     # bad explicit combine name
     with pytest.raises(ValueError, match="unknown combine"):
         salted_aggregate(ev, ["event_type"], {"n": (F.count("*"), "avg")})
