@@ -1,0 +1,290 @@
+"""Time-series operators: gap filling, event-gap analysis, grouping sets.
+
+Three shapes every event-analytics engine grows into once the basic
+windowed aggregates (q19/q22/q36) exist:
+
+- **hourly gap-fill + linear interpolation** — a dense per-series spine
+  (``sequence`` over the series' own [min, max] hour range) left-joined
+  to the sparse observed aggregate, missing points interpolated between
+  the nearest observed neighbours.  This is the standard "regularize an
+  irregular series" step before any rolling-window model.
+- **event-gap profile** — per-user inter-arrival gaps via ``lag`` with a
+  unique-key tiebreak, aggregated to count/max/mean.  The inverse view of
+  sessionization (q30): instead of cutting sessions at a threshold it
+  characterizes the gap distribution itself.
+- **grouping sets** — multi-tier aggregation for disjoint key sets,
+  planned as a union of independent partial aggregations instead of
+  Spark's ``Expand``-based GROUPING SETS (which multiplies every input
+  row by the number of tiers *before* the shuffle; see q38's cube
+  rationale in queries2.py).
+
+Scale notes (100 TB design):
+- The gap-fill spine is ~series x span rows — tiny relative to the raw
+  events (it is the *aggregated* grain).  The join is spine ⋈ daily on
+  (series, hour): both sides are post-aggregation, so the heavy shuffle
+  is the one hourly aggregation with map-side combine; the window pass
+  partitions by series, which is the natural parallelism unit.
+- Event gaps shuffle once on user_id (hash-partitioned window), then
+  aggregate within the same partitioning — no second shuffle.
+- Grouping-set tiers each do partial aggregation before their shuffle;
+  total shuffled rows = sum of tier cardinalities, vs Expand's
+  |input| x tiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_backend_spark.operators.queries import (
+    DEC2,
+    _register_standalone,
+)
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+# --------------------------------------------------------------------------
+# Hourly gap-fill with linear interpolation
+# --------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type,
+         unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds b
+),
+j AS (
+  SELECT s.event_type, s.hr, h.v
+  FROM spine s LEFT JOIN hourly h USING (event_type, hr)
+),
+w AS (
+  SELECT event_type, hr, v,
+    LAST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hr
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hr
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    FIRST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hr
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY hr
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT event_type, hr,
+       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+       round(CASE
+         WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           CAST(pv AS DOUBLE)
+           + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+             * CAST(date_diff('hour', pd, hr) AS DOUBLE)
+             / CAST(date_diff('hour', pd, nd) AS DOUBLE)
+         ELSE CAST(COALESCE(pv, nv) AS DOUBLE)
+       END, 4) AS v_filled
+FROM w
+ORDER BY event_type, hr
+"""
+
+
+@_register_standalone("ts_gapfill_hourly", _GAPFILL_SQL)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type with linear interpolation.
+
+    Sparse hourly aggregate (exact decimal sum, map-side combined) →
+    per-series dense spine via ``sequence(lo, hi, interval 1 hour)`` →
+    left join → interpolate missing hours between the nearest observed
+    neighbours (``last/first ... ignoreNulls`` frames).  Series with one
+    observed neighbour only (leading/trailing gaps — impossible here
+    because the spine is bounded by observed points, but kept for
+    general inputs) carry the nearest value flat.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("hr"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    w = j.select(
+        "event_type",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = (
+        F.col("pv").cast("double")
+        + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+        * F.expr("timestampdiff(HOUR, pd, hr)").cast("double")
+        / F.expr("timestampdiff(HOUR, pd, nd)").cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+        )
+        .otherwise(F.coalesce("pv", "nv").cast("double"))
+    )
+    return w.select(
+        "event_type",
+        "hr",
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        F.round(filled, 4).alias("v_filled"),
+    ).orderBy("event_type", "hr")
+
+
+# --------------------------------------------------------------------------
+# Per-user inter-arrival gap profile
+# --------------------------------------------------------------------------
+
+_EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us), 2) AS avg_gap_us
+FROM g
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@_register_standalone("ts_event_gaps", _EVENT_GAPS_SQL)
+def ts_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap profile per user (lag with event_id tiebreak).
+
+    One shuffle on user_id: the lag window hash-partitions by user, and
+    the subsequent per-user aggregate reuses that partitioning (Catalyst
+    sees the child distribution satisfies the agg's requirement — no
+    second exchange).  Gap arithmetic is exact integer microseconds;
+    only the final mean divides into a double.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = events.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("gap_us"), 2
+            ).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets as a union of independent aggregations (no Expand)
+# --------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(l_returnflag, l_linestatus, l_linenumber) AS INT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())
+ORDER BY gid, l_returnflag, l_linestatus, l_linenumber
+"""
+
+
+@_register_standalone("agg_grouping_sets", _GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((flag,status),(linenumber),()) without Expand.
+
+    Spark's native GROUPING SETS plans an Expand that replicates every
+    input row once per tier before the shuffle — 3x the shuffle volume
+    here, Nx in general.  Disjoint key sets can't share partials, so the
+    scale-correct plan is simply one partially-aggregated pass per tier,
+    unioned; total shuffled rows = sum of tier cardinalities (bounded by
+    distinct key combos, not input size).  ``gid`` mirrors DuckDB/Spark's
+    GROUPING() bitmask for the (flag, status, shipmode) ordering.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+
+    def tier(df: DataFrame, keys: list[str], gid: int) -> DataFrame:
+        agged = (
+            df.groupBy(*keys).agg(
+                F.sum("qty").alias("sum_qty_w"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            if keys
+            else df.agg(
+                F.sum("qty").alias("sum_qty_w"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+        )
+        cols = []
+        for c in ("l_returnflag", "l_linestatus", "l_linenumber"):
+            typ = "int" if c == "l_linenumber" else "string"
+            cols.append(
+                F.col(c) if c in keys else F.lit(None).cast(typ).alias(c)
+            )
+        return agged.select(
+            *cols,
+            F.col("sum_qty_w").cast(DEC2).alias("sum_qty"),
+            "n",
+            F.lit(gid).cast("int").alias("gid"),
+        )
+
+    out = (
+        tier(li, ["l_returnflag", "l_linestatus"], 1)
+        .unionByName(tier(li, ["l_linenumber"], 6))
+        .unionByName(tier(li, [], 7))
+    )
+    return out.orderBy("gid", "l_returnflag", "l_linestatus", "l_linenumber")

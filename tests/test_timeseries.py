@@ -1,0 +1,94 @@
+"""Golden tests for the time-series operators (timeseries.py).
+
+The DuckDB differential gate (test_oracle_queries) proves cross-engine
+equality; these tests prove the *semantics* are non-degenerate — that the
+fixture actually exercises interpolation, that interpolated points lie
+between their neighbours, and that grouping-set tiers are mutually
+consistent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_backend_spark.operators.timeseries import (
+    agg_grouping_sets,
+    ts_event_gaps,
+    ts_gapfill_hourly,
+)
+from tests.conftest import SF_DIR_ORACLE
+
+
+@pytest.fixture(scope="module")
+def gapfill_rows(spark):
+    return ts_gapfill_hourly(spark, SF_DIR_ORACLE).collect()
+
+
+def test_gapfill_dense_spine(gapfill_rows):
+    # Every series covers its full [min, max] hour range with no holes
+    # and no duplicate hours.
+    by_series: dict[str, list] = {}
+    for r in gapfill_rows:
+        by_series.setdefault(r.event_type, []).append(r.hr)
+    for hrs in by_series.values():
+        assert len(set(hrs)) == len(hrs)
+        span_hours = int((max(hrs) - min(hrs)).total_seconds() // 3600) + 1
+        assert len(hrs) == span_hours
+
+
+def test_gapfill_actually_interpolates(gapfill_rows):
+    # The sf0.01 events fixture has missing hours in every series — if
+    # this fails the fixture degenerated and the oracle gate proves
+    # nothing about interpolation.
+    gaps = [r for r in gapfill_rows if r.is_gap == 1]
+    assert len(gaps) > 50
+    assert all(r.v_filled is not None for r in gapfill_rows)
+
+
+def test_gapfill_interpolation_between_neighbours(gapfill_rows):
+    # Each filled value lies within [min, max] of the nearest observed
+    # neighbours — a property of linear interpolation that survives the
+    # rounding on the terminal column.
+    by_series: dict[str, list] = {}
+    for r in sorted(gapfill_rows, key=lambda r: (r.event_type, r.hr)):
+        by_series.setdefault(r.event_type, []).append(r)
+    eps = 1e-4
+    for rows in by_series.values():
+        for i, r in enumerate(rows):
+            if r.is_gap == 0:
+                continue
+            prev = next(
+                (x for x in reversed(rows[:i]) if x.is_gap == 0), None
+            )
+            nxt = next((x for x in rows[i + 1 :] if x.is_gap == 0), None)
+            assert prev is not None and nxt is not None
+            lo = min(prev.v_filled, nxt.v_filled) - eps
+            hi = max(prev.v_filled, nxt.v_filled) + eps
+            assert lo <= r.v_filled <= hi
+
+
+def test_event_gaps_consistency(spark):
+    rows = ts_event_gaps(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_gaps == r.n_events - 1
+        if r.n_gaps > 0:
+            assert r.max_gap_us >= r.avg_gap_us >= 0
+
+
+def test_grouping_sets_tiers_consistent(spark):
+    rows = agg_grouping_sets(spark, SF_DIR_ORACLE).collect()
+    tiers = {}
+    for r in rows:
+        tiers.setdefault(r.gid, []).append(r)
+    assert set(tiers) == {1, 6, 7}
+    total = tiers[7][0]
+    # Each tier's counts and sums roll up to the grand total.
+    for gid in (1, 6):
+        assert sum(r.n for r in tiers[gid]) == total.n
+        assert sum(r.sum_qty for r in tiers[gid]) == total.sum_qty
+    # NULL padding matches the tier's key set.
+    for r in tiers[1]:
+        assert r.l_returnflag is not None and r.l_linenumber is None
+    for r in tiers[6]:
+        assert r.l_linenumber is not None and r.l_returnflag is None
