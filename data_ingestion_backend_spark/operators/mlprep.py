@@ -589,3 +589,154 @@ def prep_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking (sliding window) — round 3
+# --------------------------------------------------------------------------
+
+CHUNK_CHARS, CHUNK_STRIDE = 200, 150  # 50-char overlap between neighbours
+DOMAIN_CAP = 10  # per-source quota for the capped-mix cert
+
+_CHUNK_SQL = f"""
+SELECT doc_id,
+       CAST(t.s / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(t.s AS BIGINT) AS chunk_start,
+       CAST(len(substr(text, CAST(t.s AS INT) + 1, {CHUNK_CHARS})) AS BIGINT)
+         AS chunk_len,
+       md5(substr(text, CAST(t.s AS INT) + 1, {CHUNK_CHARS})) AS chunk_md5
+FROM documents,
+     LATERAL (SELECT unnest(range(0, greatest(len(text), 1), {CHUNK_STRIDE}))
+              AS s) t
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@_register_standalone("prep_chunk_docs", _CHUNK_SQL)
+def prep_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 200 chars, stride 150).
+
+    The context-window prep step: long documents become overlapping
+    fixed-size chunks; each chunk carries its start offset and an md5
+    content fingerprint (the terminal stays canon-safe — downstream
+    pipelines substring the text again or keep the chunk column, both
+    map-only).  Chunk starts come from ``sequence(0, len-1, stride)`` —
+    a per-row generator, no shuffle at all: the whole operator is one
+    narrow map stage, which is the correct 100 TB shape (chunking 100 TB
+    is embarrassingly parallel; the only cost is the write).
+
+    Empty documents produce one empty chunk (offset 0) so every doc_id
+    survives into the chunked corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    starts = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.length("text") - 1, F.lit(0)),
+            F.lit(CHUNK_STRIDE),
+        )
+    ).alias("s")
+    chunk = F.expr(f"substring(text, s + 1, {CHUNK_CHARS})")
+    return (
+        docs.select("doc_id", "text", starts)
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.col("s").cast("bigint").alias("chunk_start"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Domain capping / target-mix resampling — round 3
+# --------------------------------------------------------------------------
+
+_DOMAIN_CAP_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS src_rank,
+       CAST(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END AS INT) AS kept
+FROM r ORDER BY doc_id
+"""
+
+
+@_register_standalone("prep_domain_cap", _DOMAIN_CAP_SQL)
+def prep_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap: keep a deterministic pseudo-random sample of
+    at most DOMAIN_CAP documents per source.
+
+    The over-represented-domain guard every corpus mix applies (cap
+    boilerplate-heavy domains before weighting the rest).  Ordering by
+    ``md5(doc_id)`` inside each source makes the quota a uniform sample
+    that is stable across runs, engines, and partitionings — never
+    ``rand()``.  One shuffle on source (the ranking window); the window
+    is rank-only so it streams without buffering whole partitions.
+    """
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", rk.alias("rk"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("rk").cast("bigint").alias("src_rank"),
+            F.when(F.col("rk") <= DOMAIN_CAP, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def mix_to_targets(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
+    """Resample a corpus to a target per-source mix, keeping as much data
+    as the targets allow.
+
+    Given relative weights ``targets[source] = w`` (sources absent from
+    the dict are dropped), the achievable corpus size is
+    ``T = min_s(count_s / w_norm_s)`` — the most constrained source
+    binds.  Each source then keeps its ``floor(w_norm_s * T)``
+    md5-first-ranked documents, so re-runs keep identical rows.
+
+    Distributed shape: per-source counts are an aggregate over ≤|sources|
+    groups; the quota table is tiny and joins back broadcast-style (AQE
+    decides — no static hint, source cardinality is data-dependent).  The
+    only data-sized shuffle is the ranking window on source.
+    """
+    spark = docs.sparkSession
+    total_w = sum(targets.values())
+    tgt = spark.createDataFrame(
+        [(s, w / total_w) for s, w in targets.items()], "source string, w double"
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sized = counts.join(tgt, "source")  # inner: drops non-target sources
+    t_bound = sized.agg(
+        F.min(F.col("n") / F.col("w")).alias("t_max")
+    )
+    quota = sized.crossJoin(t_bound).select(
+        "source", F.floor(F.col("w") * F.col("t_max")).alias("quota")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.join(quota, "source")
+        .select("doc_id", "source", rk.alias("src_rank"), "quota")
+        .filter(F.col("src_rank") <= F.col("quota"))
+        .select("doc_id", "source", "src_rank")
+    )

@@ -408,3 +408,136 @@ def ann_both_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic (seeded planes / deterministic sample-fit k-means) but
 # not portably SQL-expressible.
 QUERIES["sim_ann_topk"] = ann_both_fixture
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization — round 3
+# --------------------------------------------------------------------------
+
+from data_ingestion_backend_spark.operators.queries import (  # noqa: E402
+    STANDALONE_QUERIES,
+    _register_standalone,
+)
+
+_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS sc
+  FROM embeddings
+)
+SELECT vec_id, CAST(t.i - 1 AS INT) AS pos,
+       CAST(CASE WHEN sc = 0 THEN 0
+            ELSE floor(127.0 * CAST(embedding[t.i] AS DOUBLE) / sc + 0.5)
+            END AS INT) AS q,
+       round(sc, 6) AS scale
+FROM s, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+ORDER BY vec_id, pos
+"""
+
+
+@_register_standalone("emb_quantize_int8", _QUANTIZE_SQL)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column.
+
+    ``q = floor(127 * x / max|x| + 0.5)`` — the standard absmax scheme
+    that shrinks an f32 vector store 4x (the real win at 100 TB is that
+    ANN candidate generation reads a quarter of the bytes; re-rank can
+    rehydrate f32 for the shortlist).  ``floor(x + 0.5)`` instead of
+    ``round`` pins identical half-way behavior across engines.  The cert
+    explodes to (vec_id, pos, q) rows because array terminals are not
+    canon-safe; the pipeline form (`quantize_vec`) keeps the array.
+
+    Map-only: no shuffle anywhere — quantization of a 100 TB store is
+    one narrow pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    out = emb.select(
+        "vec_id", sc.alias("sc"), F.posexplode("embedding").alias("pos", "x")
+    )
+    q = (
+        F.when(F.col("sc") == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.lit(127.0) * F.col("x").cast("double") / F.col("sc") + 0.5)
+        )
+        .cast("int")
+    )
+    return out.select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        q.alias("q"),
+        F.round("sc", 6).alias("scale"),
+    ).orderBy("vec_id", "pos")
+
+
+def quantize_vec(df: DataFrame, vec_col: str) -> DataFrame:
+    """Pipeline form of int8 quantization: keeps the quantized array +
+    scale alongside the row (array terminals stay internal)."""
+    sc = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    qarr = F.transform(
+        vec_col,
+        lambda x: F.when(sc == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(127.0) * x.cast("double") / sc + 0.5))
+        .cast("int"),
+    )
+    return df.withColumn("q_vec", qarr).withColumn("q_scale", sc)
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup: cluster-and-keep-representative — round 3
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup(corpus: DataFrame, centroids) -> DataFrame:
+    """Cluster embeddings with the IVF coarse quantizer and keep one
+    canonical representative per cluster (the member closest to its
+    centroid; vec_id tiebreak).
+
+    The cluster-level twin of MinHash dedup: near-duplicate *meaning*
+    collapses to the same Voronoi cell even when the text differs too
+    much for shingle overlap.  Reuses the sample-fit k-means + Arrow
+    GEMM assignment from the IVF index, so the semantic-dedup pass and
+    the ANN index share one clustering at scale.
+
+    Shape: one map stage (assignment), one shuffle on cluster (the
+    ranking window) — cluster count bounds the reduce-side state, and a
+    100 TB corpus raises cluster count, not per-cluster memory.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    assigned = _assign_clusters(corpus, "e", centroids, 1)
+    cent_rows = [
+        (int(j), [float(v) for v in centroids[j]])
+        for j in range(len(centroids))
+    ]
+    cent = spark.createDataFrame(cent_rows, "cluster bigint, ce array<double>")
+    scored = assigned.join(cent, "cluster").select(
+        "vec_id",
+        "cluster",
+        F.round(cosine_expr(F.col("e"), F.col("ce")), 6).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("cos_to_centroid"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cluster",
+            "cos_to_centroid",
+            F.when(F.col("rn") == 1, 1).otherwise(0).cast("int").alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embeddings fixture (deterministic
+    sample-fit centroids — same quantizer as the IVF index)."""
+    emb = _emb(spark, sf_dir)
+    centroids = _train_centroids_sample(emb)
+    return semantic_dedup(emb.select("vec_id", "e"), centroids)
+
+
+STANDALONE_QUERIES["dedup_semantic"] = semantic_dedup_fixture
