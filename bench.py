@@ -46,12 +46,11 @@ HEADLINE = [
     "q30_sessionize",
     "q31_asof_join",
     "q32_range_join",
-    "q33_rollup",
+    "q33_rollup_cube",
     "q34_pivot",
     "q35_percentiles",
     "q36_sliding_range_count",
     "q37_funnel",
-    "q38_cube",
     "q39_retention",
     "q40_json_agg",
 ]
@@ -72,7 +71,9 @@ def main() -> None:
     names += [
         n
         for n in QUERIES
-        if n.split("_")[0] in {"dedup", "sim", "text", "sketch", "prep"} and n not in names
+        if n.split("_")[0]
+        in {"dedup", "sim", "text", "sketch", "prep", "ts", "emb", "agg", "scale"}
+        and n not in names
     ]
 
     # warm-up (JVM/codegen/file listing) — untimed

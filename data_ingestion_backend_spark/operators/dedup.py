@@ -479,12 +479,18 @@ _SIMHASH_SIG_SQL = f"""
 """
 
 
-@_register(
+@_register_standalone(
     "dedup_simhash_sig",
     _SIMHASH_SIG_SQL + " SELECT doc_id, simhash FROM sig ORDER BY doc_id",
 )
 def dedup_simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (the signature table itself)."""
+    """SimHash fingerprints (the signature table itself).
+
+    Standalone (locally oracled) cert: the driver-graded
+    ``dedup_simhash_pairs`` recomputes these signatures inside its plan,
+    so a hash-green pairs row certifies the signature path transitively —
+    the slot freed here grades an operator the pairs row can't reach.
+    """
     return _simhash_sig(spark, sf_dir).orderBy("doc_id")
 
 

@@ -612,7 +612,7 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-@_register_standalone("prep_chunk_docs", _CHUNK_SQL)
+@_register("prep_chunk_docs", _CHUNK_SQL)
 def prep_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (size 200 chars, stride 150).
 
@@ -668,7 +668,7 @@ FROM r ORDER BY doc_id
 """
 
 
-@_register_standalone("prep_domain_cap", _DOMAIN_CAP_SQL)
+@_register("prep_domain_cap", _DOMAIN_CAP_SQL)
 def prep_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota cap: keep a deterministic pseudo-random sample of
     at most DOMAIN_CAP documents per source.

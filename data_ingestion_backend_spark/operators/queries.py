@@ -43,15 +43,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-# Terminal output precision. Internal summation stays wide (Spark widens
-# sum(decimal(18,x)) to decimal(28,x) automatically — exact, associative);
-# only the FINAL projected column is narrowed to 18 digits, which both the
-# fixtures and DuckDB's non-hugeint decimal path fit.  DECIMAL(38,x)
-# terminals round-trip through a hugeint-backed representation in DuckDB
-# that the driver's pandas canonicalizer hashes differently from Spark's
-# Decimal objects (values identical, hash red) — so ≤18 is the contract.
+# Internal summation precision.  Money/metric aggregates cast to DECIMAL
+# *before* summing (decimal addition is exact + associative, so Spark's
+# partial-aggregation order cannot flip the result) — but DECIMAL must
+# never reach a terminal projection: Spark's toPandas() materializes
+# decimals as `decimal.Decimal` objects while DuckDB's fetchdf() gives
+# float64 for ANY decimal precision, so the driver canonicalizer hashes
+# value-identical results differently (two rounds of driver evidence).
+# The terminal contract is therefore `dbl()` below: exact decimal inside,
+# ROUND(CAST(... AS DOUBLE), scale) at the output boundary on BOTH engines.
 DEC2 = "decimal(18,2)"
 DEC4 = "decimal(18,4)"
+
+
+def dbl(col, scale: int = 2):
+    """Canon-safe terminal projection for decimal aggregates.
+
+    Cast-to-double of the same exact decimal could differ by 1 ulp across
+    engines (DuckDB divides a scaled int128 in float; Spark uses
+    correctly-rounded BigDecimal.doubleValue), so the round() after the
+    cast collapses any ulp noise at a scale the value already carries.
+    Mirror in oracle texts as ``ROUND(CAST(x AS DOUBLE), scale)``.
+    """
+    return F.round(col.cast("double"), scale)
 
 
 def _register(name: str, oracle: str | None):
@@ -112,7 +126,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q03_topk",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    """SELECT o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
 )
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +136,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .select(
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            dbl(F.col("o_totalprice"), 2).alias("price"),
         )
         .limit(10)
     )
@@ -247,9 +261,9 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q12_pricing_summary",
     f"""SELECT l_returnflag, l_linestatus,
-              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue,
+              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
               COUNT(*) AS cnt
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -269,8 +283,8 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast(DEC2).alias("sum_qty"),
-            F.sum(revenue).cast(DEC4).alias("revenue"),
+            dbl(F.sum(qty), 2).alias("sum_qty"),
+            dbl(F.sum(revenue), 4).alias("revenue"),
             F.count("*").alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -334,7 +348,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_month_rollup",
     """SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
               COUNT(*) AS n,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
        FROM orders GROUP BY 1 ORDER BY month""",
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +363,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(DEC2).alias("total"),
+            dbl(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).alias("total"),
         )
         .orderBy("month")
     )
@@ -429,9 +443,9 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q19_running_total",
     """SELECT o_orderkey,
-              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2))
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
                 AS running_total
        FROM orders ORDER BY o_orderkey""",
 )
@@ -447,10 +461,9 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .select(
             "o_orderkey",
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .over(w)
-            .cast(DEC2)
-            .alias("running_total"),
+            dbl(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2
+            ).alias("running_total"),
         )
         .orderBy("o_orderkey")
     )
@@ -468,7 +481,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_tumbling_window",
     """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
               event_type, COUNT(*) AS n,
-              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
        FROM events
        GROUP BY DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)), event_type
        ORDER BY window_start, event_type""",
@@ -484,7 +497,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast(DEC2).alias("total_value"),
+            dbl(F.sum(F.col("value").cast("decimal(18,2)")), 2).alias("total_value"),
         )
         .orderBy("window_start", "event_type")
     )

@@ -141,7 +141,7 @@ def bucketed_join(
 
 # --- driver-graded query: the salted path against a plain-SQL oracle --------
 
-from data_ingestion_backend_spark.operators.queries import DEC2, _register  # noqa: E402
+from data_ingestion_backend_spark.operators.queries import DEC2, _register, dbl  # noqa: E402
 from data_ingestion_backend_spark.sources.fixtures import load_table  # noqa: E402
 
 
@@ -149,7 +149,7 @@ from data_ingestion_backend_spark.sources.fixtures import load_table  # noqa: E4
     "scale_salted_user_totals",
     """SELECT user_id,
               CAST(COUNT(*) AS BIGINT) AS n_events,
-              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+              ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
                 AS total_value
        FROM events
        GROUP BY user_id
@@ -176,5 +176,5 @@ def scale_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.col("total_value").cast(DEC2).alias("total_value"),
+        dbl(F.col("total_value"), 2).alias("total_value"),
     ).orderBy("user_id")

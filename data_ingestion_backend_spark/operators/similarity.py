@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_ingestion_backend_spark.operators.dedup import cosine_expr
-from data_ingestion_backend_spark.operators.queries import _register
+from data_ingestion_backend_spark.operators.queries import (
+    STANDALONE_QUERIES,
+    _register,
+    _register_standalone,
+)
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
 TOPK = 10
@@ -90,7 +94,7 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
+@_register_standalone(
     "sim_topk_bruteforce",
     f"""WITH q AS (
           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -283,9 +287,6 @@ def ann_topk_fixture(spark: SparkSession, sf_dir: str, k: int = TOPK) -> DataFra
     return ann_topk(corpus, queries, k)
 
 
-from data_ingestion_backend_spark.operators.queries import QUERIES  # noqa: E402
-
-
 # --------------------------------------------------------------------------
 # ANN: IVF (inverted-file) — coarse quantizer + probed exact re-rank
 # --------------------------------------------------------------------------
@@ -404,20 +405,17 @@ def ann_both_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf).orderBy("method", "query_id", F.desc("cosine"), "vec_id")
 
 
-# registered with a weaker rows-only check: approximate results are
-# deterministic (seeded planes / deterministic sample-fit k-means) but
-# not portably SQL-expressible.
-QUERIES["sim_ann_topk"] = ann_both_fixture
+# LOCAL rows-only / recall-tested: approximate results are deterministic
+# (seeded planes / deterministic sample-fit k-means) but not portably
+# SQL-expressible, so this can never earn a driver hash — it lives in the
+# standalone registry (recall contracts: tests/test_similarity.py) and its
+# former driver slot certifies an oracled operator instead.
+STANDALONE_QUERIES["sim_ann_topk"] = ann_both_fixture
 
 
 # --------------------------------------------------------------------------
 # Embedding int8 quantization — round 3
 # --------------------------------------------------------------------------
-
-from data_ingestion_backend_spark.operators.queries import (  # noqa: E402
-    STANDALONE_QUERIES,
-    _register_standalone,
-)
 
 _QUANTIZE_SQL = """
 WITH s AS (
@@ -435,7 +433,7 @@ ORDER BY vec_id, pos
 """
 
 
-@_register_standalone("emb_quantize_int8", _QUANTIZE_SQL)
+@_register("emb_quantize_int8", _QUANTIZE_SQL)
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column.
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_backend_spark.operators.queries import QUERIES
+from data_ingestion_backend_spark.operators.queries import STANDALONE_QUERIES
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
 HLL_RSD = 0.02          # ≤2% relative standard deviation
@@ -85,8 +85,8 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only driver check (approximation ⇒ no cross-engine oracle; the
-# error-bound contract lives in tests/test_sketches.py).  One registered
-# query covers both sketch families so every operator fits the driver's
-# 50-query correctness window.
-QUERIES["sketch_profile"] = sketch_profile
+# LOCAL rows-only (approximation ⇒ no cross-engine oracle; the
+# error-bound contract lives in tests/test_sketches.py).  A rows-only
+# entry can never earn a driver hash, so it lives in the standalone
+# registry and its former driver slot certifies an oracled operator.
+STANDALONE_QUERIES["sketch_profile"] = sketch_profile

@@ -38,8 +38,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_ingestion_backend_spark.operators.queries import (
-    DEC2,
+    _register,
     _register_standalone,
+    dbl,
 )
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
@@ -97,7 +98,7 @@ ORDER BY event_type, hr
 """
 
 
-@_register_standalone("ts_gapfill_hourly", _GAPFILL_SQL)
+@_register("ts_gapfill_hourly", _GAPFILL_SQL)
 def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly series per event_type with linear interpolation.
 
@@ -229,7 +230,7 @@ def ts_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus, l_linenumber,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(GROUPING(l_returnflag, l_linestatus, l_linenumber) AS INT) AS gid
 FROM lineitem
@@ -238,7 +239,7 @@ ORDER BY gid, l_returnflag, l_linestatus, l_linenumber
 """
 
 
-@_register_standalone("agg_grouping_sets", _GROUPING_SETS_SQL)
+@_register("agg_grouping_sets", _GROUPING_SETS_SQL)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((flag,status),(linenumber),()) without Expand.
 
@@ -277,7 +278,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return agged.select(
             *cols,
-            F.col("sum_qty_w").cast(DEC2).alias("sum_qty"),
+            dbl(F.col("sum_qty_w"), 2).alias("sum_qty"),
             "n",
             F.lit(gid).cast("int").alias("gid"),
         )

@@ -6,13 +6,17 @@ parquet scan that Catalyst can push filters and projections into.  At
 cluster scale the same loaders point at object-store URIs; nothing else
 changes.
 
-The one genuinely tricky source is ``events``: the fixture stores ``ts`` as
-parquet TIMESTAMP(NANOS), which Spark 4.x cannot read natively.  With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set by the session factory)
-the column arrives as a nanosecond LONG; :func:`load_table` converts it to a
-microsecond timestamp so downstream operators see a normal TimestampType.
-Nanos→micros truncation is safe for this engine: event-time operators
-(windows, watermarks, dedup ordering) operate at ≥ms granularity.
+The one genuinely tricky source is ``events``: fixture generations have
+shipped ``ts`` under different physical parquet types — TIMESTAMP(NANOS)
+(which Spark 4.x reads as a nanosecond LONG under
+``spark.sql.legacy.parquet.nanosAsLong=true``) and tz-naive
+``timestamp[us]`` (which Spark reads as TIMESTAMP_NTZ).  A real ingestion
+engine must normalize whatever physical timestamp arrives, so
+:func:`load_table` converts every variant to one canonical TimestampType;
+downstream operators never see LONG/NTZ timestamps.  Under the pinned UTC
+session timezone the NTZ→TIMESTAMP cast is exact (no wall-clock shift), and
+nanos→micros truncation is safe: event-time operators (windows, watermarks,
+dedup ordering) operate at ≥ms granularity.
 """
 
 from __future__ import annotations
@@ -46,12 +50,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parquet outright, so callers on vanilla sessions would fail
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+    if name == "events":
+        df = normalize_event_time(df)
+    return df
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize any physical event-time representation to TimestampType.
+
+    Fixture/source generations vary: LONG nanoseconds (nanosAsLong shim),
+    TIMESTAMP_NTZ (tz-naive ``timestamp[us]`` parquet), or already-clean
+    TimestampType.  Batch and streaming scans both funnel through here so
+    the "downstream sees TimestampType" contract lives in exactly one place.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
         # nanosAsLong shim: LONG nanoseconds → TimestampType (µs precision).
         # `div` is exact integer division — `cast(ts/1000 as long)` would
         # round-trip through DOUBLE (53-bit mantissa < 60-bit ns epoch
         # values) and land ±1µs off the truncated value.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        # NTZ → TIMESTAMP is exact under the pinned UTC session timezone:
+        # the wall-clock fields are reinterpreted as UTC instants 1:1.
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

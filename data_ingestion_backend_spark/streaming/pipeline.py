@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_backend_spark.models import JobStatus
 from data_ingestion_backend_spark.pipeline import ingest_file
+from data_ingestion_backend_spark.sources.fixtures import normalize_event_time
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
 
 MANIFEST_SCHEMA = "path string, user_id long, filename string, enqueued_at string"
@@ -151,7 +152,8 @@ def windowed_event_counts(
     decimal cast keeps sums exact, as in the batch twin.
     """
     return (
-        events.withWatermark("ts", watermark)
+        normalize_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
@@ -179,7 +181,8 @@ def sessionize_stream(
     (user, session) with start/end/count.
     """
     return (
-        events.withWatermark("ts", watermark)
+        normalize_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -217,7 +220,9 @@ def dedup_docs_stream(
     At 100 TB the static side is a bucketed hash table, not a broadcast;
     the anti-join shuffles only the (tiny) per-batch arrivals.
     """
-    hashed = doc_stream.withColumn("content_hash", F.md5(F.col("text")))
+    hashed = normalize_event_time(doc_stream).withColumn(
+        "content_hash", F.md5(F.col("text"))
+    )
     fresh = hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
@@ -233,6 +238,8 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     streaming analogue of the row_number()=1 batch dedup; at 100 TB/day the
     watermark caps state instead of growing forever.
     """
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["user_id", "event_type"]
+    return (
+        normalize_event_time(events)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )

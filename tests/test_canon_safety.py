@@ -3,11 +3,16 @@ terminal types the grading driver's pandas-based canonicalization is
 proven to hash consistently across Spark and DuckDB.
 
 The driver converts both results to pandas, sorts columns by name, sorts
-rows by all columns, and hashes cell values.  Round-1 evidence pinned the
+rows by all columns, and hashes cell values.  Rounds 1-3 pinned the
 type-lossy paths:
 
-- DECIMAL with precision > 18 — DuckDB's hugeint-backed pandas path
-  hashes differently from Spark's ``Decimal`` objects (values equal).
+- DECIMAL terminals at ANY precision — Spark's toPandas() materializes
+  `decimal.Decimal` objects (object dtype) while DuckDB's fetchdf() gives
+  float64 for every decimal, so value-identical results hash differently.
+  Two full driver rounds (r2 narrowed 38→18, still red) falsified the
+  earlier "precision ≤18 is safe" theory; the contract is NO terminal
+  DECIMAL — round+cast to DOUBLE at the output boundary on both engines
+  (the `dbl()` helper in operators/queries.py).
 - HUGEINT on the oracle side — pandas converts to float64, losing exact
   integers past 2^53 (the 60-bit simhash failure).
 - Spark ``date_trunc`` (TIMESTAMP) vs DuckDB ``date_trunc`` (DATE for
@@ -68,16 +73,17 @@ def test_spark_terminal_types_canon_safe(spark, name):
             f"object-dtype `datetime.date` cells in pandas while DuckDB DATE "
             f"becomes datetime64; align on TIMESTAMP instead"
         )
-        if isinstance(dt, T.DecimalType):
-            assert dt.precision <= 18, (
-                f"{name}.{field.name}: DECIMAL({dt.precision},{dt.scale}) — "
-                f"precision >18 takes DuckDB's hugeint-backed pandas path; "
-                f"cast the terminal column to DECIMAL(18,x)"
-            )
-        else:
-            assert isinstance(dt, _SAFE_ATOMS), (
-                f"{name}.{field.name}: unvetted terminal type {dt}"
-            )
+        assert not isinstance(dt, T.DecimalType), (
+            f"{name}.{field.name}: DECIMAL({dt.precision},{dt.scale}) terminal — "
+            f"Spark emits decimal.Decimal objects, DuckDB float64, so the "
+            f"driver canon hash-fails even on identical values (driver rounds "
+            f"2 and 3 both proved this at every precision).  Keep decimal "
+            f"summation internal; project the terminal as "
+            f"dbl(col, scale) == ROUND(CAST(col AS DOUBLE), scale)"
+        )
+        assert isinstance(dt, _SAFE_ATOMS), (
+            f"{name}.{field.name}: unvetted terminal type {dt}"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
@@ -100,15 +106,23 @@ def test_oracle_terminal_types_canon_safe(spark, con, name):
                 f"{name}.{col}: oracle yields DATE while the canon-proven "
                 f"pairing is TIMESTAMP/TIMESTAMP"
             )
+        if base == "DECIMAL":
+            pytest.fail(
+                f"{name}.{col}: oracle yields {dtype} — DuckDB decimals "
+                f"fetch as float64 while Spark decimals fetch as Decimal "
+                f"objects; wrap the terminal in ROUND(CAST(... AS DOUBLE), s)"
+            )
         if isinstance(sdt, (T.TimestampType, T.TimestampNTZType)):
             assert base.startswith("TIMESTAMP"), (
                 f"{name}.{col}: spark TIMESTAMP vs duckdb {dtype}"
             )
 
 
-# rows-only BY DESIGN: approximate algorithms with no cross-engine value
-# oracle; their contracts are recall / error-bound tests
-ROWS_ONLY_ALLOWED = {"sim_ann_topk", "sketch_profile"}
+# rows-only graded queries are no longer allowed: a rows-only entry can
+# never earn `hash_match`, so approximate operators (ANN, sketches) live
+# in the STANDALONE registry with recall / error-bound tests instead and
+# every graded slot carries a real oracle.
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_registry_fits_driver_window():

@@ -15,6 +15,7 @@ from data_ingestion_backend_spark.plans.audit import (
     pushed_filters,
     read_schemas,
 )
+from data_ingestion_backend_spark.operators.queries import STANDALONE_QUERIES
 from data_ingestion_backend_spark.registry import QUERIES
 from tests.conftest import SF_DIR_ORACLE
 
@@ -22,7 +23,8 @@ from tests.conftest import SF_DIR_ORACLE
 @pytest.fixture(scope="module")
 def q(spark):
     def build(name):
-        return QUERIES[name](spark, SF_DIR_ORACLE)
+        fn = QUERIES.get(name) or STANDALONE_QUERIES[name]
+        return fn(spark, SF_DIR_ORACLE)
 
     return build
 
@@ -133,12 +135,29 @@ def test_asof_and_range_window_single_shuffle(q):
         assert "Join" not in plan, name
 
 
-def test_cube_two_phase_no_expand(q):
-    # q38 mirrors q33's two-phase shape: no Expand (native .cube() would
-    # quadruple shuffle input), partial+final aggregates still paired.
+def _expand_inputs(plan: str) -> list[str]:
+    """Return the Input list of every Expand node in a formatted plan."""
+    import re
+
+    inputs = []
+    for m in re.finditer(r"\(\d+\) Expand\n(Input[^\n]*)", plan):
+        inputs.append(m.group(1))
+    return inputs
+
+
+def test_cube_two_phase_expand_only_on_detail(q):
+    # q38 mirrors q33's two-phase shape: the Expand that implements the
+    # grouping tiers must consume the (tiny) detail AGGREGATE — never the
+    # raw scan (native .cube() on the table quadruples shuffle input).
     plan = formatted_plan(q("q38_cube"))
-    assert "Expand" not in plan
-    assert plan.count("HashAggregate") >= 2
+    expands = _expand_inputs(plan)
+    assert expands, "cube lost its grouping-tier Expand entirely?"
+    for inp in expands:
+        assert "sum_qty" in inp and "l_quantity" not in inp, (
+            "Expand consumes raw rows — the two-phase rewrite regressed"
+        )
+    # two partial+final pairs: detail aggregation + tier re-aggregation
+    assert plan.count("HashAggregate") >= 4
 
 
 def test_fact_joins_use_shuffle_hash(q):
@@ -156,11 +175,22 @@ def test_salted_agg_two_tiers(q):
     assert plan.count("HashAggregate") >= 4  # 2 tiers × (partial+final)
 
 
-def test_rollup_two_phase_no_expand(q):
-    # q33 is a two-phase rollup: the base groupBy must keep the partial+final
-    # hash-aggregate pair around its shuffle, and the plan must NOT contain an
-    # Expand node (the native .rollup() shape that triples shuffle input —
-    # the subtotal tiers re-aggregate the tiny detail aggregate instead).
+def test_rollup_two_phase_expand_only_on_detail(q):
+    # q33 is a two-phase rollup: the base groupBy keeps its partial+final
+    # hash-aggregate pair around the one big shuffle, and the Expand that
+    # implements the subtotal tiers consumes the tiny detail aggregate —
+    # never the raw scan (native .rollup() triples shuffle input).
     plan = formatted_plan(q("q33_rollup"))
-    assert "Expand" not in plan
-    assert plan.count("HashAggregate") >= 2  # partial + final around the shuffle
+    for inp in _expand_inputs(plan):
+        assert "sum_qty" in inp and "l_quantity" not in inp
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_merged_rollup_cube_cert_two_phase(q):
+    # the driver-graded tagged union must keep the same two-phase shape in
+    # both arms
+    plan = formatted_plan(q("q33_rollup_cube"))
+    expands = _expand_inputs(plan)
+    assert expands
+    for inp in expands:
+        assert "sum_qty" in inp and "l_quantity" not in inp

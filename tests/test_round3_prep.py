@@ -110,6 +110,68 @@ def test_quantize_preserves_cosine(spark):
     assert worst < 0.02
 
 
+def test_semantic_dedup_matches_duckdb_oracle(spark):
+    """Differential oracle for semantic dedup (the one dedup-family
+    operator with no static SQL text): the deterministic sample-fit
+    centroids are shared as a control-plane table (16×64 doubles), and
+    DuckDB independently recomputes the data plane — per-vector cosine
+    assignment with the argmax/tiebreak contract, then the per-cluster
+    canonical-representative window — over the same fixtures."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _train_centroids_sample,
+    )
+    from data_ingestion_backend_spark.operators.similarity import _emb
+    from tests.oracle_utils import compare_query, duckdb_connection
+
+    emb = _emb(spark, SF_DIR_ORACLE)
+    centroids = _train_centroids_sample(emb)
+
+    con = duckdb_connection(SF_DIR_ORACLE)
+    try:
+        import pandas as pd
+
+        cent_pdf = pd.DataFrame(
+            {
+                "cluster": range(len(centroids)),
+                "ce": [[float(v) for v in c] for c in centroids],
+            }
+        )
+        con.register("centroids", cent_pdf)
+        sql = """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT e.vec_id, c.cluster,
+                 list_cosine_similarity(e.ev, c.ce) AS cos_raw
+          FROM e CROSS JOIN centroids c
+        ),
+        assign AS (
+          SELECT vec_id, cluster, cos_raw,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cos_raw DESC, cluster
+                 ) AS rn
+          FROM scored
+        ),
+        a AS (
+          SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                 round(cos_raw, 6) AS cos_to_centroid
+          FROM assign WHERE rn = 1
+        )
+        SELECT vec_id, cluster, cos_to_centroid,
+               CAST(CASE WHEN ROW_NUMBER() OVER (
+                      PARTITION BY cluster
+                      ORDER BY cos_to_centroid DESC, vec_id) = 1
+                    THEN 1 ELSE 0 END AS INT) AS is_canonical
+        FROM a ORDER BY vec_id
+        """
+        compare_query(semantic_dedup_fixture(spark, SF_DIR_ORACLE), con, sql)
+    finally:
+        con.close()
+
+
 def test_semantic_dedup_canonical_properties(spark):
     a = semantic_dedup_fixture(spark, SF_DIR_ORACLE).collect()
     b = semantic_dedup_fixture(spark, SF_DIR_ORACLE).collect()
