@@ -587,14 +587,26 @@ def q38_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q33_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged rollup+cube cert: both two-phase grouping rewrites in one
-    driver-graded row (they share the detail-aggregate machinery, so one
-    hash certifies both; the individual q33/q38 forms stay standalone,
-    locally oracled).  See q33_rollup / q38_cube for the scale rationale.
+    driver-graded row (the individual q33/q38 forms stay standalone,
+    locally oracled).
+
+    The rollup tiers are exactly the cube tiers minus gid=2 (per-status),
+    so instead of a union of two plans — which Spark will NOT merge (two
+    full fact scans, no ReusedExchange across union arms) — the cube runs
+    ONCE over the two-phase detail aggregate and each output row explodes
+    into its tags: every row is 'cube', and rows with gid≠2 are also
+    'rollup'.  One scan, one big shuffle, and a narrow map over the
+    ~12-row cube result.  See q33_rollup / q38_cube for the two-phase
+    scale rationale.
     """
-    cube = q38_cube(spark, sf_dir).select(F.lit("cube").alias("op"), "*")
-    roll = q33_rollup(spark, sf_dir).select(F.lit("rollup").alias("op"), "*")
-    return cube.unionByName(roll).orderBy(
-        "op", "gid", "l_returnflag", "l_linestatus"
+    cube = q38_cube(spark, sf_dir)
+    tags = (
+        F.when(F.col("gid") == 2, F.array(F.lit("cube")))
+        .otherwise(F.array(F.lit("cube"), F.lit("rollup")))
+    )
+    return (
+        cube.select(F.explode(tags).alias("op"), "*")
+        .orderBy("op", "gid", "l_returnflag", "l_linestatus")
     )
 
 
