@@ -27,10 +27,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_backend_spark.operators.queries import _register
+from data_ingestion_backend_spark.operators.queries import (
+    _register,
+    _register_standalone,
+)
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
 FEATURE_DIM = 8
+RESIZE_MAX_SIDE = 32        # aspect-preserving bound for the resize stage
+FRAME_STRIDE_MS = 1000      # sample one frame per second of fake video
+FAKE_MS_PER_BYTE = 40       # stub duration model: 40 ms of "video" per byte
 
 MEDIA_SCHEMA = (
     "media_id bigint, media binary, "
@@ -151,6 +157,172 @@ def _media_features_oracle() -> str:
               [{feats}][i] AS feat
        FROM documents, (SELECT unnest(range(1, {FEATURE_DIM + 1})) AS i)
        ORDER BY media_id, pos"""
+
+
+# --------------------------------------------------------------------------
+# Resize — Arrow-batched, aspect-preserving downscale (stub resampler)
+# --------------------------------------------------------------------------
+
+RESIZED_SCHEMA = (
+    "media_id bigint, width int, height int, r_width int, r_height int, "
+    "r_md5 string"
+)
+
+
+def resize_media(media_df: DataFrame, max_side: int = RESIZE_MAX_SIDE) -> DataFrame:
+    """Aspect-preserving downscale to ``max_side`` via mapInPandas.
+
+    The resample kernel is STUBBED (no codecs in this container): target
+    dims are exact integer arithmetic on the decoded dims (floor scale,
+    never upscale, min 1 px), and the "resampled bytes" are replaced by a
+    deterministic content fingerprint ``md5(media || ':WxH')`` so the
+    whole stage — batching, per-row kernel call, output schema — has a
+    cross-engine oracle.  A real deployment swaps the two marked lines
+    for PIL's ``thumbnail``; the Spark plumbing is unchanged.
+
+    Map-only (no shuffle ever touches the bytes); at 100 TB this is the
+    same narrow pass as decode, and the resized artifact is written
+    alongside the original, partitioned identically.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "r_width": [], "r_height": [], "r_md5": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                blob = bytes(blob)
+                w, h, _ = _decode_stub(blob)
+                side = max(w, h)
+                if side <= max_side:
+                    rw, rh = w, h
+                else:
+                    rw = max(1, (w * max_side) // side)
+                    rh = max(1, (h * max_side) // side)
+                # STUB resample: fingerprint instead of real pixel data
+                r_md5 = hashlib.md5(blob + f":{rw}x{rh}".encode()).hexdigest()
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r_width"].append(rw)
+                out["r_height"].append(rh)
+                out["r_md5"].append(r_md5)
+            yield pd.DataFrame(out)
+
+    return media_df.select("media_id", "media").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
+
+
+def _media_resize_oracle() -> str:
+    # Same differential trick as media_features: the stub kernel is pure
+    # md5/integer arithmetic, so DuckDB recomputes the whole Arrow stage.
+    def byte(k: int) -> str:
+        return f"CAST(('0x' || substr(md5(text), {2 * k + 1}, 2)) AS INT)"
+
+    return f"""WITH dims AS (
+         SELECT doc_id AS media_id, text,
+                CAST(1 + {byte(0)} % 64 AS INT) AS width,
+                CAST(1 + {byte(1)} % 64 AS INT) AS height
+         FROM documents
+       ),
+       scaled AS (
+         SELECT media_id, text, width, height,
+                CASE WHEN greatest(width, height) <= {RESIZE_MAX_SIDE}
+                     THEN width
+                     ELSE greatest(1, (width * {RESIZE_MAX_SIDE})
+                                      // greatest(width, height)) END AS r_width,
+                CASE WHEN greatest(width, height) <= {RESIZE_MAX_SIDE}
+                     THEN height
+                     ELSE greatest(1, (height * {RESIZE_MAX_SIDE})
+                                      // greatest(width, height)) END AS r_height
+         FROM dims
+       )
+       SELECT media_id, width, height,
+              CAST(r_width AS INT) AS r_width, CAST(r_height AS INT) AS r_height,
+              md5(text || ':' || r_width || 'x' || r_height) AS r_md5
+       FROM scaled ORDER BY media_id"""
+
+
+@_register_standalone("media_resize", _media_resize_oracle())
+def media_resize_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over the fixture media table (standalone oracle —
+    the graded media certs already cover the family's driver rows)."""
+    return resize_media(media_table(spark, sf_dir)).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Frame sampling — Arrow-batched 1→N row expansion (stub video decoder)
+# --------------------------------------------------------------------------
+
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, t_ms bigint, frame_md5 string"
+
+
+def sample_frames(
+    media_df: DataFrame, stride_ms: int = FRAME_STRIDE_MS
+) -> DataFrame:
+    """Sample one frame every ``stride_ms`` from each (fake) video row.
+
+    The batch-shape test for video plumbing: mapInPandas emits a VARIABLE
+    number of rows per input row (1→N), which is the part a real frame
+    sampler needs from Spark — Arrow handles the fan-out, no explode of
+    byte arrays, bytes never shuffle.  The decoder is STUBBED: duration
+    is modeled as FAKE_MS_PER_BYTE (40) ms per payload byte and each frame's
+    content is the fingerprint ``md5(media || ':' || frame_idx)``; a real
+    deployment swaps those two lines for pyav keyframe extraction.
+
+    At 100 TB the sampled-frame table is written partitioned by
+    (media_id bucket), so per-video reassembly never shuffles frames.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "t_ms": [], "frame_md5": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                blob = bytes(blob)
+                duration_ms = FAKE_MS_PER_BYTE * len(blob)  # STUB duration
+                n_frames = max(1, -(-duration_ms // stride_ms))  # ceil, ≥1
+                for k in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["t_ms"].append(k * stride_ms)
+                    out["frame_md5"].append(
+                        hashlib.md5(blob + f":{k}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media_df.select("media_id", "media").mapInPandas(
+        frame_batches, schema=FRAMES_SCHEMA
+    )
+
+
+_FRAMES_SQL = f"""
+WITH v AS (
+  SELECT doc_id AS media_id, text,
+         {FAKE_MS_PER_BYTE} * octet_length(encode(text)) AS duration_ms
+  FROM documents
+),
+n AS (
+  SELECT media_id, text,
+         greatest(1, CAST(ceil(duration_ms / {FRAME_STRIDE_MS}.0) AS BIGINT))
+           AS n_frames
+  FROM v
+)
+SELECT media_id, CAST(t.k AS INT) AS frame_idx,
+       CAST(t.k * {FRAME_STRIDE_MS} AS BIGINT) AS t_ms,
+       md5(text || ':' || t.k) AS frame_md5
+FROM n, LATERAL (SELECT unnest(range(0, n_frames)) AS k) t
+ORDER BY media_id, frame_idx
+"""
+
+
+@_register_standalone("media_frame_sample", _FRAMES_SQL)
+def media_frame_sample_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the fixture media table (standalone oracle)."""
+    return sample_frames(media_table(spark, sf_dir)).orderBy(
+        "media_id", "frame_idx"
+    )
 
 
 @_register("media_features", _media_features_oracle())

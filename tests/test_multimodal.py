@@ -43,3 +43,47 @@ def test_decode_shapes_and_determinism(spark):
             r["height"],
             tuple(r["feature"]),
         )
+
+
+def test_resize_bounds_and_aspect(spark):
+    from data_ingestion_backend_spark.operators.multimodal import (
+        RESIZE_MAX_SIDE,
+        media_resize_fixture,
+    )
+
+    rows = media_resize_fixture(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_width"] <= RESIZE_MAX_SIDE
+        assert 1 <= r["r_height"] <= RESIZE_MAX_SIDE
+        # never upscale; aspect ordering preserved
+        assert r["r_width"] <= r["width"] and r["r_height"] <= r["height"]
+        if r["width"] > r["height"]:
+            assert r["r_width"] >= r["r_height"]
+        elif r["width"] < r["height"]:
+            assert r["r_width"] <= r["r_height"]
+        if max(r["width"], r["height"]) <= RESIZE_MAX_SIDE:
+            assert (r["r_width"], r["r_height"]) == (r["width"], r["height"])
+
+
+def test_frame_sample_fanout_and_determinism(spark):
+    from data_ingestion_backend_spark.operators.multimodal import (
+        FAKE_MS_PER_BYTE,
+        FRAME_STRIDE_MS,
+        media_frame_sample_fixture,
+        media_table,
+    )
+
+    media = media_table(spark, SF_DIR_SMALL)
+    n_bytes = {r["media_id"]: r["meta"]["n_bytes"] for r in media.collect()}
+    frames: dict[int, list] = {}
+    for r in media_frame_sample_fixture(spark, SF_DIR_SMALL).collect():
+        frames.setdefault(r["media_id"], []).append(r)
+    assert set(frames) == set(n_bytes)  # every video sampled, even empty ones
+    for mid, rows in frames.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        expected = max(1, -(-FAKE_MS_PER_BYTE * n_bytes[mid] // FRAME_STRIDE_MS))
+        assert len(rows) == expected
+        assert [r["frame_idx"] for r in rows] == list(range(expected))
+        assert all(r["t_ms"] == r["frame_idx"] * FRAME_STRIDE_MS for r in rows)
+        assert len({r["frame_md5"] for r in rows}) == expected  # distinct frames
