@@ -101,6 +101,30 @@ def test_ann_combined_matches_standalone_forms(spark):
     assert got_ivf == ivf
 
 
+def test_rollup_cube_cert_matches_standalone_forms(spark):
+    """The tagged q33_rollup_cube cert derives its rollup arm from the
+    cube result (tag-explode, single scan); both arms must stay equal to
+    the standalone two-phase q33/q38 forms row-for-row."""
+    from data_ingestion_backend_spark.operators.queries import STANDALONE_QUERIES
+    from data_ingestion_backend_spark.registry import QUERIES
+
+    def keyed(rows):
+        return {
+            (r["gid"], r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["n"])
+            for r in rows
+        }
+
+    merged = QUERIES["q33_rollup_cube"](spark, SF_DIR_SMALL).collect()
+    cube = keyed(STANDALONE_QUERIES["q38_cube"](spark, SF_DIR_SMALL).collect())
+    roll = keyed(STANDALONE_QUERIES["q33_rollup"](spark, SF_DIR_SMALL).collect())
+    got_cube = keyed([r for r in merged if r["op"] == "cube"])
+    got_roll = keyed([r for r in merged if r["op"] == "rollup"])
+    assert got_cube == cube
+    assert got_roll == roll
+    # rollup == cube minus the per-status tier, the identity the rewrite uses
+    assert set(roll) == {k for k in cube if k[0] != 2}
+
+
 def test_setops_arms_match_native_forms(spark):
     from data_ingestion_backend_spark.registry import QUERIES
     from data_ingestion_backend_spark.sources.fixtures import load_table

@@ -2,10 +2,11 @@
 """5x scale stress harness: wall-clock ratio of heavy operators at 5x data.
 
 Builds a synthetic 5x corpus from $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) — five id-offset copies of `documents`, which is
-adversarial for dedup-family operators because every document gains four
-planted duplicates — then times each listed operator at 1x and 5x (noop
-sink, best-of-2) and prints one JSON line of ratios.
+/root/testdata/sf0.1) — five id-offset copies of `documents` (adversarial
+for dedup: every document gains four planted duplicates), `events`
+(id+user offset → 5x series), `lineitem` (orderkey offset), and
+`embeddings` (vec_id offset) — then times each listed operator at 1x and
+5x (noop sink, best-of-2) and prints one JSON line of ratios.
 
 A shape is healthy when its ratio tracks its design: O(n) operators land
 ~1-5x (fixed overhead hides linearity at the low end), candidate-bounded
@@ -28,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from data_ingestion_backend_spark.operators.queries import STANDALONE_QUERIES
 from data_ingestion_backend_spark.plans.session import get_spark
 from data_ingestion_backend_spark.registry import QUERIES
 
@@ -43,25 +45,41 @@ DEFAULT_OPS = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_sig",
+    # round-3/4 operators
+    "prep_chunk_docs",
+    "prep_domain_cap",
+    "emb_quantize_int8",
+    "ts_gapfill_hourly",
+    "ts_event_gaps",
+    "agg_grouping_sets",
+    "q33_rollup_cube",
+    "media_resize",
+    "media_frame_sample",
 ]
+
+# (table, id columns to offset by i*max+1 per copy) — offsets keep keys
+# unique so dedup collisions come only from the planted document copies
+MULTIPLIED = {
+    "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+    "embeddings": ["vec_id"],
+}
 
 
 def build_corpus(spark, out_dir: str) -> None:
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    copies = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-        for i in range(COPIES)
-    ]
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
-    # non-document tables pass through untouched (doc-family ops only read
-    # documents; passthrough keeps load_table paths valid)
-    for t in (
-        "region nation customer supplier part orders lineitem events embeddings"
-    ).split():
+    for table, id_cols in MULTIPLIED.items():
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+        bounds = df.agg(*[F.max(c).alias(c) for c in id_cols]).collect()[0]
+        out = None
+        for i in range(COPIES):
+            c = df
+            for col in id_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * (bounds[col] + 1)))
+            out = c if out is None else out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+    # remaining tables pass through untouched (keeps load_table paths valid)
+    for t in "region nation customer supplier part orders".split():
         src = os.path.join(SF_DIR, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):
@@ -85,7 +103,7 @@ def main() -> None:
         build_corpus(spark, tmp)
         out = {}
         for name in ops:
-            fn = QUERIES[name]
+            fn = QUERIES.get(name) or STANDALONE_QUERIES[name]
             base = timed(fn, spark, SF_DIR)
             big = timed(fn, spark, tmp)
             out[name] = {
