@@ -72,7 +72,7 @@ def main() -> None:
         n
         for n in QUERIES
         if n.split("_")[0]
-        in {"dedup", "sim", "text", "sketch", "prep", "ts", "emb", "agg", "scale"}
+        in {"dedup", "sim", "text", "sketch", "prep", "ts", "emb", "agg", "scale", "media"}
         and n not in names
     ]
 

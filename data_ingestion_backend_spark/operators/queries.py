@@ -53,7 +53,6 @@ ORACLE: dict[str, str] = {}
 # The terminal contract is therefore `dbl()` below: exact decimal inside,
 # ROUND(CAST(... AS DOUBLE), scale) at the output boundary on BOTH engines.
 DEC2 = "decimal(18,2)"
-DEC4 = "decimal(18,4)"
 
 
 def dbl(col, scale: int = 2):
