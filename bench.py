@@ -2,12 +2,19 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
-``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "spread": {...}, "runs_per_query": 5, "loadavg": {...}}``
 
 - ``value`` = total wall-clock seconds across the headline queries
   (excluding SparkSession startup and the untimed warm-up pass).
-- Each query is executed to completion (``collect`` for small results,
-  ``count``-style terminal action otherwise) so the full physical plan runs.
+- Each per-query number is the MEDIAN of ``RUNS`` timed executions, with
+  the min/max spread recorded per query under ``spread`` — a regression
+  is only believable when the medians' spread windows don't overlap.
+- ``loadavg`` records the host 1/5/15-min load before and after the
+  sweep: on a shared sandbox, elevated load explains broad drift that
+  would otherwise read as a code regression.
+- Each query is executed to completion via the noop sink so the full
+  physical plan runs.
 
 Env knobs: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32).
@@ -17,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +35,7 @@ from data_ingestion_backend_spark.registry import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 # Headline set: the shapes that dominate real workloads — big decimal agg,
 # shuffling joins, windows, event dedup, distinct-agg, json, plus the
@@ -79,18 +88,28 @@ def main() -> None:
     # warm-up (JVM/codegen/file listing) — untimed
     QUERIES["q12_pricing_summary"](spark, SF_DIR).collect()
 
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(3):  # best-of-3: absorbs JIT/GC/page-cache noise
+        samples: list[float] = []
+        for _ in range(RUNS):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             # noop sink: executes the complete physical plan (scan→…→sort)
             # without paying Python-side row materialization, so the number
             # measures the engine, not py4j serialization.
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        # Median, not best-of: best-of hides real regressions behind one
+        # lucky run and can't distinguish noise from drift.  The min/max
+        # window is the evidence a reviewer needs to attribute a delta.
+        timings[name] = round(statistics.median(samples), 4)
+        spread[name] = {
+            "min": round(min(samples), 4),
+            "max": round(max(samples), 4),
+        }
+    load_end = os.getloadavg()
 
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -98,6 +117,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
+        "runs_per_query": RUNS,
+        "spread": spread,
+        "loadavg": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in load_end],
+        },
     }
     print(json.dumps(out))
     spark.stop()

@@ -245,7 +245,8 @@ def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_range_join",
     f"""SELECT p.event_id AS purchase_id, p.user_id,
                CAST(COUNT(*) AS BIGINT) AS n_prior,
-               ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4)
+               ROUND(CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 4)
+                          AS DOUBLE), 4)
                  AS sum_value
         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
               FROM events WHERE event_type = 'purchase') p
@@ -298,7 +299,15 @@ def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id", "p_user")
         .agg(
             F.count("*").alias("n_prior"),
-            dbl(F.sum(F.col("value").cast("decimal(18,6)")), 4).alias("sum_value"),
+            # Pre-round the exact decimal sum to the terminal scale (4 < the
+            # summed scale 6) IN DECIMAL ARITHMETIC on both engines: a sum
+            # whose 5th-6th digits are exactly '50' sits on a double-rounding
+            # midpoint, and Spark/DuckDB could round a near-midpoint double
+            # to different sides.  After the exact HALF_UP decimal round the
+            # value is never on a midpoint of the final double round.
+            dbl(F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4), 4).alias(
+                "sum_value"
+            ),
         )
         .select(
             "purchase_id",

@@ -85,7 +85,7 @@ w AS (
 SELECT event_type, hr,
        CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
        round(CASE
-         WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+         WHEN v IS NOT NULL THEN CAST(ROUND(v, 4) AS DOUBLE)
          WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
            CAST(pv AS DOUBLE)
            + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
@@ -156,7 +156,10 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.expr("timestampdiff(HOUR, pd, nd)").cast("double")
     )
     filled = (
-        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        # Observed branch: exact HALF_UP decimal round to the terminal
+        # scale (4 < summed scale 6) BEFORE the double cast, mirrored in
+        # the oracle — see the q32 midpoint note in queries2.py.
+        F.when(F.col("v").isNotNull(), F.round(F.col("v"), 4).cast("double"))
         .when(
             F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
         )

@@ -63,6 +63,11 @@ def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     TimestampType.  Batch and streaming scans both funnel through here so
     the "downstream sees TimestampType" contract lives in exactly one place.
     """
+    if col not in df.columns:
+        # Event-time contract: sources without the column pass through
+        # unchanged (callers that REQUIRE event time fail on their own
+        # terms, with the column name, not an opaque schema KeyError here).
+        return df
     dt = df.schema[col].dataType
     if isinstance(dt, T.LongType):
         # nanosAsLong shim: LONG nanoseconds → TimestampType (µs precision).

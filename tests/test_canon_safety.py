@@ -128,11 +128,14 @@ ROWS_ONLY_ALLOWED: set[str] = set()
 def test_registry_fits_driver_window():
     """The grading driver records correctness rows for the FIRST 50
     registered queries only — exceeding 50 silently un-grades whatever
-    registers last (the round-1 failure mode this guards against)."""
-    assert len(QUERIES) <= 50, (
-        f"{len(QUERIES)} registered queries — consolidate into tagged/wide "
-        f"certs (see COVERAGE.md 'Registry sizing') instead of exceeding "
-        f"the driver's 50-row correctness window"
+    registers last (the round-1 failure mode), while UNDERshooting 50
+    silently wastes a correctness slot (a dropped query would keep this
+    suite green).  Pin exactly 50."""
+    assert len(QUERIES) == 50, (
+        f"{len(QUERIES)} registered queries, expected exactly 50 — the "
+        f"driver grades a 50-row correctness window; consolidate into "
+        f"tagged/wide certs if over (see COVERAGE.md 'Registry sizing'), "
+        f"promote a standalone entry if under"
     )
 
 

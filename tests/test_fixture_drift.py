@@ -16,10 +16,88 @@ import os
 import pytest
 from pyspark.sql import types as T
 
-from data_ingestion_backend_spark.sources.fixtures import load_table, normalize_event_time
+from data_ingestion_backend_spark.sources.fixtures import (
+    TABLES,
+    load_table,
+    normalize_event_time,
+)
 
 SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
            if os.path.isdir(d)]
+
+# Loader-level schema snapshot for EVERY fixture table (post-normalization,
+# i.e. what downstream operators actually see).  events.ts once silently
+# changed physical type and took down 17 tests; this pins all ten tables so
+# the next regeneration of ANY of them fails one cheap test that names the
+# drifted column.  NOTE: timestamps in orders/lineitem arrive NTZ (harmless —
+# operators cast at use sites under the pinned UTC session); events.ts is
+# the one column the loader itself must canonicalize to TIMESTAMP.
+EXPECTED_SCHEMAS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp_ntz"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
@@ -35,12 +113,28 @@ def test_events_ts_is_canonical_timestamp(spark, sf_dir):
     assert df.limit(1).count() in (0, 1)
 
 
+def test_snapshot_covers_every_table():
+    assert set(EXPECTED_SCHEMAS) == set(TABLES)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("table", sorted(TABLES))
+def test_fixture_schema_snapshot(spark, sf_dir, table):
+    got = [
+        (f.name, f.dataType.simpleString())
+        for f in load_table(spark, sf_dir, table).schema.fields
+    ]
+    assert got == EXPECTED_SCHEMAS[table], (
+        f"fixture drift in {sf_dir}/{table}.parquet: loader now yields "
+        f"{got}, snapshot says {EXPECTED_SCHEMAS[table]} — the testdata "
+        f"generator changed this table; update operators/oracles "
+        f"deliberately, then refresh EXPECTED_SCHEMAS"
+    )
+
+
 def test_normalize_event_time_handles_all_variants(spark):
     """Unit-level: each physical variant normalizes to the same instant."""
-    from datetime import datetime
-
-    base = datetime(2024, 3, 1, 12, 30, 45, 123456)
-    micros = int(base.timestamp() * 0) + 1709296245123456  # 2024-03-01T12:30:45.123456Z
+    micros = 1709296245123456  # 2024-03-01T12:30:45.123456Z as epoch-µs
     # LONG nanoseconds
     long_df = spark.createDataFrame([(micros * 1000,)], "ts long")
     # TIMESTAMP_NTZ
