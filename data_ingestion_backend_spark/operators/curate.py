@@ -8,11 +8,13 @@ repetition scoring and length filtering (``mlprep``) — into one
 per-document decision table: ``keep`` plus an explicit, deterministic
 ``drop_reasons`` list, and the PII-redacted text for the survivors.
 
-This is the integration artifact the standalone operators exist for; it
-is golden-tested (the verdict must agree with each source signal
-row-by-row) rather than registry-certified — every constituent signal
-already has a driver-graded oracle row, and the composition here is pure
-column logic over their joined outputs.
+This is the integration artifact the standalone operators exist for.
+Beyond the golden tests (the verdict must agree with each source signal
+row-by-row), the composed E2E verdict carries its own DuckDB
+differential oracle in the standalone registry: the already-oracled
+signal SQL texts are embedded as CTEs and the keep/drop/redact logic is
+re-expressed in SQL, so the composition itself — not just each signal —
+is cross-engine checked.
 
 Scale shape: every input is keyed by doc_id and produced by operators
 whose own shuffle story is documented in SCALE.md; the joins add only
@@ -26,12 +28,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_backend_spark.operators.dedup import dedup_clusters
+from data_ingestion_backend_spark.operators.dedup import (
+    _minhash_ctes,
+    dedup_clusters,
+)
 from data_ingestion_backend_spark.operators.mlprep import (
     prep_length_deciles,
     prep_repetition,
 )
+from data_ingestion_backend_spark.operators.queries import (
+    ORACLE,
+    STANDALONE_ORACLES,
+    _register_standalone,
+)
 from data_ingestion_backend_spark.operators.text import (
+    PII_PATTERNS,
     redact_pii,
     text_doc_stats,
     text_lang_id,
@@ -43,6 +54,63 @@ MAX_TOP_BIGRAM_FRAC = 0.5
 KNOWN_LANGS = ("en", "es", "pt", "fr", "de")
 
 
+def _curate_oracle_sql() -> str:
+    """DuckDB twin of the composed verdict, built FROM the constituent
+    oracles: each signal's already-certified SQL text is embedded as a CTE
+    (DuckDB allows a nested WITH inside a CTE body), the cluster closure
+    re-uses the shared recursive minhash CTE chain, and the keep/drop/
+    redact logic mirrors :func:`curate_corpus` clause for clause."""
+    redacted = "r.text"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    langs = ", ".join(f"'{x}'" for x in KNOWN_LANGS)
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+  und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+  ),
+  reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+  ),
+  clus AS (
+    SELECT id AS doc_id, MIN(lbl) = id AS is_canonical
+    FROM reach GROUP BY id
+  ),
+  stats AS ({ORACLE["text_doc_stats"]}),
+  lang AS ({ORACLE["text_lang_id"]}),
+  rep AS ({STANDALONE_ORACLES["prep_repetition"]}),
+  dec AS ({STANDALONE_ORACLES["prep_length_deciles"]}),
+  verdict AS (
+    SELECT d.doc_id,
+           concat_ws(',',
+             CASE WHEN NOT c.is_canonical THEN 'near_dup' END,
+             CASE WHEN s.quality < {MIN_QUALITY} THEN 'low_quality' END,
+             CASE WHEN rp.top_bigram_frac > {MAX_TOP_BIGRAM_FRAC}
+                  THEN 'repetitive' END,
+             CASE WHEN l.lang_pred NOT IN ({langs}) THEN 'unknown_lang' END,
+             CASE WHEN de.length_filter = 'clip' THEN 'length_outlier' END
+           ) AS drop_reasons,
+           s.n_tokens_bpe, d.text
+    FROM documents d
+    JOIN stats s USING (doc_id)
+    JOIN lang l USING (doc_id)
+    JOIN rep rp USING (doc_id)
+    JOIN dec de USING (doc_id)
+    JOIN clus c USING (doc_id)
+  )
+SELECT r.doc_id,
+       (r.drop_reasons = '') AS keep,
+       r.drop_reasons,
+       r.n_tokens_bpe,
+       CASE WHEN r.drop_reasons = '' THEN {redacted} END AS clean_text
+FROM verdict r ORDER BY r.doc_id"""
+
+
+@_register_standalone("curate_corpus", _curate_oracle_sql())
 def curate_corpus(
     spark: SparkSession,
     sf_dir: str,

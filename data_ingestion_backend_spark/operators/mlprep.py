@@ -701,6 +701,48 @@ def prep_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Default target mix for the oracled standalone form: weights are exact
+#: binary fractions already summing to 1, so the Python-side
+#: normalization (w / total_w) and the SQL literals are bit-identical
+#: doubles and quota arithmetic (n/w division, floor(w*t_max)) agrees
+#: across engines at any scale factor.
+MIX_TARGETS: dict[str, float] = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+
+
+@_register_standalone(
+    "prep_mix_to_targets",
+    f"""WITH tgt(source, w) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in MIX_TARGETS.items())}),
+       counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       sized AS (SELECT c.source, c.n, t.w FROM counts c JOIN tgt t USING (source)),
+       bound AS (SELECT MIN(n / w) AS t_max FROM sized),
+       quota AS (SELECT source, FLOOR(w * t_max) AS quota
+                 FROM sized CROSS JOIN bound),
+       rk AS (
+         SELECT doc_id, source,
+                ROW_NUMBER() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank
+         FROM documents
+       )
+       SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank
+       FROM rk r JOIN quota q USING (source)
+       WHERE r.src_rank <= q.quota
+       ORDER BY r.doc_id""",
+)
+def prep_mix_to_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled standalone form of :func:`mix_to_targets` with a pinned
+    target mix: 50/25/25 over the first three fixture sources (all other
+    sources drop).  md5-first ranking is deterministic, so the DuckDB
+    twin reproduces the exact kept set and ranks — the resampler's full
+    verdict is cross-engine checked, not just its row count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        mix_to_targets(docs, dict(MIX_TARGETS))
+        .select("doc_id", "source", F.col("src_rank").cast("bigint").alias("src_rank"))
+        .orderBy("doc_id")
+    )
+
+
 def mix_to_targets(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
     """Resample a corpus to a target per-source mix, keeping as much data
     as the targets allow.

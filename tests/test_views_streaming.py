@@ -161,3 +161,104 @@ def test_dedup_stream_one_per_key(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT user_id, event_type, COUNT(*) c FROM dedup GROUP BY 1,2").collect()
     assert rows and all(r["c"] == 1 for r in rows)
+
+
+# --- crash recovery ---------------------------------------------------------
+
+# Stable (non-timestamp) columns per warehouse table: the recovery
+# guarantee is about CONTENT equality; created_at/updated_at legitimately
+# differ between a crashed-and-replayed run and an uninterrupted one.
+_STABLE_COLS = {
+    "jobs": ["job_id", "job_user_id", "job_filename", "job_status",
+             "job_total_rows", "job_processed_rows", "job_issue_count",
+             "job_error"],
+    "staging": ["staging_id", "staging_job_id", "line_no", "email",
+                "first_name", "last_name", "company", "staging_status",
+                "staging_row_hash"],
+    "issues": ["issue_id", "issues_job_id", "issue_type"],
+    "contacts": ["contact_id", "contacts_user_id", "email", "first_name",
+                 "last_name", "company"],
+}
+
+
+def _snapshot(wh):
+    out = {}
+    for table, cols in _STABLE_COLS.items():
+        out[table] = sorted(
+            tuple(r[c] for c in cols) for r in wh.read(table).select(cols).collect()
+        )
+    return out
+
+
+def _corpus_files(tmp_path, tag):
+    return [
+        _write(tmp_path, f"{tag}_a.csv",
+               "email,first_name,last_name,company\na@x.com,A,B,C\n"),
+        _write(tmp_path, f"{tag}_b.csv",
+               "email,first_name,last_name,company\n"
+               "b@x.com,B,C,D\n,NoMail,Mo,MoCo\n"),
+        _write(tmp_path, f"{tag}_c.csv",
+               "email,first_name,last_name,company\n"
+               "c@x.com,C,D,E\nc@x.com,C2,D2,E2\n"),
+    ]
+
+
+def test_streaming_crash_recovery_mid_batch(spark, tmp_path, monkeypatch):
+    """Kill the query AFTER the micro-batch's ingest work but BEFORE its
+    checkpoint commit (the worst-case crash window), restart over the same
+    checkpoint, and require the ledger + staging + issues + contacts
+    snapshots to equal an uninterrupted run byte-for-byte on every stable
+    column.  This is the St3 idempotent-replay claim exercised through an
+    ACTUAL failed-and-restarted StreamingQuery rather than a second
+    enqueue: on restart Structured Streaming re-delivers the whole
+    uncommitted batch and ingest idempotency must absorb it.
+    """
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse as WH
+
+    # uninterrupted reference run
+    ref_wh = Warehouse(spark, str(tmp_path / "ref_wh"))
+    ref_landing = str(tmp_path / "ref_landing")
+    os.makedirs(ref_landing)
+    # IDENTICAL file names in both runs (job_id = md5(user|filename)):
+    # write the shared corpus once, enqueue into each landing zone.
+    files = _corpus_files(tmp_path, "crash")
+    for f in files:
+        enqueue_file(ref_landing, f, USER)
+    process_queue(spark, ref_wh, ref_landing)
+
+    # crashed-then-recovered run over its own landing + checkpoint
+    wh = Warehouse(spark, str(tmp_path / "c_wh"))
+    landing = str(tmp_path / "c_landing")
+    os.makedirs(landing)
+    for f in files:
+        enqueue_file(landing, f, USER)
+
+    real_vacuum = WH.vacuum
+
+    def _crash_before_commit(self, *args, **kwargs):
+        # handle_batch calls vacuum after ingesting every manifest of the
+        # batch and before foreachBatch returns — raising here fails the
+        # query with all ingest work done and the offset NOT committed.
+        raise RuntimeError("injected crash: post-ingest, pre-commit")
+
+    monkeypatch.setattr(WH, "vacuum", _crash_before_commit)
+    try:
+        process_queue(spark, wh, landing)
+        raise AssertionError("injected crash did not propagate")
+    except Exception as exc:  # noqa: BLE001 — StreamingQueryException wrapper
+        assert "injected crash" in str(exc)
+    finally:
+        monkeypatch.setattr(WH, "vacuum", real_vacuum)
+
+    # the work happened, the offset didn't commit
+    assert wh.read("jobs").count() == 3
+
+    # restart over the same checkpoint: the whole batch replays
+    process_queue(spark, wh, landing)
+
+    assert _snapshot(wh) == _snapshot(ref_wh)
+
+    # and a further drain with nothing new changes nothing
+    v = wh.current_version("jobs")
+    process_queue(spark, wh, landing)
+    assert wh.current_version("jobs") == v
