@@ -237,6 +237,28 @@ def _minhash_oracle_sql() -> str:
     )
 
 
+def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized per-doc table: 16 minhash columns + the distinct
+    shingle array (``ss``) + its size (``n``).  One groupBy builds the
+    signatures AND the arrays (Spark re-executes common subplans that
+    feed different aggregates — a second groupBy would re-run the whole
+    shingle pipeline); every family member that needs per-doc shingle
+    arrays (LSH verify, n-gram Jaccard verify) reads THIS frame."""
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("bigint")
+
+    def _build_per_doc() -> DataFrame:
+        return _docs_shingled(spark, sf_dir).groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{j}")
+                for j, (a, b) in enumerate(MINHASH_COEFFS)
+            ],
+            F.collect_list("s").alias("ss"),
+            F.count("*").alias("n"),
+        )
+
+    return _session_persisted(spark, sf_dir, "minhash_per_doc", _build_per_doc)
+
+
 @_register("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification.
@@ -250,25 +272,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification joins shingles for candidate pairs only.  AQE handles a
     hot bucket via skew-join splitting; shingle-hash shuffles are uniform.
 
-    One pass builds minhash signatures AND the per-doc shingle arrays in
-    the same groupBy (Spark re-executes common subplans that feed
-    different aggregates — a second groupBy would re-run the whole
-    shingle pipeline), persisted MEMORY_AND_DISK because three plan arms
-    (banding, verify-a, verify-b) consume it.
+    The per-doc signature/array table is session-memoized and persisted
+    MEMORY_AND_DISK because three plan arms here (banding, verify-a,
+    verify-b) plus the n-gram operator consume it.
     """
-    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("bigint")
-
-    def _build_per_doc() -> DataFrame:
-        return _docs_shingled(spark, sf_dir).groupBy("doc_id").agg(
-            *[
-                F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{j}")
-                for j, (a, b) in enumerate(MINHASH_COEFFS)
-            ],
-            F.collect_list("s").alias("ss"),
-            F.count("*").alias("n"),
-        )
-
-    per_doc = _session_persisted(spark, sf_dir, "minhash_per_doc", _build_per_doc)
+    per_doc = _minhash_per_doc(spark, sf_dir)
     sig = per_doc
     band_structs = F.array(
         *[
@@ -680,15 +688,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate pairs expand *inside* each rare posting list (≤ MAX_DF docs
     → ≤ MAX_DF² tiny pairs, generated map-side) instead of the classic
     two-sided self-join on the shingle string — removes two hash joins
-    and a wide string shuffle from the plan.  The exploded table feeds
-    two arms (per-doc arrays, inverted index), hence the persist.
+    and a wide string shuffle from the plan.  The per-doc verify arrays
+    come from the session-memoized minhash per-doc table (same distinct
+    shingle sets — the minhash columns ride along unused), so a sweep
+    that has already run any LSH-family query pays zero extra shingle
+    groupBys here; the inverted index keeps its own memoized explode.
     """
     sh = _session_persisted(
         spark, sf_dir, "ngram_shingles", lambda: _docs_shingled(spark, sf_dir)
     )
-    per_doc = sh.groupBy("doc_id").agg(
-        F.collect_list("s").alias("ss"), F.count("*").alias("n")
-    )
+    per_doc = _minhash_per_doc(spark, sf_dir).select("doc_id", "ss", "n")
     postings = (
         sh.groupBy("s")
         .agg(F.collect_list("doc_id").alias("docs"))

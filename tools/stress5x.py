@@ -1,23 +1,29 @@
 #!/usr/bin/env python
-"""5x scale stress harness: wall-clock ratio of heavy operators at 5x data.
+"""N-x scale stress harness: wall-clock ratio of heavy operators at N-x data.
 
-Builds a synthetic 5x corpus from $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) — five id-offset copies of `documents` (adversarial
-for dedup: every document gains four planted duplicates), `events`
-(id+user offset → 5x series), `lineitem` (orderkey offset), and
-`embeddings` (vec_id offset) — then times each listed operator at 1x and
-5x (noop sink, best-of-2) and prints one JSON line of ratios.
+Builds a synthetic N-x corpus from $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) — N id-offset copies of `documents` (adversarial
+for dedup: every document gains N-1 planted duplicates), `events`
+(id+user offset → N-x series), `orders`+`lineitem` (SHARED orderkey
+offset so the fact⋈fact join fans out with the data), and `embeddings`
+(vec_id offset) — then times each listed operator at 1x and Nx
+(noop sink, best-of-2) and prints one JSON line of ratios.
 
 A shape is healthy when its ratio tracks its design: O(n) operators land
-~1-5x (fixed overhead hides linearity at the low end), candidate-bounded
-dedup grows with collisions, and only the documented exact-quadratic
-baseline may exceed that.  Ratios are recorded in SCALE.md §6.
+~1-Nx (fixed overhead hides linearity at the low end), candidate-bounded
+dedup grows with collisions (the planted-duplicate corpus is adversarial:
+at Nx every doc sits in an N-clique of exact copies, so pair output grows
+O(N²) BY CONSTRUCTION — the candidate generation itself stays
+posting/bucket-bounded), and only the documented exact-quadratic baseline
+may exceed that.  Ratios are recorded in SCALE.md §6/§7.
 
-Usage: python tools/stress5x.py [op ...]   (default: the doc-family set)
+Usage: python tools/stress5x.py [--copies N] [op ...]
+       (default: 5 copies, the doc-family set)
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -34,7 +40,6 @@ from data_ingestion_backend_spark.plans.session import get_spark
 from data_ingestion_backend_spark.registry import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-COPIES = 5
 DEFAULT_OPS = [
     "text_doc_stats",
     "text_lang_id",
@@ -57,29 +62,43 @@ DEFAULT_OPS = [
     "media_frame_sample",
 ]
 
-# (table, id columns to offset by i*max+1 per copy) — offsets keep keys
-# unique so dedup collisions come only from the planted document copies
+# (table, id columns to offset per copy) — offsets keep keys unique so
+# dedup collisions come only from the planted document copies.  orders and
+# lineitem share ONE offset base (max o_orderkey + 1) so l_orderkey keeps
+# matching o_orderkey inside every copy and the q28/q29 join output scales
+# with the corpus instead of silently joining to nothing.
 MULTIPLIED = {
     "documents": ["doc_id"],
     "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey"],
     "embeddings": ["vec_id"],
 }
+_SHARED_OFFSET = {"l_orderkey": ("orders", "o_orderkey"), "o_orderkey": ("orders", "o_orderkey")}
 
 
-def build_corpus(spark, out_dir: str) -> None:
+def build_corpus(spark, out_dir: str, copies: int) -> None:
+    shared: dict[tuple[str, str], int] = {}
+    for table, col in set(_SHARED_OFFSET.values()):
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
+        shared[(table, col)] = df.agg(F.max(col)).collect()[0][0] + 1
     for table, id_cols in MULTIPLIED.items():
         df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
         bounds = df.agg(*[F.max(c).alias(c) for c in id_cols]).collect()[0]
         out = None
-        for i in range(COPIES):
+        for i in range(copies):
             c = df
             for col in id_cols:
-                c = c.withColumn(col, F.col(col) + F.lit(i * (bounds[col] + 1)))
+                base = (
+                    shared[_SHARED_OFFSET[col]]
+                    if col in _SHARED_OFFSET
+                    else bounds[col] + 1
+                )
+                c = c.withColumn(col, F.col(col) + F.lit(i * base))
             out = c if out is None else out.unionByName(c)
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
     # remaining tables pass through untouched (keeps load_table paths valid)
-    for t in "region nation customer supplier part orders".split():
+    for t in "region nation customer supplier part".split():
         src = os.path.join(SF_DIR, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):
@@ -96,11 +115,15 @@ def timed(fn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
-    ops = sys.argv[1:] or DEFAULT_OPS
-    spark = get_spark(app_name="stress5x", master="local[32]")
-    tmp = tempfile.mkdtemp(prefix="stress5x_", dir=os.path.dirname(__file__))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=5)
+    ap.add_argument("ops", nargs="*", default=DEFAULT_OPS)
+    args = ap.parse_args()
+    ops = args.ops or DEFAULT_OPS
+    spark = get_spark(app_name=f"stress{args.copies}x", master="local[32]")
+    tmp = tempfile.mkdtemp(prefix=f"stress{args.copies}x_", dir=os.path.dirname(__file__))
     try:
-        build_corpus(spark, tmp)
+        build_corpus(spark, tmp, args.copies)
         out = {}
         for name in ops:
             fn = QUERIES.get(name) or STANDALONE_QUERIES[name]
@@ -108,12 +131,15 @@ def main() -> None:
             big = timed(fn, spark, tmp)
             out[name] = {
                 "t1x": round(base, 3),
-                "t5x": round(big, 3),
+                f"t{args.copies}x": round(big, 3),
                 "ratio": round(big / base, 2),
             }
-            print(f"{name:28s} 1x={base:6.2f}s 5x={big:6.2f}s ratio={big/base:5.2f}",
-                  file=sys.stderr)
-        print(json.dumps({"sf_dir": SF_DIR, "copies": COPIES, "ops": out}))
+            print(
+                f"{name:28s} 1x={base:6.2f}s {args.copies}x={big:6.2f}s "
+                f"ratio={big/base:5.2f}",
+                file=sys.stderr,
+            )
+        print(json.dumps({"sf_dir": SF_DIR, "copies": args.copies, "ops": out}))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
