@@ -312,6 +312,130 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_jaccard(per_doc, cand, JACCARD_THRESHOLD)
 
 
+#: truncate the CC loop's lineage every N rounds — the plan doubles per
+#: round (labels AND frontier both reference the round's upd), so between
+#: truncations it tops out at ~2^N nodes; 8 keeps the analyzer trivial
+#: while shallow real-world components (2-4 rounds) never checkpoint.
+_CC_CHECKPOINT_EVERY = 8
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_rounds: int = 50,
+    und: DataFrame | None = None,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed connected components by DELTA min-label propagation.
+
+    ``pairs``: an undirected edge list with columns (doc_a, doc_b).
+    Returns (doc_id, lbl) for every EDGE-CONNECTED node, where ``lbl``
+    is the minimum node id of its component; nodes with no edges are
+    absent (callers re-attach singletons as their own cluster).
+
+    ``und``: optional prebuilt PERSISTED both-direction edge list with
+    columns (a, b); ``nodes``: optional prebuilt PERSISTED distinct node
+    set with column (doc_id).  Callers that run CC repeatedly in one
+    session (the bench sweep) pass session-memoized frames to skip the
+    per-call rebuild+persist+unpersist cycles; caller-supplied frames
+    are left persisted on return.
+
+    Round 1 pushes every node's self-label to its neighbors; every later
+    round joins the edge list against ONLY the labels that changed last
+    round — a node whose label did not change in round k already pushed
+    that label in the round after it last changed, so its neighbors hold
+    it, and the per-round join shrinks with the frontier.  Convergence
+    needs O(component diameter) rounds; ``max_rounds`` is a safety bound,
+    not a truncation — exceeding it RAISES, because labels past the bound
+    would be silently wrong (a fixpoint oracle would disagree).
+
+    Each round persists ONE frame (``upd``, old and new label side by
+    side); the full label set, the changed frontier, and the convergence
+    counter are all cheap reads of it, so a round costs one delta join +
+    one aggregate + one count.  BOTH next-round inputs (labels and
+    frontier) reference the current ``upd``, so the LOGICAL plan doubles
+    per round even though the data is cached — a ~20-round chain OOMs
+    the ANALYZER long before any data pressure (caught by the
+    chain-graph tests).  Lineage is therefore truncated with an eager
+    ``localCheckpoint`` every ``_CC_CHECKPOINT_EVERY`` rounds: between
+    truncations the plan tops out at ~2^8 modest nodes (fine), and the
+    shallow components real dedup produces (2-4 rounds) never pay the
+    checkpoint at all.  On a real cluster prefer reliable checkpointing
+    (executor loss forfeits localCheckpoint lineage).
+    """
+    own_und = und is None
+    if own_und:
+        und = (
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .unionAll(
+                pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    # Propagate only over edge-connected nodes (the dedup subgraph is a
+    # tiny fraction of the corpus) — every round is proportional to the
+    # near-dup population, never the corpus.  The initial label set is
+    # materialized once: round 1 reads it from BOTH plan arms (neighbor
+    # push + left join), and an unmaterialized distinct would re-shuffle
+    # for each arm.
+    if nodes is None:
+        nodes = (
+            und.select(F.col("a").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
+    changed = labels  # round 1: every node's self-label is "new"
+    prev_persisted: list[DataFrame] = []
+    converged = False
+    for rnd in range(max_rounds):
+        nbr = (
+            und.join(changed, und.a == changed.doc_id)
+            .groupBy("b")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        upd = labels.join(nbr, labels.doc_id == nbr.b, "left").select(
+            labels["doc_id"],
+            F.col("lbl"),
+            F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias(
+                "new_lbl"
+            ),
+        )
+        if (rnd + 1) % _CC_CHECKPOINT_EVERY == 0:
+            upd = upd.localCheckpoint(eager=True)  # truncate lineage
+            newly_persisted = []
+        else:
+            upd = upd.persist(StorageLevel.MEMORY_AND_DISK)
+            newly_persisted = [upd]
+        n_changed = upd.filter(F.col("new_lbl") < F.col("lbl")).count()
+        for df in prev_persisted:
+            df.unpersist()
+        prev_persisted = newly_persisted
+        labels = upd.select("doc_id", F.col("new_lbl").alias("lbl"))
+        changed = upd.filter(F.col("new_lbl") < F.col("lbl")).select(
+            "doc_id", F.col("new_lbl").alias("lbl")
+        )
+        if n_changed == 0:
+            converged = True
+            break
+    if own_und:
+        und.unpersist()
+    if not converged:
+        for df in prev_persisted:
+            df.unpersist()
+        raise RuntimeError(
+            f"connected_components: label propagation not converged after "
+            f"{max_rounds} rounds (changed labels remain) — "
+            f"component diameter exceeds the bound; raise max_rounds"
+        )
+    # Pin the converged (component-sized) label set eagerly, then release
+    # the loop's remaining cache entry so repeated calls leave nothing in
+    # the CacheManager.
+    final_labels = labels.localCheckpoint(eager=True)
+    for df in prev_persisted:
+        df.unpersist()
+    return final_labels
+
+
 @_register(
     "dedup_clusters",
     f"""WITH RECURSIVE {_minhash_ctes()},
@@ -377,9 +501,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return p
 
     pairs = _session_persisted(spark, sf_dir, "minhash_pairs", _build_pairs)
-    # The undirected edge list and the node set are static per (session,
-    # sf) — memoized alongside the pairs so repeated calls (and the other
-    # operators that consume the dedup graph) re-register nothing.
     und = _session_persisted(
         spark,
         sf_dir,
@@ -390,73 +511,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         ),
     )
-    # Propagate only over edge-connected docs (the dedup subgraph is a tiny
-    # fraction of the corpus); singletons rejoin at the end as their own
-    # cluster.  At scale this keeps every CC round proportional to the
-    # near-dup population, not the corpus.
     nodes = _session_persisted(
         spark,
         sf_dir,
         "cc_nodes",
         lambda: und.select(F.col("a").alias("doc_id")).distinct(),
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
-    # Safety bound, not a silent truncation: min-label propagation needs
-    # O(diameter) rounds and near-dup components are shallow, but a
-    # pathological chain-shaped component could exceed any fixed cap — in
-    # which case the labels are WRONG, so converge-or-raise (the oracle's
-    # recursive CTE always runs to fixpoint; exiting early would silently
-    # disagree with it).  Each round persists ONE frame (`upd`, carrying
-    # old and new label side by side); the full label set, the changed
-    # frontier, and the convergence counter are all cheap reads of it,
-    # so a round costs one delta join + one aggregate + one count.
-    max_rounds = 50
-    changed = labels  # round 1: every node's self-label is "new"
-    prev_persisted: list[DataFrame] = []
-    converged = False
-    for _ in range(max_rounds):
-        nbr = (
-            und.join(changed, und.a == changed.doc_id)
-            .groupBy("b")
-            .agg(F.min("lbl").alias("nl"))
-        )
-        upd = (
-            labels.join(nbr, labels.doc_id == nbr.b, "left")
-            .select(
-                labels["doc_id"],
-                F.col("lbl"),
-                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        n_changed = upd.filter(F.col("new_lbl") < F.col("lbl")).count()
-        for df in prev_persisted:
-            df.unpersist()
-        prev_persisted = [upd]
-        labels = upd.select("doc_id", F.col("new_lbl").alias("lbl"))
-        changed = upd.filter(F.col("new_lbl") < F.col("lbl")).select(
-            "doc_id", F.col("new_lbl").alias("lbl")
-        )
-        if n_changed == 0:
-            converged = True
-            break
-    if not converged:
-        for df in prev_persisted:
-            df.unpersist()
-        raise RuntimeError(
-            f"dedup_clusters: label propagation not converged after "
-            f"{max_rounds} rounds (changed labels remain) — "
-            f"component diameter exceeds the bound; raise max_rounds"
-        )
-    # Pin the converged (tiny) label set eagerly and release the loop's
-    # per-round cache entries, so every call leaves zero lingering cached
-    # plans behind (re-running the operator re-caches from scratch without
-    # "already cached" churn).
-    final_labels = labels.localCheckpoint(eager=True)
-    for df in prev_persisted:
-        df.unpersist()
+    final_labels = connected_components(pairs, und=und, nodes=nodes)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(final_labels, "doc_id", "left")

@@ -1,0 +1,99 @@
+"""Graph-shape unit tests for the delta-propagation CC loop.
+
+The fixture corpus only ever produces shallow clique-shaped components
+(planted near-dup groups converge in 2-3 rounds), so these tests drive
+:func:`connected_components` over synthetic edge lists that exercise what
+the fixtures can't: long chains (many frontier rounds, shrinking delta),
+mixed component shapes, label-direction asymmetry, the empty graph, and
+the converge-or-raise bound.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.dedup import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def _labels(df) -> dict[int, int]:
+    return {r["doc_id"]: r["lbl"] for r in df.collect()}
+
+
+def test_chain_needs_many_delta_rounds(spark):
+    # 0-1-2-...-29: min label crosses one hop per round, so the frontier
+    # stays alive ~30 rounds while shrinking — the delta bookkeeping has
+    # to keep re-activating exactly the wavefront nodes.
+    n = 30
+    out = _labels(connected_components(_edges(spark, [(i, i + 1) for i in range(n)])))
+    assert out == {i: 0 for i in range(n + 1)}
+
+
+def test_chain_against_label_direction(spark):
+    # Reversed ids: the min label lives at the FAR end of every edge's
+    # natural direction; propagation must flow through the swapped arm
+    # of the undirected union.
+    n = 20
+    out = _labels(
+        connected_components(_edges(spark, [(i + 1, i) for i in range(n)]))
+    )
+    assert out == {i: 0 for i in range(n + 1)}
+
+
+def test_mixed_components(spark):
+    edges = (
+        [(1, 2), (2, 3), (1, 3)]        # triangle → lbl 1
+        + [(10, 11)]                      # pair → lbl 10
+        + [(20, 21), (21, 22), (22, 23)]  # path → lbl 20
+        + [(30, 31), (32, 31), (33, 30)]  # star-ish → lbl 30
+    )
+    out = _labels(connected_components(_edges(spark, edges)))
+    assert out == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
+def test_bridged_cliques_collapse(spark):
+    # two cliques joined by one bridge edge form ONE component
+    a = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(100, 104) for j in range(i + 1, 104)]
+    out = _labels(connected_components(_edges(spark, a + b + [(4, 100)])))
+    assert set(out.values()) == {1}
+    assert len(out) == 8
+
+
+def test_empty_graph(spark):
+    df = connected_components(_edges(spark, []))
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "lbl"]
+
+
+def test_converge_or_raise_on_deep_chain(spark):
+    # diameter exceeds max_rounds → must raise, never return wrong labels
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(
+            _edges(spark, [(i, i + 1) for i in range(10)]), max_rounds=3
+        )
+
+
+def test_duplicate_and_self_edges_harmless(spark):
+    edges = [(1, 2), (1, 2), (2, 1), (3, 3), (2, 3)]
+    out = _labels(connected_components(_edges(spark, edges)))
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_repeated_calls_stable_and_self_cleaning(spark):
+    # Repeated calls must converge identically AND release their own
+    # persists (the round-4 "already cached" churn this module was
+    # rebuilt to avoid): the result frame is an eager localCheckpoint,
+    # valid after the loop's cache entries are gone.
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    results = [_labels(connected_components(edges)) for _ in range(3)]
+    assert results[0] == results[1] == results[2] == {1: 1, 2: 1, 3: 1}
