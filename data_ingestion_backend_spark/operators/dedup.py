@@ -70,6 +70,11 @@ NGRAM_MAX_DF = 5  # inverted-index pruning: ignore shingles in > 5 docs
 # persisted exactly once per session; every consumer gets the same handle.
 # Entries are tiny (DataFrame handles); storage is reclaimed when the
 # session stops, so the dict is never a leak at data scale.
+# CAVEAT: the key is the directory PATH — rewriting the parquet under a
+# memoized path mid-session serves stale cached data (same failure mode as
+# Spark's own CacheManager for a re-persisted identical plan).  Pipelines
+# that mutate their inputs in-session must write to a new path (the
+# warehouse layer's snapshot-versioned writes already do).
 
 _PERSIST_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 

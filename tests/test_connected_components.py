@@ -89,6 +89,40 @@ def test_duplicate_and_self_edges_harmless(spark):
     assert out == {1: 1, 2: 1, 3: 1}
 
 
+def _union_find_components(edges):
+    """Independent oracle: driver-side union-find (path compression)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_random_graphs_match_union_find(spark, seed):
+    # seeded sparse random graphs: mixed component count/shape/diameter,
+    # checked against a completely independent sequential algorithm
+    import random
+
+    rng = random.Random(seed)
+    n, m = 80, 70
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    expected = _union_find_components(edges)
+    got = _labels(connected_components(_edges(spark, edges)))
+    assert got == expected
+
+
 def test_repeated_calls_stable_and_self_cleaning(spark):
     # Repeated calls must converge identically AND release their own
     # persists (the round-4 "already cached" churn this module was
