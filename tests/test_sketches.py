@@ -48,3 +48,48 @@ def test_quantiles_within_rank_error(spark):
         assert abs(rank_of(p50) - 0.5) <= 0.005
         assert abs(rank_of(p95) - 0.95) <= 0.005
         assert abs(rank_of(p99) - 0.99) <= 0.005
+
+
+# --- distributed Bloom gate --------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    from data_ingestion_backend_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        sketch_bloom_gate,
+    )
+
+    rows = sketch_bloom_gate(spark, SF_DIR_ORACLE).collect()
+    members = [r for r in rows if r["kind"] == "member"]
+    nonmembers = [r for r in rows if r["kind"] == "nonmember"]
+    assert members and nonmembers
+    # the Bloom guarantee: NEVER a false negative
+    assert all(r["might_contain"] for r in members)
+    # false positives bounded by (set_bits/m)^k with generous slack; at
+    # 500 docs × 4 hashes in 2^20 bits the expected rate is ~1e-11, so
+    # even 1% would indicate broken bit arithmetic
+    fp = sum(1 for r in nonmembers if r["might_contain"]) / len(nonmembers)
+    expected = (len(members) * BLOOM_K / BLOOM_BITS) ** BLOOM_K
+    assert fp <= max(0.01, expected * 100)
+
+
+def test_bloom_merge_is_union(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_backend_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    a = spark.createDataFrame([("x1",), ("x2",)], "h string")
+    b = spark.createDataFrame([("y1",), ("y2",)], "h string")
+    merged = bloom_build(a, "h").unionByName(bloom_build(b, "h")).distinct()
+    probes = spark.createDataFrame(
+        [("x1", "a"), ("y2", "b"), ("z9", "neither")], "h string, tag string"
+    )
+    out = {
+        r["tag"]: r["might_contain"]
+        for r in bloom_might_contain(probes, "h", merged).collect()
+    }
+    assert out["a"] and out["b"]
+    assert not out["neither"]  # 3e-23 fp odds at 16 set bits in 2^20
