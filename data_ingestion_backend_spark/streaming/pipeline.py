@@ -218,7 +218,11 @@ def dedup_docs_stream(
     ``corpus_hashes``: static (content_hash) — e.g.
     ``dedup_exact(...).filter("is_first").select("content_hash")``.
     At 100 TB the static side is a bucketed hash table, not a broadcast;
-    the anti-join shuffles only the (tiny) per-batch arrivals.
+    the anti-join shuffles only the (tiny) per-batch arrivals.  Where a
+    bounded false-positive rate is acceptable (quarantine-and-recheck
+    flows), substitute the distributed Bloom gate
+    (``operators.sketches.bloom_build`` / ``bloom_might_contain``): the
+    static side shrinks from every corpus hash to the set-bit table.
     """
     hashed = normalize_event_time(doc_stream).withColumn(
         "content_hash", F.md5(F.col("text"))
