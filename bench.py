@@ -7,9 +7,12 @@ Prints ONE JSON line:
 
 - ``value`` = total wall-clock seconds across the headline queries
   (excluding SparkSession startup and the untimed warm-up pass).
-- Each per-query number is the MEDIAN of ``RUNS`` timed executions, with
-  the min/max spread recorded per query under ``spread`` — a regression
-  is only believable when the medians' spread windows don't overlap.
+- Each per-query number is the MEDIAN of ``RUNS`` timed executions after
+  ONE untimed warm run of that query (codegen/JIT/file listing settle —
+  without it the first timed query of the sweep absorbs the whole
+  session's JIT warm-up and reads ~2x its steady state), with the
+  min/max spread recorded per query under ``spread`` — a regression is
+  only believable when the medians' spread windows don't overlap.
 - ``loadavg`` records the host 1/5/15-min load before and after the
   sweep: on a shared sandbox, elevated load explains broad drift that
   would otherwise read as a code regression.
@@ -93,14 +96,15 @@ def main() -> None:
     spread: dict[str, dict[str, float]] = {}
     for name in names:
         samples: list[float] = []
-        for _ in range(RUNS):
+        for i in range(RUNS + 1):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             # noop sink: executes the complete physical plan (scan→…→sort)
             # without paying Python-side row materialization, so the number
             # measures the engine, not py4j serialization.
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
+            if i > 0:  # run 0 is the per-query untimed warm-up
+                samples.append(time.perf_counter() - t0)
         # Median, not best-of: best-of hides real regressions behind one
         # lucky run and can't distinguish noise from drift.  The min/max
         # window is the evidence a reviewer needs to attribute a delta.
