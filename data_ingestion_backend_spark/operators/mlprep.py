@@ -406,6 +406,50 @@ def prep_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACKS_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_id
+  FROM sized
+)
+SELECT a.shard, a.pack_id,
+       string_agg(d.text, ' <eos> ' ORDER BY a.doc_id) AS packed_text,
+       CAST(SUM(a.n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned a JOIN documents d USING (doc_id)
+GROUP BY a.shard, a.pack_id
+ORDER BY a.shard, a.pack_id"""
+
+
+@_register_standalone("prep_materialize_packs", _PACKS_SQL)
+def prep_materialize_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled standalone form of :func:`materialize_packs` (default EOS):
+    the packed TEXT itself — member docs concatenated in doc_id order —
+    is cross-engine checked byte-for-byte via DuckDB's ordered
+    string_agg, not just the assignment (which `prep_pack_sequences`
+    already certifies)."""
+    return (
+        materialize_packs(spark, sf_dir)
+        .select(
+            "shard",
+            "pack_id",
+            "packed_text",
+            F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
 def materialize_packs(
     spark: SparkSession, sf_dir: str, eos: str = " <eos> "
 ) -> DataFrame:
