@@ -17,5 +17,6 @@ import data_ingestion_backend_spark.operators.mlprep  # noqa: F401,E402 — regi
 import data_ingestion_backend_spark.operators.scale  # noqa: F401,E402 — registers
 import data_ingestion_backend_spark.operators.timeseries  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.curate  # noqa: F401,E402 — registers (standalone)
+import data_ingestion_backend_spark.operators.delta  # noqa: F401,E402 — registers (standalone)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,127 @@
+"""Golden tests for the incremental-pipeline operators (operators/delta.py).
+
+The differential oracles for ``cdc_snapshot_diff`` / ``scd2_user_history``
+run in tests/test_oracle_queries.py::test_standalone_form_matches_oracle;
+these tests pin the SEMANTIC contracts the hash comparison can't express:
+status classes, interval contiguity, change compression, and the generic
+(non-fixture) snapshot_diff entry point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR_SMALL
+from data_ingestion_backend_spark.operators.delta import (
+    cdc_snapshot_diff,
+    scd2_history,
+    scd2_user_history,
+    snapshot_diff,
+)
+
+
+def test_snapshot_diff_status_classes(spark):
+    """Every diff status lands in exactly the key class that produced it:
+    %10==3 added, %10==7 removed, %5==0 changed (when present in both)."""
+    rows = cdc_snapshot_diff(spark, SF_DIR_SMALL).collect()
+    assert rows, "diff must be non-empty"
+    for r in rows:
+        k = r["o_orderkey"]
+        if r["status"] == "added":
+            assert k % 10 == 3
+            assert r["old_hash"] is None and r["new_hash"] is not None
+        elif r["status"] == "removed":
+            assert k % 10 == 7
+            assert r["old_hash"] is not None and r["new_hash"] is None
+        else:
+            assert r["status"] == "changed"
+            assert k % 5 == 0 and k % 10 not in (3, 7)
+            assert r["old_hash"] != r["new_hash"]
+    statuses = {r["status"] for r in rows}
+    assert statuses == {"added", "removed", "changed"}
+
+
+def test_snapshot_diff_identical_snapshots_empty(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    assert snapshot_diff(df, df, "k").count() == 0
+
+
+def test_snapshot_diff_generic_detects_single_change(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["k", "v"]
+    )
+    got = {
+        r["k"]: r["status"] for r in snapshot_diff(old, new, "k").collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_scd2_intervals_contiguous_and_current(spark):
+    """Per key: versions dense from 1, intervals chain exactly
+    (valid_to == next valid_from), exactly one open interval, and no
+    consecutive episodes share a value (change compression)."""
+    out = scd2_user_history(spark, SF_DIR_SMALL).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+            assert a["event_type"] != b["event_type"], "uncompressed episode"
+
+
+def test_scd2_point_in_time_lookup(spark):
+    """The SCD2 contract: state-at-T == the last change at or before T in
+    the raw log (the query an interval table exists to answer)."""
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    t = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    probe = F.lit(t).cast("double")
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+    via_hist = {
+        r["user_id"]: r["event_type"]
+        for r in hist.where(
+            (F.col("valid_from").cast("double") <= probe)
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to").cast("double") > probe)
+            )
+        ).collect()
+    }
+    w_last = (
+        ev.where(F.col("ts").cast("double") <= probe)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    via_log = {r["user_id"]: r["event_type"] for r in w_last.collect()}
+    assert via_hist == via_log
+
+
+def test_scd2_single_window_exchange(spark):
+    """Both window passes must plan over ONE shuffle of the log on the
+    key (same partitioning, compatible sort) — the operator's scale
+    contract."""
+    df = scd2_user_history(spark, SF_DIR_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange ")
+    # one exchange for the windows + at most one for the presentation sort
+    assert n_exchanges <= 2, plan
