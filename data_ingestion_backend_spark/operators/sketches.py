@@ -229,3 +229,132 @@ from data_ingestion_backend_spark.operators.queries import (  # noqa: E402
 )
 
 _register_standalone("sketch_bloom_gate", _bloom_gate_oracle())(sketch_bloom_gate)
+
+
+# --------------------------------------------------------------------------
+# Distributed Count-Min sketch: frequency estimates / heavy hitters
+# --------------------------------------------------------------------------
+#
+# The 100 TB frequency question — "which keys are hot, and roughly how
+# hot?" — must not shuffle the keys themselves: an exact groupBy on a
+# billions-of-keys column moves the whole key space.  Count-Min compresses
+# to a D×W counter grid: each row increments D md5-derived cells; a key's
+# estimate is the MIN over its D cells (never an underestimate, over by
+# ≤ εN with ε = e/W at probability 1-(1/2)^D).  Like the Bloom filter
+# above, the sketch is kept DISTRIBUTED as a (depth, pos, cnt) table —
+# built with one map-side-combined aggregation of at most D·W rows per
+# partition, merged by summing cell-wise, probed with a join — and the
+# md5 arithmetic is engine-identical, so estimates INCLUDING collision
+# overestimates carry a DuckDB oracle.
+#
+# The same grid with weighted increments is a Count-Min of a measure
+# (bytes per domain, tokens per source); cm_build takes an optional
+# weight column for that form.
+
+CM_WIDTH = 256  # W: cells per depth row (small enough that the fixture
+                # actually collides — overestimates are exercised, not
+                # just theoretical)
+CM_DEPTH = 3    # D: independent hash rows
+
+
+def _cm_pos(d: int, col: F.Column) -> F.Column:
+    """Cell position for depth d — same md5→BIGINT trick as the Bloom
+    bits (15 hex chars < 2^60; both engines bit-identical)."""
+    h = F.md5(F.concat(F.lit(f"cm{d}:"), col))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % CM_WIDTH
+
+
+def _cm_pos_sql(d: int, expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cm{d}:' || {expr}), 1, 15)) AS BIGINT)"
+        f" % {CM_WIDTH}"
+    )
+
+
+def cm_build(df: DataFrame, col: str, weight: str | None = None) -> DataFrame:
+    """Build the counter table (depth INT, pos BIGINT, cnt BIGINT) over
+    ``df[col]`` (each row counts 1, or its ``weight``).  One posexplode +
+    one aggregation; partial aggregation caps every map task's output at
+    D·W rows.  Merge two sketches by unioning and re-summing by
+    (depth, pos)."""
+    w = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    cells = F.array(*[_cm_pos(d, F.col(col)) for d in range(CM_DEPTH)])
+    return (
+        df.select(F.posexplode(cells).alias("depth", "pos"), w.alias("_w"))
+        .groupBy("depth", "pos")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cm_estimate(probes: DataFrame, col: str, counters: DataFrame) -> DataFrame:
+    """Point estimate per probe row: MIN over the D probed cells (a cell
+    absent from the counter table is 0).  Keeps all probe columns."""
+    keep = [c for c in probes.columns]
+    cells = F.array(*[_cm_pos(d, F.col(col)) for d in range(CM_DEPTH)])
+    exploded = probes.select(*keep, F.posexplode(cells).alias("depth", "pos"))
+    return (
+        exploded.join(counters, ["depth", "pos"], "left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def _cm_oracle() -> str:
+    counter_rows = " UNION ALL ".join(
+        f"SELECT {d} AS depth, {_cm_pos_sql(d, 'CAST(user_id AS VARCHAR)')} AS pos"
+        f" FROM events"
+        for d in range(CM_DEPTH)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS depth,"
+        f" {_cm_pos_sql(d, 'CAST(user_id AS VARCHAR)')} AS pos FROM keys"
+        for d in range(CM_DEPTH)
+    )
+    return f"""
+WITH counters AS (
+  SELECT depth, pos, COUNT(*) AS cnt FROM ({counter_rows}) GROUP BY depth, pos
+),
+keys AS (SELECT DISTINCT user_id FROM events),
+probed AS ({probe_rows}),
+est AS (
+  SELECT p.user_id, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probed p LEFT JOIN counters c ON c.depth = p.depth AND c.pos = p.pos
+  GROUP BY p.user_id
+),
+exact AS (SELECT user_id, COUNT(*) AS exact FROM events GROUP BY user_id)
+SELECT e.user_id, e.est, x.exact, e.est - x.exact AS overcount
+FROM est e JOIN exact x ON x.user_id = e.user_id
+ORDER BY e.est DESC, e.user_id LIMIT 20"""
+
+
+@_register_standalone("sketch_cm_heavy_hitters", _cm_oracle())
+def sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by Count-Min estimate, with the exact count and the
+    collision overcount alongside — the overestimates are part of the
+    certified answer (both engines compute the identical grid), which is
+    what makes this a DIFFERENTIAL cert of an approximate structure.
+
+    The exact join exists for certification; the production form stops at
+    ``cm_estimate`` (the whole point is not to compute ``exact``)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k"), "user_id"
+    )
+    counters = cm_build(ev, "k")
+    keys = ev.select("user_id", "k").distinct()
+    est = cm_estimate(keys, "k", counters).select("user_id", "est")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.col("est").desc(), "user_id")
+        .limit(20)
+    )

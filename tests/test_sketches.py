@@ -93,3 +93,86 @@ def test_bloom_merge_is_union(spark):
     }
     assert out["a"] and out["b"]
     assert not out["neither"]  # 3e-23 fp odds at 16 set bits in 2^20
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch properties
+# --------------------------------------------------------------------------
+
+def test_cm_never_underestimates(spark):
+    """The one-sided CM guarantee, for EVERY key: est >= exact count."""
+    from data_ingestion_backend_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+    )
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    counters = cm_build(ev, "k")
+    exact = ev.groupBy("k").agg(F.count("*").alias("exact"))
+    joined = cm_estimate(exact, "k", counters).collect()
+    assert joined
+    assert all(r["est"] >= r["exact"] for r in joined)
+
+
+def test_cm_counter_mass_conservation(spark):
+    """Each depth row's cells sum to exactly N (every input row lands in
+    exactly one cell per depth) — a deterministic invariant the
+    probabilistic error bound rests on."""
+    from data_ingestion_backend_spark.operators.sketches import (
+        CM_DEPTH,
+        cm_build,
+    )
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    n = ev.count()
+    per_depth = (
+        cm_build(ev, "k").groupBy("depth").agg(F.sum("cnt").alias("mass"))
+    ).collect()
+    assert len(per_depth) == CM_DEPTH
+    assert all(r["mass"] == n for r in per_depth)
+
+
+def test_cm_merge_equals_rebuild(spark):
+    """Sum-merging two partial sketches (the 100 TB shape: one sketch per
+    shard, merged cell-wise) is bit-identical to one build over the
+    union."""
+    from data_ingestion_backend_spark.operators.sketches import cm_build
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("k")
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = (
+        cm_build(a, "k")
+        .unionByName(cm_build(b, "k"))
+        .groupBy("depth", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = cm_build(ev, "k")
+    sym_diff = merged.exceptAll(full).unionByName(full.exceptAll(merged))
+    assert sym_diff.count() == 0
+
+
+def test_cm_weighted_build(spark):
+    """Weighted increments: sketch of SUM(weight) per key, same grid."""
+    from data_ingestion_backend_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "k string, w int"
+    )
+    counters = cm_build(df, "k", weight="w")
+    est = {
+        r["k"]: r["est"]
+        for r in cm_estimate(
+            df.select("k").distinct(), "k", counters
+        ).collect()
+    }
+    assert est["a"] >= 12 and est["b"] >= 1
