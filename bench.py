@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_ingestion_backend_spark.plans.session import get_spark
+from data_ingestion_backend_spark.operators.queries import STANDALONE_QUERIES
 from data_ingestion_backend_spark.registry import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +68,14 @@ HEADLINE = [
     "q40_json_agg",
 ]
 
+STANDALONE_HEADLINE = [
+    "cdc_snapshot_diff",
+    "scd2_user_history",
+    "sketch_cm_heavy_hitters",
+    "layout_zorder_stats",
+    "layout_compaction_plan",
+]
+
 
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -87,6 +96,10 @@ def main() -> None:
         in {"dedup", "sim", "text", "sketch", "prep", "ts", "emb", "agg", "scale", "media"}
         and n not in names
     ]
+    # round-5 standalone extensions (CDC / SCD2 / CM sketch / layout):
+    # benched from the standalone registry so BENCH_r05+ records them;
+    # they add ~5 entries to the headline total vs earlier rounds.
+    names += [n for n in STANDALONE_HEADLINE if n in STANDALONE_QUERIES]
 
     # warm-up (JVM/codegen/file listing) — untimed
     QUERIES["q12_pricing_summary"](spark, SF_DIR).collect()
@@ -98,7 +111,7 @@ def main() -> None:
         samples: list[float] = []
         for i in range(RUNS + 1):
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
+            df = (QUERIES.get(name) or STANDALONE_QUERIES[name])(spark, SF_DIR)
             # noop sink: executes the complete physical plan (scan→…→sort)
             # without paying Python-side row materialization, so the number
             # measures the engine, not py4j serialization.
