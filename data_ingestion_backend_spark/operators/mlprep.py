@@ -135,23 +135,26 @@ def prep_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def prep_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean token IDF per document (corpus-rarity quality score).
 
-    Document frequencies come from one distinct-(doc, token) aggregation;
-    idf = ln((N+1)/(df+1)).  The token→df table is far smaller than the
-    corpus (vocabulary-sized) — at scale it broadcasts; here Catalyst
-    picks that automatically after AQE sees its size.  N arrives as a
-    broadcast 1-row aggregate (no driver-side count, plan stays lazy).
-    Rounded to 4 dp so double-summation order cannot flip the oracle hash.
+    Document frequencies via COUNT() OVER (PARTITION BY token) on the
+    distinct (doc, token) table: the token rows are shuffled on ``w``
+    ONCE and each row leaves the window with its df attached — where the
+    groupBy(w)+join-back form tokenizes the corpus twice and shuffles
+    the token table twice (once to build the df table, once to join it).
+    idf = ln((N+1)/(df+1)); N arrives as a broadcast 1-row aggregate (no
+    driver-side count, plan stays lazy).  Rounded to 4 dp so
+    double-summation order cannot flip the oracle hash.  (The DuckDB
+    oracle keeps the df-table join formulation — an independent plan for
+    the same definition.)
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     ).distinct()
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    with_df = tok.withColumn("df", F.count("*").over(Window.partitionBy("w")))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     return (
-        tok.join(dfreq, "w")
-        .crossJoin(F.broadcast(n_docs))
+        with_df.crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_distinct_tokens"),
