@@ -74,6 +74,7 @@ STANDALONE_HEADLINE = [
     "sketch_cm_heavy_hitters",
     "layout_zorder_stats",
     "layout_compaction_plan",
+    "agg_incremental_merge",
 ]
 
 

@@ -242,3 +242,108 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(ev, "user_id", "event_type", "ts", "event_id").orderBy(
         "user_id", "version"
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance
+# --------------------------------------------------------------------------
+
+def merge_keyed_state(
+    old: DataFrame,
+    delta: DataFrame,
+    key: str,
+    sums: tuple[str, ...] = (),
+    mins: tuple[str, ...] = (),
+    maxs: tuple[str, ...] = (),
+) -> DataFrame:
+    """Merge two keyed aggregate-state tables: sums add, mins/maxs
+    combine, keys present on one side pass through.  This is the
+    incremental-view-maintenance combinator: at 100 TB the nightly
+    update aggregates only the delta partition and merges it into
+    yesterday's state — never re-scanning the corpus.  Only decomposable
+    state belongs here (count/sum/min/max, and the sketch families in
+    sketches.py, which merge the same way); avg/ratios derive from
+    merged sums at read time.
+    """
+    o = old.select(F.col(key), *[F.col(c).alias(f"_o_{c}") for c in old.columns if c != key])
+    d = delta.select(F.col(key), *[F.col(c).alias(f"_d_{c}") for c in delta.columns if c != key])
+    joined = o.join(d, key, "full_outer")
+    out = [F.col(key)]
+    for c in sums:
+        out.append(
+            (
+                F.coalesce(F.col(f"_o_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+            ).alias(c)
+        )
+    for c in mins:
+        # least() skips NULLs on both engines only via the coalesce trick
+        out.append(
+            F.least(
+                F.coalesce(F.col(f"_o_{c}"), F.col(f"_d_{c}")),
+                F.coalesce(F.col(f"_d_{c}"), F.col(f"_o_{c}")),
+            ).alias(c)
+        )
+    for c in maxs:
+        out.append(
+            F.greatest(
+                F.coalesce(F.col(f"_o_{c}"), F.col(f"_d_{c}")),
+                F.coalesce(F.col(f"_d_{c}"), F.col(f"_o_{c}")),
+            ).alias(c)
+        )
+    return joined.select(*out)
+
+
+#: The base/delta boundary of the certified incremental run: the last
+#: week of the fixture's January is "tonight's new data".
+_CUTOFF = "2024-01-24 00:00:00"
+
+# Oracle: ONE flat aggregation over all events — deliberately ignorant
+# of the base/delta split, so the cert proves merge(agg(base),
+# agg(delta)) == agg(base ∪ delta), hash-exact (decimal sums internal,
+# dbl terminal per the repo-wide canon contract).
+_INCR_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id"""
+
+
+@_register_standalone("agg_incremental_merge", _INCR_ORACLE)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals maintained INCREMENTALLY: aggregate the pre-cutoff
+    base once (yesterday's state), aggregate only the post-cutoff delta,
+    merge the two state tables — certified against a flat re-aggregation
+    of everything in DuckDB.  The merge plan never touches base rows
+    again; only state (keys × aggregates) shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def agg_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    base = agg_state(ev.where(F.col("ts") < F.lit(_CUTOFF).cast("timestamp")))
+    delta = agg_state(ev.where(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp")))
+    merged = merge_keyed_state(
+        base,
+        delta,
+        "user_id",
+        sums=("n", "sum_value"),
+        mins=("first_ts",),
+        maxs=("last_ts",),
+    )
+    from data_ingestion_backend_spark.operators.queries import dbl
+
+    return merged.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        dbl(F.col("sum_value"), 2).alias("total_value"),
+        "first_ts",
+        "last_ts",
+    ).orderBy("user_id")

@@ -125,3 +125,68 @@ def test_scd2_single_window_exchange(spark):
     n_exchanges = plan.count("Exchange ")
     # one exchange for the windows + at most one for the presentation sort
     assert n_exchanges <= 2, plan
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance
+# --------------------------------------------------------------------------
+
+def _state(spark, rows):
+    return spark.createDataFrame(rows, "k string, n long, mn long, mx long")
+
+
+def test_merge_state_one_sided_keys_pass_through(spark):
+    from data_ingestion_backend_spark.operators.delta import merge_keyed_state
+
+    old = _state(spark, [("a", 2, 5, 9), ("b", 1, 3, 3)])
+    new = _state(spark, [("b", 4, 1, 7), ("c", 1, 2, 2)])
+    got = {
+        r["k"]: (r["n"], r["mn"], r["mx"])
+        for r in merge_keyed_state(
+            old, new, "k", sums=("n",), mins=("mn",), maxs=("mx",)
+        ).collect()
+    }
+    assert got == {"a": (2, 5, 9), "b": (5, 1, 7), "c": (1, 2, 2)}
+
+
+def test_merge_state_is_associative_and_identity(spark):
+    from data_ingestion_backend_spark.operators.delta import merge_keyed_state
+
+    a = _state(spark, [("x", 1, 10, 10)])
+    b = _state(spark, [("x", 2, 4, 12), ("y", 1, 1, 1)])
+    c = _state(spark, [("y", 3, 0, 9)])
+    empty = _state(spark, [])
+
+    def merge(p, q):
+        return merge_keyed_state(p, q, "k", sums=("n",), mins=("mn",), maxs=("mx",))
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert snap(merge(merge(a, b), c)) == snap(merge(a, merge(b, c)))
+    assert snap(merge(a, empty)) == snap(a)
+
+
+def test_incremental_merge_never_rescans_base_rows(spark):
+    """The scale contract: the merged plan aggregates each event row
+    exactly once (two disjoint filtered scans), then joins STATE — there
+    is no join whose input is raw event rows."""
+    from data_ingestion_backend_spark.operators.delta import (
+        agg_incremental_merge,
+    )
+
+    plan = (
+        agg_incremental_merge(spark, SF_DIR_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the full-outer merge join must sit ABOVE both aggregates
+    join_pos = plan.find("FullOuter")
+    assert join_pos != -1
+    agg_positions = [
+        i for i in range(len(plan)) if plan.startswith("HashAggregate", i)
+    ]
+    assert agg_positions and all(p > join_pos for p in agg_positions), (
+        "aggregation must happen below (printed after) the merge join"
+    )
