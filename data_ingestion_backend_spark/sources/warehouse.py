@@ -113,13 +113,29 @@ class Warehouse:
             )
         return self.spark.read.parquet(path)
 
-    def write(self, table: str, df: DataFrame) -> int:
-        """Materialize df as the next version and commit the pointer."""
+    def write(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Materialize df as the next version and commit the pointer.
+
+        ``partition_by`` hive-partitions the snapshot on the given
+        columns (``col=value/`` directories).  At 100 TB this is the
+        first line of scan avoidance: a filter on a partition column
+        prunes whole directories at PLANNING time — before any footer,
+        let alone any row, is read (``PartitionFilters`` in the scan
+        node; `tests/test_warehouse_atomicity.py` pins the plan).
+        Partition columns must be low-cardinality (date, source, split);
+        high-cardinality partitioning creates the small-file problem
+        `layout.compaction_plan` exists to undo.
+        """
         nxt = self.current_version(table) + 1
         path = self._version_path(table, nxt)
         parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
         out = df if parts is None else df.coalesce(parts)
-        out.write.mode("overwrite").parquet(path)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         self._commit(table, nxt)
         return nxt
 

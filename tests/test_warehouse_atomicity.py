@@ -86,3 +86,47 @@ def test_time_travel_read(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         wh.read("jobs", version=0)
     assert wh.read("jobs", version=1).count() == 1  # still retained
+
+
+def test_partitioned_write_prunes_at_planning_time(spark, tmp_path):
+    """A filter on the hive-partition column must prune directories in
+    the scan's PartitionFilters — and only files under the matching
+    source=... directory may be touched at execution."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "whp"))
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"t{i}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    wh.write("staging", df, partition_by=["source"])
+    back = wh.read("staging")
+    assert back.count() == 30
+
+    filtered = back.where(F.col("source") == "s1")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "s1" in plan, plan
+    touched = {
+        r[0] for r in filtered.select(F.input_file_name()).distinct().collect()
+    }
+    assert touched and all("source=s1" in f for f in touched)
+    assert filtered.count() == 10
+
+
+def test_partitioned_snapshot_time_travel(spark, tmp_path):
+    """Partitioned snapshots version and time-travel like flat ones."""
+    wh = Warehouse(spark, str(tmp_path / "whp2"))
+    v0_df = spark.createDataFrame(
+        [(1, "a", "x")], "doc_id long, source string, text string"
+    )
+    v1_df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id long, source string, text string"
+    )
+    v0 = wh.write("staging", v0_df, partition_by=["source"])
+    v1 = wh.write("staging", v1_df, partition_by=["source"])
+    assert wh.read("staging", version=v0).count() == 1
+    assert wh.read("staging", version=v1).count() == 2
+    # partition column survives the round-trip in both versions
+    assert set(wh.read("staging", version=v1).columns) == {
+        "doc_id", "source", "text",
+    }
