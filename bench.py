@@ -75,6 +75,7 @@ STANDALONE_HEADLINE = [
     "layout_zorder_stats",
     "layout_compaction_plan",
     "agg_incremental_merge",
+    "text_clean",
 ]
 
 

@@ -279,3 +279,110 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Markup cleaning (HTML strip / entity decode / whitespace normalize)
+# --------------------------------------------------------------------------
+# Web-crawl corpora arrive wrapped in markup; stripping it is the first
+# map-only stage of every curation pipeline.  Patterns restricted (like
+# the PII set above) to syntax Java regex and RE2 evaluate identically.
+# The fixture text carries no HTML, so the cert WRAPS each document in a
+# deterministic doc_id-derived specimen (tags, entities, ragged
+# whitespace) — the same planting technique as the PII cert — and the
+# cleaner must recover EXACTLY the original text (asserted by md5).
+
+TAG_REGEX = r"<[^>]+>"
+#: decode order matters only for &amp;, which must go LAST (so the
+#: ampersands it produces are never re-interpreted as entity starts).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: F.Column) -> F.Column:
+    """Markup → plain text: drop tags (replaced by a space so adjacent
+    words never fuse), decode the common entities, collapse whitespace
+    runs, trim.  Chained codegen string ops — map-only, no shuffle."""
+    out = F.regexp_replace(col, TAG_REGEX, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def _html_wrapped_spark() -> F.Column:
+    return F.concat(
+        F.lit('<div class="doc-'),
+        F.col("doc_id").cast("string"),
+        F.lit('">\n  <p>'),
+        F.col("text"),
+        F.lit("</p>&nbsp;&amp;&lt;b&gt;  <br/>\t</div>"),
+    )
+
+
+_HTML_WRAPPED_SQL = (
+    "'<div class=\"doc-' || CAST(doc_id AS VARCHAR) || '\">' || chr(10) ||"
+    " '  <p>' || text ||"
+    " '</p>&nbsp;&amp;&lt;b&gt;  <br/>' || chr(9) || '</div>'"
+)
+
+# What cleaning the wrapper must recover: the document text (whitespace-
+# collapsed, since collapsing is part of cleaning) followed by the
+# decoded entity tail.  Computed by running the SAME collapse+trim on a
+# minimal ' ' || text || ' &<b>' sandwich — equal to the cleaned wrapper
+# for every text, including empty/whitespace-only documents (the
+# surrounding markup contributes only whitespace, which collapses).
+
+
+def _text_clean_oracle() -> str:
+    cleaned = f"regexp_replace({_HTML_WRAPPED_SQL}, '{TAG_REGEX}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        cleaned = f"replace({cleaned}, '{ent}', '{lit}')"
+    cleaned = f"trim(regexp_replace({cleaned}, '\\s+', ' ', 'g'))"
+    expected = (
+        "trim(regexp_replace(' ' || text || ' &<b>', '\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id,
+       md5({cleaned}) AS clean_md5,
+       CAST(len(regexp_extract_all({_HTML_WRAPPED_SQL}, '{TAG_REGEX}'))
+            AS BIGINT) AS n_tags,
+       CAST(length({cleaned}) AS BIGINT) AS len_clean,
+       (md5({cleaned}) = md5({expected})) AS recovered
+FROM documents ORDER BY doc_id"""
+
+
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified markup cleaning: wrap each fixture doc in the planted
+    HTML specimen, strip it, and prove exact recovery — clean_md5 must
+    equal md5 of the whitespace-collapsed original text + decoded
+    entity tail (``recovered`` is certified TRUE for every row on both
+    engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = _html_wrapped_spark()
+    cleaned = strip_markup(wrapped)
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(F.lit(" "), F.col("text"), F.lit(" &<b>")), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.regexp_count(wrapped, F.lit(TAG_REGEX)).cast("bigint").alias("n_tags"),
+        F.length(cleaned).cast("bigint").alias("len_clean"),
+        (F.md5(cleaned) == F.md5(expected)).alias("recovered"),
+    ).orderBy("doc_id")
+
+
+from data_ingestion_backend_spark.operators.queries import (  # noqa: E402
+    _register_standalone,
+)
+
+_register_standalone("text_clean", _text_clean_oracle())(text_clean)
