@@ -76,6 +76,7 @@ STANDALONE_HEADLINE = [
     "layout_compaction_plan",
     "agg_incremental_merge",
     "text_clean",
+    "dq_star_expectations",
 ]
 
 
