@@ -190,3 +190,78 @@ def test_incremental_merge_never_rescans_base_rows(spark):
     assert agg_positions and all(p > join_pos for p in agg_positions), (
         "aggregation must happen below (printed after) the merge join"
     )
+
+
+# --------------------------------------------------------------------------
+# Seeded randomized differentials vs pure-Python oracles
+# --------------------------------------------------------------------------
+
+def _random_table(rng, n_keys: int):
+    rows = []
+    for k in range(n_keys):
+        if rng.random() < 0.8:  # some keys absent per snapshot
+            rows.append((k, rng.choice("abcde"), rng.randrange(100)))
+    return rows
+
+
+def test_snapshot_diff_matches_python_oracle_random(spark):
+    """3 seeded random snapshot pairs: Spark's diff == a dict-based
+    reference diff (an algorithm with nothing in common with the plan)."""
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        old_rows = _random_table(rng, 60)
+        new_rows = _random_table(rng, 60)
+        old = spark.createDataFrame(old_rows, "k long, a string, b long")
+        new = spark.createDataFrame(new_rows, "k long, a string, b long")
+        got = {
+            r["k"]: r["status"]
+            for r in snapshot_diff(old, new, "k").collect()
+        }
+        o, n = {r[0]: r[1:] for r in old_rows}, {r[0]: r[1:] for r in new_rows}
+        want = {}
+        for k in set(o) | set(n):
+            if k not in o:
+                want[k] = "added"
+            elif k not in n:
+                want[k] = "removed"
+            elif o[k] != n[k]:
+                want[k] = "changed"
+        assert got == want, f"seed {seed}"
+
+
+def test_merge_state_matches_python_oracle_random(spark):
+    """Seeded random state merges vs a dict fold."""
+    import random
+
+    from data_ingestion_backend_spark.operators.delta import merge_keyed_state
+
+    for seed in (3, 99):
+        rng = random.Random(seed)
+        sides = []
+        for _ in range(2):
+            sides.append(
+                [
+                    (k, rng.randrange(1, 9), rng.randrange(100), rng.randrange(100))
+                    for k in range(40)
+                    if rng.random() < 0.7
+                ]
+            )
+        a = spark.createDataFrame(sides[0], "k long, n long, mn long, mx long")
+        b = spark.createDataFrame(sides[1], "k long, n long, mn long, mx long")
+        got = {
+            r["k"]: (r["n"], r["mn"], r["mx"])
+            for r in merge_keyed_state(
+                a, b, "k", sums=("n",), mins=("mn",), maxs=("mx",)
+            ).collect()
+        }
+        want = {}
+        for rows in sides:
+            for k, n, mn, mx in rows:
+                if k in want:
+                    pn, pmn, pmx = want[k]
+                    want[k] = (pn + n, min(pmn, mn), max(pmx, mx))
+                else:
+                    want[k] = (n, mn, mx)
+        assert got == want, f"seed {seed}"
