@@ -362,6 +362,13 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any broadcast limit and a forced hint would OOM the driver.  AQE
     # sees the runtime size and still broadcasts whenever it genuinely
     # fits (it does at every fixture SF).
+    #
+    # Measured negative result (r5): folding the self-join into ONE
+    # groupBy(g) with split-conditional collect_sets (one tokenize, one
+    # shuffle) is 1.46× SLOWER at sf0.1 under identical load — collect_set
+    # exits whole-stage codegen into ObjectHashAggregate, and that
+    # per-gram object overhead costs more than the join form's second
+    # tokenize+shuffle.  Keep the codegen-friendly join.
     return (
         train.join(test, "g")
         .groupBy("doc_id")
