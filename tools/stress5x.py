@@ -60,6 +60,15 @@ DEFAULT_OPS = [
     "q33_rollup_cube",
     "media_resize",
     "media_frame_sample",
+    # round-5 maintenance / sketch / layout family
+    "cdc_snapshot_diff",
+    "scd2_user_history",
+    "sketch_cm_heavy_hitters",
+    "layout_zorder_stats",
+    "layout_compaction_plan",
+    "agg_incremental_merge",
+    "text_clean",
+    "dq_star_expectations",
 ]
 
 # (table, id columns to offset per copy) — offsets keep keys unique so
