@@ -77,3 +77,28 @@ def test_redelivered_batch_is_rejected_not_double_counted(spark, tmp_path):
     doubled = {r[0]: r[1] for r in _snap(wh.read("user_totals"))}
     singles = {r[0]: r[1] for r in after_first}
     assert doubled == {k: 2 * v for k, v in singles.items()}
+
+
+def test_resume_across_restarts_with_new_data(spark, tmp_path):
+    """Stop-and-restart lifecycle: drain, new files arrive, drain again
+    over the SAME checkpoint — the second run must merge only the new
+    files (no reprocessing) and the final state must equal the flat
+    re-aggregation of everything."""
+    sdir = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "ckpt")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(sdir)
+    maintain_user_totals(spark, wh, sdir, ckpt)
+    b1 = last_applied_batch(wh, "user_totals")
+
+    for i in (1, 2):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+    maintain_user_totals(spark, wh, sdir, ckpt)
+
+    # restart resumed batch numbering (no replay of batch <= b1)
+    assert last_applied_batch(wh, "user_totals") > b1
+    assert _snap(wh.read("user_totals")) == _snap(aggregate_user_totals(ev))
