@@ -81,6 +81,12 @@ def prep_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two-step tokenize-then-transform shingling as dedup (inlining
     split() into the lambda re-splits per element; see dedup.py).  Docs
     with fewer than two tokens have no bigrams and score 0.
+
+    Measured negative result (r5): a fully ROW-LOCAL form (sort_array of
+    the bigram array + an aggregate() run-length fold — zero shuffles)
+    is 3× slower at sf0.1: higher-order-function lambdas are interpreted
+    per element while the explode+groupBy path stays in codegen'd hash
+    aggregation.  Shuffle-free is not free.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
