@@ -265,3 +265,20 @@ def test_merge_state_matches_python_oracle_random(spark):
                 else:
                     want[k] = (n, mn, mx)
         assert got == want, f"seed {seed}"
+
+
+def test_snapshot_diff_pushes_filters_to_both_scans(spark):
+    """Each snapshot's defining filter must reach its parquet scan
+    (PushedFilters) — at 100 TB the diff reads two filtered scans, never
+    two full scans plus in-memory filters."""
+    plan = (
+        cdc_snapshot_diff(spark, SF_DIR_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    nontrivial = [p for p in pushed if p.strip()]
+    assert len(nontrivial) >= 2, plan[:2000]

@@ -176,3 +176,19 @@ def test_cm_weighted_build(spark):
         ).collect()
     }
     assert est["a"] >= 12 and est["b"] >= 1
+
+
+def test_cm_build_uses_partial_aggregation(spark):
+    """The counter build must plan partial (map-side) aggregation so
+    each map task emits at most D*W rows — the property that makes the
+    sketch corpus-size-independent."""
+    from data_ingestion_backend_spark.operators.sketches import cm_build
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    plan = cm_build(ev, "k")._jdf.queryExecution().executedPlan().toString()
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan

@@ -46,3 +46,45 @@ def test_decoded_angle_brackets_are_not_restripped(spark):
     """Entity-encoded markup is CONTENT; decoding happens after tag
     stripping precisely so it cannot be re-interpreted as a tag."""
     assert _clean(spark, "&lt;script&gt;x&lt;/script&gt;") == "<script>x</script>"
+
+
+def test_strip_markup_cross_engine_random(spark):
+    """Seeded random markup-ish strings: Spark's strip_markup must equal
+    a DuckDB evaluation of the same pipeline (the regex/replace dialect
+    parity the oracle relies on, probed beyond the fixture corpus)."""
+    import random
+
+    import duckdb
+
+    from data_ingestion_backend_spark.operators.text import (
+        HTML_ENTITIES,
+        TAG_REGEX,
+    )
+
+    rng = random.Random(20240814)
+    atoms = [
+        "word", "x", "1", "<b>", "</b>", "<div class='c'>", "<br/>",
+        "&amp;", "&lt;", "&gt;", "&quot;", "&nbsp;", "&amp;lt;",
+        " ", "  ", "\t", "\n", "<", ">", "&", "'", '"', "<not closed",
+        "un>opened", "<>",
+    ]
+    cases = [
+        "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", strip_markup(F.col("t")).alias("c")).collect()
+    }
+
+    expr = f"regexp_replace(t, '{TAG_REGEX}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{lit}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (i BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(con.execute(f"SELECT i, {expr} FROM c").fetchall())
+    assert got == want
