@@ -1,0 +1,205 @@
+"""Lexical retrieval: BM25 top-k keyword search over the document corpus.
+
+The missing leg of the retrieval story: the engine already has embedding
+ANN (``similarity.py``) and near-dup candidate generation (``dedup.py``);
+this module adds the sparse/lexical ranking an LLM-data pipeline needs
+for benchmark decontamination probes, targeted corpus slicing ("find the
+docs about X"), and hybrid (lexical + dense) retrieval.
+
+Reference parity note: the reference (rpdevelops/data-ingestion-backend)
+has no search surface — its closest shape is the filtered listing
+endpoints (`src/app/repository/contact_repository.py:34-40`).  BM25 here
+is an extension operator per the north star (BASELINE.json: "text
+analysis" / retrieval), built only from public BM25 literature
+(Robertson & Zaragoza 2009) and public PySpark APIs.
+
+Scale design (100 TB):
+
+- **Inverted-index join, never corpus scoring.**  Candidates are the
+  postings rows whose term appears in a query — the query-term table is
+  tiny and broadcast, so candidate generation is a map-side hash join on
+  the postings table.  Docs sharing no term with any query are never
+  scored, never shuffled.
+- **Exact df without a second corpus pass**: document frequency is only
+  needed for query terms, so it is computed on the term-filtered postings
+  (one small aggregation), not the whole index.
+- **One scored shuffle**: contributions aggregate by (query_id, doc_id);
+  top-k is a per-query window over the scored candidates (bounded by
+  |postings of query terms|, not the corpus).
+- **Deterministic cross-engine scores**: every input to the float math
+  (tf, df, dl, n_docs, avgdl) is exactly representable and identical on
+  both engines; the per-term contribution is snapped to a 1e-4 grid and
+  summed as BIGINT (exact, associative — partial-aggregation order cannot
+  flip the hash), and ranking orders by that integer score with a doc_id
+  tiebreak.  Same discipline as ``mlprep.prep_idf_rarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_backend_spark.operators.queries import _register_standalone
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+# Classic BM25 constants (Robertson & Zaragoza 2009 defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+TOPK = 10
+# Fixture query set: the first QUERY_PREFIX_TOKENS tokens of each probe
+# doc form its query (dedup'd) — deterministic, engine-agnostic, and the
+# probe doc itself is a planted relevant result.
+QUERY_PREFIX_TOKENS = 6
+_QUERY_PRED_SQL = "doc_id % 100 = 3 AND doc_id < 500"
+
+
+def bm25_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Build the inverted index: ``(doc_id, dl, term, tf)`` postings plus
+    the 1-row corpus stats ``(n_docs, avgdl)``.
+
+    dl rides along from the tokenize stage so scoring never joins back to
+    the corpus for document lengths (at 100 TB that join would shuffle
+    the whole doc table; here it is a groupBy key that is functionally
+    dependent on doc_id and therefore free).
+    """
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    postings = (
+        base.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    return postings, stats
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Rank the top-``k`` docs per query by BM25.
+
+    ``queries``: (query_id, term) — distinct terms per query, small enough
+    to broadcast (a query is a handful of terms even when the query SET
+    has millions of rows, the per-term fan-out is what matters and it is
+    bounded by the postings of those terms).
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).  Each term's
+    contribution is snapped to a 1e-4 grid and summed exactly as BIGINT
+    so the score (and thus the ranking) is engine- and order-independent.
+    """
+    postings, stats = bm25_postings(docs)
+    qterms = queries.select("query_id", "term").distinct()
+    # exact df for query terms only: postings are distinct (doc, term)
+    # pairs, so count(*) per term IS document frequency.
+    df_tbl = (
+        postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * tfn * 10000.0).cast("bigint")
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_i"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_i"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("score_i") / 10000.0, 4).alias("score"),
+        )
+    )
+
+
+_BM25_ORACLE = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+postings AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, dl, term
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term
+  FROM (SELECT doc_id,
+               unnest((string_split(text, ' '))[1:{QUERY_PREFIX_TOKENS}]) AS term
+        FROM documents WHERE {_QUERY_PRED_SQL})
+),
+dfreq AS (
+  SELECT p.term, COUNT(*) AS df
+  FROM postings p
+  WHERE p.term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY p.term
+),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         SUM(CAST(ROUND(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * {BM25_K1 + 1.0})
+             / (p.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * p.dl / s.avgdl))
+           * 10000.0) AS BIGINT)) AS score_i
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN dfreq d ON d.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, doc_id, rank, ROUND(score_i / 10000.0, 4) AS score
+FROM (
+  SELECT query_id, doc_id, score_i,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_i DESC, doc_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@_register_standalone("search_bm25_topk", _BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-certified BM25 sweep: each probe doc's leading
+    tokens form a query; the full inverted-index → broadcast-join →
+    exact-integer-score → per-query top-k pipeline runs on both engines
+    (DuckDB recomputes the identical grid-snapped scores, so ranking —
+    including tie-breaks and collision cases — matches bit-for-bit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter((F.col("doc_id") % 100 == 3) & (F.col("doc_id") < 500))
+    queries = probes.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.slice(F.split(F.col("text"), " "), 1, QUERY_PREFIX_TOKENS)
+        ).alias("term"),
+    ).distinct()
+    return bm25_topk(docs, queries).orderBy("query_id", "rank")

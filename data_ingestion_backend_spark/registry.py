@@ -20,5 +20,6 @@ import data_ingestion_backend_spark.operators.curate  # noqa: F401,E402 — regi
 import data_ingestion_backend_spark.operators.delta  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.layout  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.dq  # noqa: F401,E402 — registers (standalone)
+import data_ingestion_backend_spark.operators.search  # noqa: F401,E402 — registers (standalone)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,109 @@
+"""Golden properties of the BM25 lexical retrieval operator.
+
+The cross-engine score/rank contract is certified by the standalone
+differential oracle (`test_oracle_queries.py::...[search_bm25_topk]`);
+these tests pin the retrieval-quality properties an oracle can't state:
+planted relevance, rank shape, and candidate-set bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.search import (
+    QUERY_PREFIX_TOKENS,
+    TOPK,
+    bm25_postings,
+    bm25_topk,
+    search_bm25_topk,
+)
+from data_ingestion_backend_spark.sources.fixtures import load_table
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_planted_relevant_doc_ranks_first(spark):
+    """On a controlled corpus, the one doc containing the query's rare
+    discriminative terms must outrank docs that only match common terms —
+    the core idf ordering property.  (The fixture corpus shares a tiny
+    uniform vocabulary, so self-retrieval there is not a sound invariant;
+    this planted corpus is.)"""
+    docs = spark.createDataFrame(
+        [
+            (0, "quantum flux capacitor alignment notes"),
+            (1, "table row join table row join table row"),
+            (2, "the quick brown fox jumps over the dog"),
+            (3, "flux measurements and table of results"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(7, "quantum"), (7, "flux"), (7, "capacitor")], ["query_id", "term"]
+    )
+    rows = sorted(bm25_topk(docs, queries).collect(), key=lambda r: r.rank)
+    assert rows[0].doc_id == 0 and rows[0].query_id == 7
+    # doc 3 matches only the mid-idf 'flux' term → strictly lower score
+    scores = {r.doc_id: r.score for r in rows}
+    assert scores[0] > scores.get(3, 0.0)
+    # docs 1 and 2 share no query term → never scored
+    assert set(scores) == {0, 3}
+
+
+def test_rank_contiguous_and_scores_monotone(spark):
+    out = search_bm25_topk(spark, SF_DIR_ORACLE).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOPK
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True), f"query {qid} not monotone"
+        assert all(s > 0 for s in scores)
+
+
+def test_candidates_limited_to_term_matches(spark):
+    """Docs sharing no term with the query are never scored — the
+    inverted-index contract that keeps 100 TB retrieval off the
+    all-pairs path."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    queries = spark.createDataFrame(
+        [(0, "zzz_not_in_corpus"), (1, "table")], ["query_id", "term"]
+    )
+    out = bm25_topk(docs, queries)
+    rows = out.collect()
+    assert all(r.query_id == 1 for r in rows), "termless query produced hits"
+    # every hit really contains the term
+    hit_ids = [r.doc_id for r in rows]
+    with_term = {
+        r.doc_id
+        for r in docs.filter(
+            F.array_contains(F.split(F.col("text"), " "), "table")
+        ).collect()
+    }
+    assert set(hit_ids) <= with_term
+
+
+def test_postings_stats_shape(spark):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    postings, stats = bm25_postings(docs)
+    s = stats.collect()[0]
+    assert s.n_docs == docs.count()
+    assert s.avgdl > 0
+    # postings are distinct (doc, term) with positive tf and constant dl per doc
+    bad = (
+        postings.groupBy("doc_id")
+        .agg(F.countDistinct("dl").alias("ndl"))
+        .filter(F.col("ndl") != 1)
+        .count()
+    )
+    assert bad == 0
+    assert postings.filter(F.col("tf") <= 0).count() == 0
+
+
+def test_query_prefix_constant_matches_oracle_text():
+    """The SQL oracle embeds the prefix length; keep the Python constant
+    and the oracle text in lock-step."""
+    from data_ingestion_backend_spark.operators.search import _BM25_ORACLE
+
+    assert f"[1:{QUERY_PREFIX_TOKENS}]" in _BM25_ORACLE
