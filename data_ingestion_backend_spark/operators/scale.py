@@ -139,10 +139,116 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), key, how)
 
 
+def bloom_prune_keys(fact: DataFrame, key: str, bits: DataFrame) -> DataFrame:
+    """Drop fact rows whose ``key`` CANNOT be in the set the Bloom bit
+    table was built over (``sketches.bloom_build``) — before any shuffle.
+
+    Shape: K broadcast LEFT SEMI probes against the (≤ 2^20-row, ~8 MB)
+    bit table, one per hash function — every probe is map-side, so the
+    fact is pruned without exploding rows or re-grouping (the
+    ``bloom_might_contain`` verdict shape costs an explode + a
+    fact-sized groupBy — right for emitting a verdict column, wrong for
+    pruning).  No false negatives: a surviving superset goes into the
+    real join, which removes the (bounded-rate) false positives, so the
+    composed result is EXACTLY the plain join's.
+
+    When this wins at 100 TB: the build side's key set is too large to
+    broadcast as keys (tens of millions of 8-byte keys + hash overhead)
+    but its Bloom image is fixed-size; the fact-side shuffle then moves
+    only rows that can match.  Size ``sketches.BLOOM_BITS`` at ~10 bits
+    per build key — past ~m/10 keys the filter saturates and prunes
+    nothing (it never becomes wrong, just useless).  Spark's own runtime
+    bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled) makes
+    the same move per-query; this explicit form exists so the bit table
+    can be MATERIALIZED and reused across queries/days (e.g. the corpus
+    membership gate), which a runtime filter cannot.
+    """
+    from data_ingestion_backend_spark.operators.sketches import (
+        BLOOM_K,
+        _bloom_bit,
+    )
+
+    out = fact
+    probe = F.col(key).cast("string")
+    # Each probe's build side is the IDENTICAL aliased subtree (same
+    # column name every round — semi-join output never carries the right
+    # side, so there is no ambiguity), which lets Spark's ReuseExchange
+    # rule broadcast the bit table ONCE and share it across all K probes
+    # instead of recomputing the build per probe.
+    for i in range(BLOOM_K):
+        b = bits.select(F.col("bit").alias("_bloom_probe_bit"))
+        out = out.join(
+            F.broadcast(b),
+            _bloom_bit(i, probe) == F.col("_bloom_probe_bit"),
+            "left_semi",
+        )
+    return out
+
+
 # --- driver-graded query: the salted path against a plain-SQL oracle --------
 
-from data_ingestion_backend_spark.operators.queries import DEC2, _register, dbl  # noqa: E402
+from data_ingestion_backend_spark.operators.queries import (  # noqa: E402
+    DEC2,
+    _register,
+    _register_standalone,
+    dbl,
+)
 from data_ingestion_backend_spark.sources.fixtures import load_table  # noqa: E402
+
+
+@_register_standalone(
+    "scale_bloom_pruned_join",
+    """SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP) AS month,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                             * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS revenue
+       FROM lineitem l
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderstatus = 'F' AND o.o_orderpriority = '1-URGENT'
+       GROUP BY DATE_TRUNC('month', o.o_orderdate)
+       ORDER BY month""",
+)
+def scale_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim-subset revenue where the fact is Bloom-pruned BEFORE the
+    join — certified against the PLAIN join (the DuckDB oracle), which is
+    exactly what the composed bloom-gate + join must equal: the gate never
+    drops a matching row (no false negatives) and the join's own equality
+    predicate removes the gate's false positives.
+
+    The plan the oracle can't see (pinned by tests/test_plans.py): K
+    broadcast semi probes prune lineitem map-side, so only
+    possibly-matching rows reach the join — the 100 TB shape where the
+    urgent-finished order keys are too many to ship as a broadcast list
+    but their Bloom image is a fixed ~8 MB.
+    """
+    from data_ingestion_backend_spark.operators.sketches import bloom_build
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    keys = orders.select(F.col("o_orderkey").cast("string").alias("h"))
+    bits = bloom_build(keys, "h")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(DEC2)
+            * (F.lit(1) - F.col("l_discount")).cast(DEC2)
+        ).alias("rev"),
+    )
+    pruned = bloom_prune_keys(li, "l_orderkey", bits)
+    return (
+        pruned.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            pruned["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            dbl(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("month")
+    )
 
 
 @_register(

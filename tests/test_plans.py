@@ -194,3 +194,21 @@ def test_merged_rollup_cube_cert_two_phase(q):
     assert expands
     for inp in expands:
         assert "sum_qty" in inp and "l_quantity" not in inp
+
+
+def test_bloom_pruned_join_probes_are_broadcast_semi(q):
+    # The bloom gate must stay K map-side broadcast LEFT SEMI probes on
+    # the fact — if any probe degrades to a shuffle (or the explode+
+    # groupBy verdict shape sneaks in), the pruning costs more than the
+    # join it is saving.
+    from data_ingestion_backend_spark.operators.sketches import BLOOM_K
+
+    import re
+
+    plan = formatted_plan(q("scale_bloom_pruned_join"))
+    assert plan.count("BroadcastHashJoin LeftSemi") >= BLOOM_K
+    assert "Expand" not in plan
+    # the FACT is scanned exactly once — only the (small, by contract)
+    # build side may be re-derived per probe
+    locs = re.findall(r"Location.*?(\w+)\.parquet", plan)
+    assert locs.count("lineitem") == 1

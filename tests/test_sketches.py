@@ -192,3 +192,23 @@ def test_cm_build_uses_partial_aggregation(spark):
     # two HashAggregates (partial + final) around one exchange
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
+
+
+def test_bloom_prune_keys_superset_of_matches_and_actually_prunes(spark):
+    """The pruned fact must (a) keep EVERY row whose key is in the build
+    set — no false negatives means the downstream join result is exactly
+    the plain join's — and (b) actually drop the bulk of non-matching
+    rows, otherwise the gate costs K probes for nothing."""
+    from data_ingestion_backend_spark.operators.scale import bloom_prune_keys
+    from data_ingestion_backend_spark.operators.sketches import bloom_build
+
+    build = spark.range(0, 200).select(
+        F.col("id").cast("string").alias("h")
+    )  # keys 0..199
+    bits = bloom_build(build, "h")
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"))  # keys 0..4999
+    pruned = bloom_prune_keys(fact, "k", bits)
+    kept = {r["k"] for r in pruned.collect()}
+    assert set(range(200)) <= kept, "bloom pruning dropped a matching key"
+    # fp rate at 800 set bits / 2^20 is ~3e-13: essentially nothing else survives
+    assert len(kept) <= 220, f"pruning ineffective: kept {len(kept)} of 5000"
