@@ -292,3 +292,95 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tier(li, [], 7))
     )
     return out.orderBy("gid", "l_returnflag", "l_linestatus", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# Per-series z-score anomaly detection
+# --------------------------------------------------------------------------
+
+#: flag observations this many sample standard deviations from the series mean
+ZSCORE_THRESHOLD = 3.0
+
+_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS m,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS m2
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND((e.value - s.m / s.n)
+               / sqrt((s.m2 - s.m * s.m / s.n) / (s.n - 1)), 4) AS zscore
+  FROM events e JOIN stats s USING (event_type)
+  WHERE s.n > 1 AND (s.m2 - s.m * s.m / s.n) > 0
+)
+SELECT event_id, event_type, ROUND(value, 2) AS value, zscore
+FROM z WHERE ABS(zscore) >= {ZSCORE_THRESHOLD}
+ORDER BY event_id
+"""
+
+
+@_register_standalone("ts_anomaly_zscore", _ZSCORE_SQL)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical QC: events whose value sits ≥ 3 sample standard
+    deviations from their series (event_type) mean.
+
+    Two-pass shape, NOT a per-series window: pass 1 aggregates
+    (n, Σv, Σv²) per series — decimal sums, so the moments are exact and
+    partial-aggregation order can't change them — into a series-count-
+    sized table; pass 2 broadcast-joins the moments back to the raw
+    events and computes z map-side.  A window over partitionBy(series)
+    would shuffle the WHOLE fact onto |series| reducers (5 here — a
+    built-in hot key at 100 TB); the two-pass form's only shuffle is the
+    map-side-combined moment aggregation, and the flagging pass is
+    embarrassingly parallel.
+
+    Cross-engine determinism: both engines cast the SAME exact decimal
+    moments to double, then evaluate the SAME IEEE expression
+    (mean = m/n, var = (m2 − m²/n)/(n−1), z = (v − mean)/√var), and the
+    terminal z is snapped to 4 dp before the threshold comparison — so
+    the flagged row SET (not just the scores) matches bit-for-bit.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return zscore_flags(events).orderBy("event_id")
+
+
+def zscore_flags(
+    events: DataFrame,
+    series_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = ZSCORE_THRESHOLD,
+) -> DataFrame:
+    """The reusable core of ``ts_anomaly_zscore`` (any keyed frame)."""
+    vdec = F.col(value_col).cast("decimal(18,6)")
+    stats = events.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(vdec).cast("double"), 6).alias("m"),
+        F.round(F.sum(vdec * vdec).cast("double"), 6).alias("m2"),
+    )
+    mean = F.col("m") / F.col("n")
+    var = (F.col("m2") - F.col("m") * F.col("m") / F.col("n")) / (F.col("n") - 1)
+    z = F.round((F.col(value_col) - mean) / F.sqrt(var), 4)
+    keep = [c for c in events.columns if c != value_col]
+    return (
+        events.join(F.broadcast(stats), series_col)
+        # degenerate series (single point / constant values) have no
+        # standard deviation: drop them BEFORE dividing — a NaN z-score
+        # would hit the one place Spark and DuckDB genuinely disagree
+        # (NaN compares greater than everything in Spark filters)
+        .filter(
+            (F.col("n") > 1)
+            & ((F.col("m2") - F.col("m") * F.col("m") / F.col("n")) > 0)
+        )
+        .select(
+            *keep,
+            F.round(F.col(value_col), 2).alias(value_col),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= threshold)
+    )

@@ -92,3 +92,35 @@ def test_grouping_sets_tiers_consistent(spark):
         assert r.l_returnflag is not None and r.l_linenumber is None
     for r in tiers[6]:
         assert r.l_linenumber is not None and r.l_returnflag is None
+
+
+# --- z-score anomaly detection ----------------------------------------------
+
+def test_zscore_planted_outlier_flagged_constant_series_skipped(spark):
+    """A planted far-out point must be flagged; a constant series must
+    produce NO rows (no std dev → no defined z-score) rather than
+    NaN-flagging everything."""
+    from data_ingestion_backend_spark.operators.timeseries import zscore_flags
+
+    rows = [(i, "normal", 10.0 + (i % 3)) for i in range(60)]
+    rows.append((999, "normal", 10_000.0))
+    rows += [(1000 + i, "flat", 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_flags(df).collect()
+    flagged = {(r.event_id, r.event_type) for r in out}
+    assert (999, "normal") in flagged, "planted outlier not flagged"
+    assert all(t != "flat" for _, t in flagged), "constant series produced z rows"
+    # the inlier spread (±1 around 10) must not be flagged
+    assert all(eid == 999 for eid, t in flagged if t == "normal")
+
+
+def test_zscore_fixture_rate_sane(spark):
+    """On the exponential-ish fixture values the ≥3σ rate should be low
+    but non-zero (the operator finds real tail mass, not noise)."""
+    from data_ingestion_backend_spark.operators.timeseries import ts_anomaly_zscore
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+
+    n_total = load_table(spark, SF_DIR_ORACLE, "events").count()
+    out = ts_anomaly_zscore(spark, SF_DIR_ORACLE).collect()
+    assert 0 < len(out) < 0.05 * n_total
+    assert all(abs(r.zscore) >= 3.0 for r in out)
