@@ -138,8 +138,10 @@ def bm25_topk(
     )
 
 
-_BM25_ORACLE = f"""
-WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# Shared CTE block: inverted index → integer-grid BM25 scores → per-query
+# ranking.  Used verbatim by BOTH the BM25 oracle and the hybrid-fusion
+# oracle so the two can never drift.
+_BM25_CORE_CTES = f"""base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 postings AS (
   SELECT doc_id, dl, term, COUNT(*) AS tf
   FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
@@ -162,7 +164,7 @@ dfreq AS (
   WHERE p.term IN (SELECT DISTINCT term FROM qterms)
   GROUP BY p.term
 ),
-scored AS (
+lscored AS (
   SELECT q.query_id, p.doc_id,
          SUM(CAST(ROUND(
            ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
@@ -174,15 +176,19 @@ scored AS (
   JOIN dfreq d ON d.term = q.term
   CROSS JOIN stats s
   GROUP BY q.query_id, p.doc_id
-)
-SELECT query_id, doc_id, rank, ROUND(score_i / 10000.0, 4) AS score
-FROM (
+),
+lexr AS (
   SELECT query_id, doc_id, score_i,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY score_i DESC, doc_id) AS rank
-  FROM scored
-)
-WHERE rank <= {TOPK}
+                            ORDER BY score_i DESC, doc_id) AS rnk
+  FROM lscored
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CORE_CTES}
+SELECT query_id, doc_id, rnk AS rank, ROUND(score_i / 10000.0, 4) AS score
+FROM lexr
+WHERE rnk <= {TOPK}
 ORDER BY query_id, rank
 """
 
@@ -203,3 +209,124 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     ).distinct()
     return bm25_topk(docs, queries).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of the lexical and dense arms
+# --------------------------------------------------------------------------
+
+#: RRF smoothing constant (Cormack, Clarke & Büttcher 2009's k=60)
+RRF_K = 60
+#: integer grid for 1/(k+rank) so fused scores sum exactly as BIGINT
+RRF_SCALE = 1_000_000.0
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CORE_CTES},
+qv AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id % 100 = 3 AND vec_id < 500
+),
+dscored AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe), 6)
+           AS cosine
+  FROM embeddings e, qv q
+),
+denr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS rnk
+  FROM dscored
+),
+fused AS (
+  SELECT query_id, doc_id,
+         SUM(CAST(ROUND({RRF_SCALE} / ({RRF_K} + rnk)) AS BIGINT)) AS rrf_i
+  FROM (
+    SELECT query_id, doc_id, rnk FROM lexr WHERE rnk <= {TOPK}
+    UNION ALL
+    SELECT query_id, doc_id, rnk FROM denr WHERE rnk <= {TOPK}
+  )
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rank, ROUND(rrf_i / {RRF_SCALE}, 6) AS rrf
+FROM (
+  SELECT query_id, doc_id, rrf_i,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_i DESC, doc_id) AS rank
+  FROM fused
+)
+WHERE rank <= {TOPK}
+ORDER BY query_id, rank
+"""
+
+
+def rrf_fuse(ranked_arms: list[DataFrame], k: int = RRF_K, topk: int = TOPK) -> DataFrame:
+    """Reciprocal Rank Fusion over any number of (query_id, doc_id, rnk)
+    ranked lists: score(q,d) = Σ_arms 1/(k + rank_arm(q,d)), computed on
+    the {RRF_SCALE:.0f}-point integer grid so partial-aggregation order
+    cannot flip ties.  Input arms are already top-k-bounded, so the union
+    is |queries|·k·|arms| rows — trivially small next to the corpus no
+    matter the scale; the fusion shuffle is negligible by construction.
+    """
+    unioned = ranked_arms[0].select("query_id", "doc_id", "rnk")
+    for arm in ranked_arms[1:]:
+        unioned = unioned.unionByName(arm.select("query_id", "doc_id", "rnk"))
+    contrib = F.round(F.lit(RRF_SCALE) / (F.lit(k) + F.col("rnk"))).cast("bigint")
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.sum(contrib).alias("rrf_i")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_i"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("rrf_i") / RRF_SCALE, 6).alias("rrf"),
+        )
+    )
+
+
+@_register_standalone("search_hybrid_rrf", _HYBRID_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval certified end-to-end: the lexical arm is the BM25
+    pipeline above, the dense arm is broadcast-probe cosine kNN over the
+    embeddings table (same probe ids — doc and vector ids share an id
+    space in the fixtures), and the fused ranking is exact-integer RRF.
+    DuckDB recomputes all three stages, so arm ranks AND fused tie-breaks
+    match bit-for-bit."""
+    from data_ingestion_backend_spark.operators.dedup import cosine_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter((F.col("doc_id") % 100 == 3) & (F.col("doc_id") < 500))
+    queries = probes.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.slice(F.split(F.col("text"), " "), 1, QUERY_PREFIX_TOKENS)
+        ).alias("term"),
+    ).distinct()
+    lex = bm25_topk(docs, queries).select(
+        "query_id", "doc_id", F.col("rank").alias("rnk")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = emb.filter((F.col("vec_id") % 100 == 3) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    dscored = emb.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias("cosine"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    den = (
+        dscored.withColumn("rnk", F.row_number().over(wd).cast("bigint"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "doc_id", "rnk")
+    )
+    return rrf_fuse([lex, den]).orderBy("query_id", "rank")

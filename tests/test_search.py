@@ -107,3 +107,42 @@ def test_query_prefix_constant_matches_oracle_text():
     from data_ingestion_backend_spark.operators.search import _BM25_ORACLE
 
     assert f"[1:{QUERY_PREFIX_TOKENS}]" in _BM25_ORACLE
+
+
+# --- hybrid RRF fusion -------------------------------------------------------
+
+def test_rrf_consensus_beats_single_arm(spark):
+    """A doc ranked mid-list by BOTH arms must outrank a doc that only
+    one arm ranked (even first): 1/(60+3)+1/(60+3) > 1/(60+1)."""
+    from data_ingestion_backend_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 3)], "query_id long, doc_id long, rnk long"
+    )
+    den = spark.createDataFrame(
+        [(1, 300, 1), (1, 200, 3)], "query_id long, doc_id long, rnk long"
+    )
+    rows = sorted(rrf_fuse([lex, den]).collect(), key=lambda r: r.rank)
+    assert rows[0].doc_id == 200, "consensus doc did not win fusion"
+    # both single-arm rank-1 docs tie exactly and break by doc_id
+    assert [r.doc_id for r in rows[1:]] == [100, 300]
+    assert rows[1].rrf == rows[2].rrf
+
+
+def test_hybrid_rrf_end_to_end_shape(spark):
+    from data_ingestion_backend_spark.operators.search import (
+        TOPK,
+        search_hybrid_rrf,
+    )
+
+    out = search_hybrid_rrf(spark, SF_DIR_ORACLE).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5  # probe ids 3,103,203,303,403
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOPK
+        # fused scores are bounded by |arms| / (k+1)
+        assert all(0 < r.rrf <= 2.0 / 61.0 + 1e-9 for r in rows)
