@@ -77,6 +77,10 @@ STANDALONE_HEADLINE = [
     "agg_incremental_merge",
     "text_clean",
     "dq_star_expectations",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "ts_anomaly_zscore",
+    "scale_bloom_pruned_join",
 ]
 
 

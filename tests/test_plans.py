@@ -75,6 +75,12 @@ SANCTIONED_PANDAS = {
     "media_features",
     "dedup_embedding_topk_pairs",
     "sim_ann_topk",
+    # standalone registry members with sanctioned Arrow stages: the IVF
+    # quantizer (GEMM assignment) and the media decode/resize/frame
+    # kernels are the documented mapInPandas surfaces
+    "dedup_semantic",
+    "media_resize",
+    "media_frame_sample",
 }
 
 
@@ -83,7 +89,7 @@ def test_no_python_udfs_anywhere(spark):
     must be pure Catalyst: a Python UDF stage (BatchEvalPython /
     ArrowEvalPython / MapInPandas) is a hot-path regression even when
     results stay correct."""
-    for name, fn in sorted(QUERIES.items()):
+    for name, fn in sorted({**QUERIES, **STANDALONE_QUERIES}.items()):
         if name in SANCTIONED_PANDAS:
             continue
         plan = formatted_plan(fn(spark, SF_DIR_ORACLE))

@@ -69,6 +69,11 @@ DEFAULT_OPS = [
     "agg_incremental_merge",
     "text_clean",
     "dq_star_expectations",
+    # late round-5: retrieval + anomaly + bloom-pruned join
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "ts_anomaly_zscore",
+    "scale_bloom_pruned_join",
 ]
 
 # (table, id columns to offset per copy) — offsets keep keys unique so
