@@ -80,6 +80,7 @@ STANDALONE_HEADLINE = [
     "search_bm25_topk",
     "search_hybrid_rrf",
     "ts_anomaly_zscore",
+    "ts_anomaly_mad",
     "scale_bloom_pruned_join",
 ]
 

@@ -222,13 +222,24 @@ def scale_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent-finished order keys are too many to ship as a broadcast list
     but their Bloom image is a fixed ~8 MB.
     """
+    from data_ingestion_backend_spark.operators.dedup import _session_persisted
     from data_ingestion_backend_spark.operators.sketches import bloom_build
 
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
     )
-    keys = orders.select(F.col("o_orderkey").cast("string").alias("h"))
-    bits = bloom_build(keys, "h")
+    # The bit table feeds all K probe broadcasts; session-memoized so the
+    # build (scan+explode+distinct) runs once, not once per probe — the
+    # in-query analogue of the "materialize the filter" deployment shape
+    # the docstring above describes.
+    bits = _session_persisted(
+        spark,
+        sf_dir,
+        "bloom_bits_urgent_finished_orders",
+        lambda: bloom_build(
+            orders.select(F.col("o_orderkey").cast("string").alias("h")), "h"
+        ),
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         (

@@ -312,8 +312,9 @@ WITH stats AS (
 ),
 z AS (
   SELECT e.event_id, e.event_type, e.value,
-         ROUND((e.value - s.m / s.n)
-               / sqrt((s.m2 - s.m * s.m / s.n) / (s.n - 1)), 4) AS zscore
+         CAST(FLOOR((e.value - s.m / s.n)
+               / sqrt((s.m2 - s.m * s.m / s.n) / (s.n - 1))
+               * 10000.0) AS BIGINT) / 10000.0 AS zscore
   FROM events e JOIN stats s USING (event_type)
   WHERE s.n > 1 AND (s.m2 - s.m * s.m / s.n) > 0
 )
@@ -365,7 +366,17 @@ def zscore_flags(
     )
     mean = F.col("m") / F.col("n")
     var = (F.col("m2") - F.col("m") * F.col("m") / F.col("n")) / (F.col("n") - 1)
-    z = F.round((F.col(value_col) - mean) / F.sqrt(var), 4)
+    # FLOOR-grid snap, not ROUND: both engines compute the identical IEEE
+    # double, and floor(x*1e4) is exact on identical doubles — ROUND
+    # diverges when the double sits a hair off a .00005 midpoint (Spark
+    # rounds the exact binary expansion HALF_UP, DuckDB rounds in float;
+    # observed once at sf0.1 in the MAD twin).  Same trick as
+    # delta.snapshot_diff's floor-cents tokens.
+    z = (
+        F.floor(((F.col(value_col) - mean) / F.sqrt(var)) * 10000.0)
+        .cast("bigint")
+        / 10000.0
+    )
     keep = [c for c in events.columns if c != value_col]
     return (
         events.join(F.broadcast(stats), series_col)
@@ -383,4 +394,94 @@ def zscore_flags(
             z.alias("zscore"),
         )
         .filter(F.abs(F.col("zscore")) >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust (median / MAD) anomaly detection — the z-score's heavy-tail twin
+# --------------------------------------------------------------------------
+
+#: Iglewicz–Hoaglin modified-z threshold and consistency constant
+MAD_THRESHOLD = 3.5
+MAD_C = 0.6745
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.50), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(d, 0.50), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT event_id, event_type, ROUND(value, 2) AS value,
+       CAST(FLOOR({MAD_C} * (value - med) / mad * 10000.0) AS BIGINT)
+         / 10000.0 AS rz
+FROM dev JOIN mad USING (event_type)
+WHERE mad > 0
+  AND ABS(CAST(FLOOR({MAD_C} * (value - med) / mad * 10000.0) AS BIGINT)
+            / 10000.0) >= {MAD_THRESHOLD}
+ORDER BY event_id
+"""
+
+
+@_register_standalone("ts_anomaly_mad", _MAD_SQL)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified z-score outliers: rz = 0.6745·(v − median)/MAD, flagged at
+    |rz| ≥ 3.5 (Iglewicz & Hoaglin 1993).  The parametric z-score above
+    assumes the mean/stddev describe the series; on heavy-tailed series
+    the outliers INFLATE the stddev and hide themselves — median/MAD have
+    a 50% breakdown point, so this is the variant to trust on unvetted
+    data.
+
+    Shape: two exact-percentile aggregations (series-count-sized outputs)
+    each broadcast back to the fact — the same two-pass/broadcast
+    discipline as ``zscore_flags``; no window over the 5-value series
+    key.  Exact per-group percentiles buffer group values at the reducer,
+    so this form is verification-grade: at 100 TB swap both medians for
+    the mergeable GK sketch (``sketches.approx_value_quantiles``) and
+    keep the identical flagging logic.
+
+    Cross-engine: Spark ``percentile`` ≡ DuckDB ``quantile_cont`` (the
+    q35-certified equivalence); both medians are snapped to 6 dp before
+    any downstream arithmetic, so dev/rz are identical IEEE expressions
+    over identical inputs, and the terminal rz is snapped to 4 dp before
+    the threshold — the flagged SET matches, not just the scores.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(d, 0.5D)"), 6).alias("mad")
+    )
+    # FLOOR-grid snap (see zscore_flags): exact on identical doubles,
+    # where ROUND(x, 4) was observed to split a near-midpoint at sf0.1.
+    rz = (
+        F.floor(
+            F.lit(MAD_C) * (F.col("value") - F.col("med")) / F.col("mad") * 10000.0
+        ).cast("bigint")
+        / 10000.0
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value"), 2).alias("value"),
+            rz.alias("rz"),
+        )
+        .filter(F.abs(F.col("rz")) >= MAD_THRESHOLD)
+        .orderBy("event_id")
     )

@@ -124,3 +124,54 @@ def test_zscore_fixture_rate_sane(spark):
     out = ts_anomaly_zscore(spark, SF_DIR_ORACLE).collect()
     assert 0 < len(out) < 0.05 * n_total
     assert all(abs(r.zscore) >= 3.0 for r in out)
+
+
+def test_mad_flags_masked_outliers_zscore_misses(spark):
+    """The classic masking case: enough extreme points inflate the stddev
+    until the parametric z-score flags NOTHING, while median/MAD (50%
+    breakdown) flags them all — the property that justifies shipping both
+    detectors."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_backend_spark.operators.timeseries import (
+        MAD_C,
+        MAD_THRESHOLD,
+        zscore_flags,
+    )
+
+    rows = [(i, "s", 10.0 + (i % 3)) for i in range(50)]
+    rows += [(900 + i, "s", 1000.0) for i in range(8)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    z_flagged = {r.event_id for r in zscore_flags(df).collect()}
+    assert not z_flagged, f"masking broken: z-score flagged {z_flagged}"
+
+    med = df.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    dev = df.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(d, 0.5D)"), 6).alias("mad")
+    )
+    rz = F.round(F.lit(MAD_C) * (F.col("value") - F.col("med")) / F.col("mad"), 4)
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) >= MAD_THRESHOLD)
+        .collect()
+    )
+    mad_flagged = {r.event_id for r in out}
+    assert mad_flagged == {900 + i for i in range(8)}
+
+
+def test_mad_fixture_rate_sane(spark):
+    from data_ingestion_backend_spark.operators.timeseries import ts_anomaly_mad
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+
+    n_total = load_table(spark, SF_DIR_ORACLE, "events").count()
+    out = ts_anomaly_mad(spark, SF_DIR_ORACLE).collect()
+    assert 0 < len(out) < 0.10 * n_total
+    assert all(abs(r.rz) >= 3.5 for r in out)

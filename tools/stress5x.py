@@ -73,6 +73,7 @@ DEFAULT_OPS = [
     "search_bm25_topk",
     "search_hybrid_rrf",
     "ts_anomaly_zscore",
+    "ts_anomaly_mad",
     "scale_bloom_pruned_join",
 ]
 
