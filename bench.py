@@ -81,6 +81,7 @@ STANDALONE_HEADLINE = [
     "search_hybrid_rrf",
     "ts_anomaly_zscore",
     "ts_anomaly_mad",
+    "dedup_incremental",
     "scale_bloom_pruned_join",
 ]
 

@@ -264,6 +264,32 @@ def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_persisted(spark, sf_dir, "minhash_per_doc", _build_per_doc)
 
 
+def _band_table(per_doc: DataFrame) -> DataFrame:
+    """LSH band table (doc_id, band_idx, band_key) from the per-doc
+    signature frame — the persisted form of this IS the corpus dedup
+    index (see ``dedup_incremental_pairs``)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{c * BAND_ROWS + r}").cast("string")
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for c in range(N_BANDS)
+        ]
+    )
+    return per_doc.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_key"
+    )
+
+
 @_register("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection with exact-Jaccard verification.
@@ -282,27 +308,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-b) plus the n-gram operator consume it.
     """
     per_doc = _minhash_per_doc(spark, sf_dir)
-    sig = per_doc
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"m{c * BAND_ROWS + r}").cast("string")
-                            for r in range(BAND_ROWS)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for c in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_idx", "b.band_key"
-    )
+    bands = _band_table(per_doc)
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -1102,4 +1108,85 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus dedup: new batch vs a persisted LSH index
+# --------------------------------------------------------------------------
+
+#: fixture batch split: every 10th doc arrives "today", the rest ARE the corpus
+_NEW_BATCH_PRED_SQL = "doc_id % 10 = 0"
+
+
+def dedup_incremental_pairs(
+    per_doc_new: DataFrame, bands_new: DataFrame, bands_corpus: DataFrame,
+    per_doc_corpus: DataFrame, threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the new batch, without ever joining
+    corpus×corpus: candidates are (new ⋈ corpus-index bands) ∪ (new
+    self-join) — exactly the pairs a full rebuild would emit minus the
+    corpus-internal ones, which by definition were already found when
+    those docs were themselves new.
+
+    This is the 100 TB shape of dedup maintenance: the band table is the
+    PERSISTED index (built once per doc at ingest, `_band_table`), the
+    daily cost is |new bands| bucket probes + a new×new self-join, and
+    the corpus is never re-shingled.  Losslessness is certified by the
+    oracle, which runs the FULL rebuild and filters to touching-new.
+    """
+    nb, cb = bands_new.alias("x"), bands_corpus.alias("y")
+    cand_nc = (
+        nb.join(
+            cb,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+    )
+    n2a, n2b = bands_new.alias("x"), bands_new.alias("y")
+    cand_nn = (
+        n2a.join(
+            n2b,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+    )
+    cand = cand_nc.unionByName(cand_nn).distinct()
+    per_doc_all = per_doc_new.unionByName(per_doc_corpus)
+    return _verify_jaccard(per_doc_all, cand, threshold)
+
+
+def _incremental_oracle_sql() -> str:
+    # The INDEPENDENT plan: a full-corpus rebuild filtered to pairs that
+    # touch the new batch — if the incremental decomposition dropped or
+    # invented a candidate anywhere, this differs.
+    return (
+        f"WITH {_minhash_ctes()} "
+        "SELECT doc_a, doc_b, jaccard FROM pairs "
+        f"WHERE (doc_a % 10 = 0) OR (doc_b % 10 = 0) "
+        "ORDER BY doc_a, doc_b"
+    )
+
+
+@_register_standalone("dedup_incremental", _incremental_oracle_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture form: docs with ``doc_id % 10 == 0`` are the arriving
+    batch, the rest are the already-indexed corpus.  The per-doc
+    signature table is the session memo (modelling the persisted index);
+    only its band PROJECTIONS are split new/corpus — the corpus is never
+    re-shingled and corpus×corpus pairs are never generated."""
+    per_doc = _minhash_per_doc(spark, sf_dir)
+    is_new = F.col("doc_id") % 10 == 0
+    bands = _band_table(per_doc)
+    return dedup_incremental_pairs(
+        per_doc.filter(is_new),
+        bands.filter(is_new),
+        bands.filter(~is_new),
+        per_doc.filter(~is_new),
     )

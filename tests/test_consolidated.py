@@ -214,3 +214,29 @@ def test_winnowing_guarantee_and_overlap_detection(spark, tmp_path):
     pairs = {(r["doc_a"], r["doc_b"]) for r in dedup_winnow_pairs(spark, sf).collect()}
     assert (0, 1) in pairs  # the planted overlap MUST surface as a pair
     assert all(2 not in p for p in pairs)  # the unrelated doc pairs with no one
+
+
+def test_dedup_incremental_equals_full_rebuild_touching_new(spark):
+    """The incremental decomposition must be lossless: (new ⋈ corpus) ∪
+    (new ⋈ new) candidates, verified, == the FULL LSH rebuild's pairs
+    restricted to those touching a new doc.  Spark-vs-Spark here; the
+    DuckDB oracle repeats the same claim against an independent engine."""
+    from data_ingestion_backend_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_minhash_lsh,
+    )
+    from tests.conftest import SF_DIR_ORACLE as sf
+
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, sf).collect()
+        if r["doc_a"] % 10 == 0 or r["doc_b"] % 10 == 0
+    }
+    inc = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_incremental(spark, sf).collect()
+    }
+    assert inc == full
+    assert inc, "fixture produced no touching-new pairs — test is vacuous"
+    # and the incremental form never emits a corpus-internal pair
+    assert all(a % 10 == 0 or b % 10 == 0 for a, b, _ in inc)

@@ -74,6 +74,7 @@ DEFAULT_OPS = [
     "search_hybrid_rrf",
     "ts_anomaly_zscore",
     "ts_anomaly_mad",
+    "dedup_incremental",
     "scale_bloom_pruned_join",
 ]
 
