@@ -101,12 +101,15 @@ _SHINGLES_SQL = """
 """
 
 
-def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two-step projection (tokens column, then shingle transform over it)
-    # instead of one nested expression: inlining split() into every lambda
-    # element access made Catalyst re-split the text per shingle element —
-    # measured 13× slower (7.0s → 0.54s for the sf0.1 shingle explode).
-    toks = load_table(spark, sf_dir, "documents").select(
+def docs_shingled_frame(docs: DataFrame) -> DataFrame:
+    """Distinct 3-gram shingles for any (doc_id, text) frame.
+
+    Two-step projection (tokens column, then shingle transform over it)
+    instead of one nested expression: inlining split() into every lambda
+    element access made Catalyst re-split the text per shingle element —
+    measured 13× slower (7.0s → 0.54s for the sf0.1 shingle explode).
+    """
+    toks = docs.select(
         "doc_id",
         F.lower(F.col("text")).alias("ltext"),
         F.split(F.lower(F.col("text")), " ").alias("t"),
@@ -121,6 +124,10 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.array(F.col("ltext")))
     )
     return toks.select("doc_id", F.explode(shingles).alias("s"))
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return docs_shingled_frame(load_table(spark, sf_dir, "documents"))
 
 
 def _verify_jaccard(
@@ -249,19 +256,30 @@ def _minhash_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed different aggregates — a second groupBy would re-run the whole
     shingle pipeline); every family member that needs per-doc shingle
     arrays (LSH verify, n-gram Jaccard verify) reads THIS frame."""
+    return _session_persisted(
+        spark,
+        sf_dir,
+        "minhash_per_doc",
+        lambda: minhash_per_doc_frame(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
+
+
+def minhash_per_doc_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc signature/array table for any (doc_id, text) frame — the
+    frame-based core of `_minhash_per_doc`, reused by the streaming
+    near-dup gate to index each arriving micro-batch with the identical
+    signature arithmetic the corpus index carries."""
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("bigint")
-
-    def _build_per_doc() -> DataFrame:
-        return _docs_shingled(spark, sf_dir).groupBy("doc_id").agg(
-            *[
-                F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{j}")
-                for j, (a, b) in enumerate(MINHASH_COEFFS)
-            ],
-            F.collect_list("s").alias("ss"),
-            F.count("*").alias("n"),
-        )
-
-    return _session_persisted(spark, sf_dir, "minhash_per_doc", _build_per_doc)
+    return docs_shingled_frame(docs).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS)
+        ],
+        F.collect_list("s").alias("ss"),
+        F.count("*").alias("n"),
+    )
 
 
 def _band_table(per_doc: DataFrame) -> DataFrame:

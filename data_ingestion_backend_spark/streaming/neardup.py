@@ -1,0 +1,128 @@
+"""Streaming near-dup admission: micro-batches probe the persisted LSH index.
+
+The streaming form of :func:`~data_ingestion_backend_spark.operators.dedup.
+dedup_incremental_pairs` — an always-on intake where each arriving
+micro-batch of documents is (a) signature-indexed with the exact
+arithmetic the corpus index carries, (b) probed against that index for
+near-dup pairs (new×corpus ∪ new×new, never corpus×corpus), and (c)
+absorbed INTO the index so the next batch sees it — the continuously-
+maintained version of the "nightly index compaction" the batch operator
+models.  Complements ``pipeline.dedup_docs_stream`` (the EXACT-hash
+admission gate): that one answers "is this byte-identical to something
+we have", this one answers "is this a near-duplicate of something we
+have".
+
+Exactly-once uses the same two guards as ``streaming/incremental.py``:
+the stream checkpoint stops clean-restart re-reads, and a last-absorbed
+``batch_id`` marker (written AFTER both table writes) absorbs the
+foreachBatch re-delivery window — re-running a crashed batch neither
+duplicates pairs nor double-inserts index rows.
+
+Scale notes: the index tables are the per-doc signature frame (16
+BIGINT minhashes + the distinct-shingle array used for exact-Jaccard
+verification) and its banded projection; the per-batch cost is
+|batch bands| bucket probes + a batch×batch self-join.  At 100 TB the
+band join is against a bucketed table on (band_idx, band_key) and only
+candidate docs' shingle arrays are fetched; the corpus is never
+re-shingled.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_backend_spark.operators.dedup import (
+    _band_table,
+    dedup_incremental_pairs,
+    minhash_per_doc_frame,
+)
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+INDEX_TABLE = "neardup_index"
+PAIRS_TABLE = "neardup_pairs"
+
+
+def _marker_path(wh: Warehouse, name: str) -> str:
+    return os.path.join(wh.root, name, "_last_batch")
+
+
+def last_admitted_batch(wh: Warehouse, name: str = PAIRS_TABLE) -> int:
+    p = _marker_path(wh, name)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def seed_index(wh: Warehouse, corpus_docs: DataFrame) -> None:
+    """Build the initial corpus index from a static (doc_id, text) frame."""
+    wh.write(INDEX_TABLE, minhash_per_doc_frame(corpus_docs))
+
+
+def neardup_gate_batch(
+    wh: Warehouse, batch_docs: DataFrame, batch_id: int
+) -> bool:
+    """Process one micro-batch: emit its near-dup pairs and absorb it
+    into the index, exactly once.
+
+    Returns False (no-op) on a re-delivered ``batch_id``.  Write order is
+    pairs → index → marker: a crash anywhere in between re-delivers the
+    batch and the marker check rejects the re-run, while the versioned
+    snapshot writes themselves are atomic (pointer swap), so readers
+    never see a torn table.
+    """
+    if batch_id <= last_admitted_batch(wh):
+        return False
+    corpus_per_doc = wh.read(INDEX_TABLE)
+    corpus_bands = _band_table(corpus_per_doc)
+    # Materialize once per batch: the per-doc frame feeds its own band
+    # projection, the candidate join, and the index append — without a
+    # local pin the collect_list aggregation would run three times.
+    batch_per_doc = minhash_per_doc_frame(batch_docs).localCheckpoint(eager=True)
+    pairs = dedup_incremental_pairs(
+        batch_per_doc,
+        _band_table(batch_per_doc),
+        corpus_bands,
+        corpus_per_doc,
+    )
+    if wh.current_version(PAIRS_TABLE) < 0:
+        wh.write(PAIRS_TABLE, pairs)
+    else:
+        wh.write(PAIRS_TABLE, wh.read(PAIRS_TABLE).unionByName(pairs))
+    wh.write(INDEX_TABLE, corpus_per_doc.unionByName(batch_per_doc))
+    marker = _marker_path(wh, PAIRS_TABLE)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, marker)
+    return True
+
+
+def maintain_neardup_pairs(
+    spark: SparkSession,
+    wh: Warehouse,
+    docs_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+) -> None:
+    """Drain the arriving-docs directory through the near-dup gate
+    (availableNow semantics — same code path as continuous operation)."""
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda batch_df, batch_id: neardup_gate_batch(wh, batch_df, batch_id)
+        )
+        .start()
+    )
+    q.awaitTermination()

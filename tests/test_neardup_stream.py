@@ -1,0 +1,91 @@
+"""Streaming near-dup admission gate (streaming/neardup.py).
+
+The pairs accumulated across micro-batches must equal the batch
+`dedup_incremental` result over the same new-doc set — cross-batch pairs
+are caught when the LATER doc arrives because each batch is absorbed into
+the index before the next probes it.  Plus the two exactly-once guards:
+checkpoint re-drain is a no-op, and a re-delivered batch_id neither
+duplicates pairs nor double-inserts index rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR_ORACLE
+from data_ingestion_backend_spark.operators.dedup import dedup_incremental
+from data_ingestion_backend_spark.sources.fixtures import load_table
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+from data_ingestion_backend_spark.streaming.neardup import (
+    INDEX_TABLE,
+    PAIRS_TABLE,
+    last_admitted_batch,
+    maintain_neardup_pairs,
+    neardup_gate_batch,
+    seed_index,
+)
+
+
+def _pairs_set(df):
+    return {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()}
+
+
+def _setup(spark, tmp_path):
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    seed_index(wh, corpus)
+    sdir = str(tmp_path / "docs_stream")
+    # three part-files so maxFilesPerTrigger=1 forces three probes with
+    # index growth in between (cross-batch pairs exist iff this matters)
+    for i in range(3):
+        new.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+    return wh, sdir, new
+
+
+def test_streamed_pairs_equal_batch_incremental(spark, tmp_path):
+    wh, sdir, _ = _setup(spark, tmp_path)
+    maintain_neardup_pairs(spark, wh, sdir, str(tmp_path / "ckpt"))
+    assert last_admitted_batch(wh) >= 2, "expected three micro-batches"
+
+    got = _pairs_set(wh.read(PAIRS_TABLE))
+    want = _pairs_set(dedup_incremental(spark, SF_DIR_ORACLE))
+    assert got == want
+    assert got, "fixture produced no pairs — test is vacuous"
+    # the index absorbed every arrival exactly once
+    n_index = wh.read(INDEX_TABLE).count()
+    n_docs = load_table(spark, SF_DIR_ORACLE, "documents").count()
+    assert n_index == n_docs
+
+
+def test_redrain_same_checkpoint_is_noop(spark, tmp_path):
+    wh, sdir, _ = _setup(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    maintain_neardup_pairs(spark, wh, sdir, ckpt)
+    v_pairs = wh.current_version(PAIRS_TABLE)
+    v_index = wh.current_version(INDEX_TABLE)
+    maintain_neardup_pairs(spark, wh, sdir, ckpt)
+    assert wh.current_version(PAIRS_TABLE) == v_pairs
+    assert wh.current_version(INDEX_TABLE) == v_index
+
+
+def test_redelivered_batch_rejected(spark, tmp_path):
+    """The crash window: pairs+index written, checkpoint not committed —
+    Spark re-runs the same batch_id; the marker guard must reject it."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    seed_index(wh, corpus)
+
+    assert neardup_gate_batch(wh, new, batch_id=0) is True
+    pairs_after = _pairs_set(wh.read(PAIRS_TABLE))
+    index_after = wh.read(INDEX_TABLE).count()
+
+    # re-delivery: same batch id → no-op, state bit-identical
+    assert neardup_gate_batch(wh, new, batch_id=0) is False
+    assert _pairs_set(wh.read(PAIRS_TABLE)) == pairs_after
+    assert wh.read(INDEX_TABLE).count() == index_after
