@@ -265,7 +265,7 @@ ORDER BY query_id, rank
 def rrf_fuse(ranked_arms: list[DataFrame], k: int = RRF_K, topk: int = TOPK) -> DataFrame:
     """Reciprocal Rank Fusion over any number of (query_id, doc_id, rnk)
     ranked lists: score(q,d) = Σ_arms 1/(k + rank_arm(q,d)), computed on
-    the {RRF_SCALE:.0f}-point integer grid so partial-aggregation order
+    the 1e6-point integer grid (``RRF_SCALE``) so partial-aggregation order
     cannot flip ties.  Input arms are already top-k-bounded, so the union
     is |queries|·k·|arms| rows — trivially small next to the corpus no
     matter the scale; the fusion shuffle is negligible by construction.
