@@ -86,6 +86,29 @@ STANDALONE_HEADLINE = [
 ]
 
 
+def _calibration_sec() -> float:
+    """Fixed-work CPU reference: median of 3 seeded 1500² float64
+    matmuls.  Absolute per-query seconds are only comparable across
+    sessions/boots after normalizing by this — two end-of-round-5 sweeps
+    reproduced each other within 0.5% while sitting ~25% above the
+    mid-round sweep with identical plans, i.e. the host itself (microVM
+    scheduling/frequency) moves between boots by more than any plan
+    regression we chase.  Dividing totals by (calibration / its
+    historical baseline) removes that axis.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((1500, 1500))
+    b = rng.standard_normal((1500, 1500))
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -149,6 +172,9 @@ def main() -> None:
             "start": [round(x, 2) for x in load_start],
             "end": [round(x, 2) for x in load_end],
         },
+        # fixed-work CPU reference for cross-boot normalization (see
+        # _calibration_sec); ~0.19 s on the round-5 reference host
+        "calibration_sec": _calibration_sec(),
     }
     print(json.dumps(out))
     spark.stop()
