@@ -86,6 +86,7 @@ def bm25_topk(
     k: int = TOPK,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Rank the top-``k`` docs per query by BM25.
 
@@ -98,6 +99,19 @@ def bm25_topk(
     with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).  Each term's
     contribution is snapped to a 1e-4 grid and summed exactly as BIGINT
     so the score (and thus the ranking) is engine- and order-independent.
+
+    ``max_df_frac``: the hot-term defense.  A query containing a
+    ubiquitous term (a stopword, a boilerplate token) makes the
+    candidate set THE WHOLE CORPUS — at 100 TB that one term turns the
+    broadcast-join pruning into a full scan-and-shuffle.  Setting e.g.
+    ``max_df_frac=0.1`` drops query terms whose df exceeds 10% of the
+    corpus from CANDIDATE GENERATION (their idf ≈ ln(1 + ~1/frac⁻¹) is
+    the smallest of any query term, so the score perturbation is the
+    smallest possible for any term you could drop); rare terms still
+    retrieve, and a query of ONLY ubiquitous terms degrades to empty
+    rather than to a corpus scan.  None (the certified default) keeps
+    exact BM25.  This is the same df-pruning idea as the n-gram dedup
+    inverted index (`dedup.NGRAM_MAX_DF`), applied to retrieval.
     """
     postings, stats = bm25_postings(docs)
     qterms = queries.select("query_id", "term").distinct()
@@ -108,6 +122,10 @@ def bm25_topk(
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("df"))
     )
+    if max_df_frac is not None:
+        df_tbl = df_tbl.crossJoin(F.broadcast(stats.select("n_docs"))).filter(
+            F.col("df") <= max_df_frac * F.col("n_docs")
+        ).drop("n_docs")
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -146,3 +146,28 @@ def test_hybrid_rrf_end_to_end_shape(spark):
         assert len(rows) <= TOPK
         # fused scores are bounded by |arms| / (k+1)
         assert all(0 < r.rrf <= 2.0 / 61.0 + 1e-9 for r in rows)
+
+
+def test_max_df_guard_drops_ubiquitous_terms_only(spark):
+    """The hot-term defense: a term in every doc must stop generating
+    candidates when max_df_frac is set, while rare terms still retrieve —
+    and a query of ONLY ubiquitous terms degrades to empty, not to a
+    corpus scan."""
+    docs = spark.createDataFrame(
+        [(i, f"common filler{i} payload{i % 7}") for i in range(40)]
+        + [(100, "common rareterm payload1")],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(1, "common"), (1, "rareterm"), (2, "common")], ["query_id", "term"]
+    )
+    exact = bm25_topk(docs, queries)
+    guarded = bm25_topk(docs, queries, max_df_frac=0.5)
+
+    # exact: query 2 (only 'common') matches everything
+    assert {r.query_id for r in exact.collect()} == {1, 2}
+    g = guarded.collect()
+    # guarded: 'common' (df=41/41) is dropped → query 2 returns nothing,
+    # query 1 still finds the rareterm doc
+    assert {r.query_id for r in g} == {1}
+    assert [r.doc_id for r in g] == [100]
