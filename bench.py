@@ -82,6 +82,7 @@ STANDALONE_HEADLINE = [
     "ts_anomaly_zscore",
     "ts_anomaly_mad",
     "dedup_incremental",
+    "text_vocab_topn",
     "scale_bloom_pruned_join",
 ]
 

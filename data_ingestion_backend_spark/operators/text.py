@@ -386,3 +386,87 @@ from data_ingestion_backend_spark.operators.queries import (  # noqa: E402
 )
 
 _register_standalone("text_clean", _text_clean_oracle())(text_clean)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary induction: top-N terms with exact cumulative coverage
+# --------------------------------------------------------------------------
+
+VOCAB_TOPN = 50
+
+_VOCAB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+agg AS (
+  SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY term
+),
+tot AS (SELECT SUM(tf) AS total FROM agg),
+ranked AS (
+  SELECT term, tf, df,
+         ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rnk,
+         SUM(tf) OVER (ORDER BY tf DESC, term
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM agg
+)
+SELECT rnk, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST((cum * 1000000) // total AS BIGINT) AS coverage_ppm
+FROM ranked CROSS JOIN tot
+WHERE rnk <= {VOCAB_TOPN}
+ORDER BY rnk
+"""
+
+
+@_register_standalone("text_vocab_topn", _VOCAB_SQL)
+def text_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-N terms by frequency with document
+    frequency and EXACT cumulative token coverage in ppm — the
+    profile read before fixing a tokenizer vocab size ("how many terms
+    cover 95% of tokens") and the denominator check for the
+    `bpe_token_count` budget estimator.
+
+    Shapes: the one corpus-sized shuffle is the (term)-keyed aggregation
+    (map-side combined); everything after runs on the AGGREGATED vocab
+    table, which Heaps' law keeps sublinear in corpus size, so the
+    unpartitioned ranking window is a small-table sort, not a fact
+    funnel.  Coverage is pure integer arithmetic — cum·1e6 DIV total —
+    so both engines produce the identical BIGINT (no float terminal at
+    all; the long product caps at ~9e12 corpora tokens before overflow,
+    far past any single vocab head's need).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    agg = tok.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    tot = agg.agg(F.sum("tf").alias("total"))
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    ranked = agg.select(
+        "term",
+        "tf",
+        "df",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("tf")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    ).filter(F.col("rnk") <= VOCAB_TOPN)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "term",
+            "tf",
+            "df",
+            F.expr("CAST((cum * 1000000) div total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("rnk")
+    )

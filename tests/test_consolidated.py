@@ -240,3 +240,21 @@ def test_dedup_incremental_equals_full_rebuild_touching_new(spark):
     assert inc, "fixture produced no touching-new pairs — test is vacuous"
     # and the incremental form never emits a corpus-internal pair
     assert all(a % 10 == 0 or b % 10 == 0 for a, b, _ in inc)
+
+
+def test_vocab_head_properties(spark):
+    """Coverage must be monotone in rank and never exceed 1e6 ppm
+    (it REACHES 1e6 here — the synthetic corpus has only ~31 distinct
+    terms, so the head covers everything); df <= tf with both positive;
+    tf non-increasing down the head."""
+    from data_ingestion_backend_spark.operators.text import text_vocab_topn
+    from tests.conftest import SF_DIR_ORACLE as sf
+
+    rows = sorted(text_vocab_topn(spark, sf).collect(), key=lambda r: r.rnk)
+    assert rows and rows[0].rnk == 1
+    tfs = [r.tf for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    covs = [r.coverage_ppm for r in rows]
+    assert covs == sorted(covs) and covs[-1] <= 1_000_000
+    for r in rows:
+        assert 0 < r.df <= r.tf

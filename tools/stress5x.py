@@ -75,6 +75,7 @@ DEFAULT_OPS = [
     "ts_anomaly_zscore",
     "ts_anomaly_mad",
     "dedup_incremental",
+    "text_vocab_topn",
     "scale_bloom_pruned_join",
 ]
 
