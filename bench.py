@@ -1,9 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the full detail JSON line
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
    "spread": {...}, "runs_per_query": 5, "loadavg": {...}}``
+followed by a compact (<300 byte) headline summary as the LAST stdout
+line, and writes the full detail to ``BENCH_LOCAL.json``.  Round 5's
+single ~6 KB line outgrew the driver's stdout tail-capture
+(BENCH_r05.json recorded ``parsed: null``); the trailing compact line
+guarantees the headline number survives any capture window.
 
 - ``value`` = total wall-clock seconds across the headline queries
   (excluding SparkSession startup and the untimed warm-up pass).
@@ -88,20 +93,22 @@ STANDALONE_HEADLINE = [
 
 
 def _calibration_sec() -> float:
-    """Fixed-work CPU reference: median of 3 seeded 1500² float64
-    matmuls.  Absolute per-query seconds are only comparable across
-    sessions/boots after normalizing by this — two end-of-round-5 sweeps
-    reproduced each other within 0.5% while sitting ~25% above the
-    mid-round sweep with identical plans, i.e. the host itself (microVM
-    scheduling/frequency) moves between boots by more than any plan
-    regression we chase.  Dividing totals by (calibration / its
-    historical baseline) removes that axis.
+    """Fixed-work CPU reference: median of 3 seeded 5000² float64
+    matmuls (~0.25 TFLOP each, ≥1 s on this host class).  Absolute
+    per-query seconds are only comparable across sessions/boots after
+    normalizing by this — two end-of-round-5 sweeps reproduced each
+    other within 0.5% while sitting ~25% above the mid-round sweep with
+    identical plans, i.e. the host itself (microVM scheduling/
+    frequency) moves between boots by more than any plan regression we
+    chase.  Dividing totals by (calibration / its historical baseline)
+    removes that axis.  Round 5's 1500² spin (~50 ms) was itself inside
+    scheduler-quantum noise; ≥1 s of fixed work amortizes that.
     """
     import numpy as np
 
     rng = np.random.default_rng(7)
-    a = rng.standard_normal((1500, 1500))
-    b = rng.standard_normal((1500, 1500))
+    a = rng.standard_normal((5000, 5000))
+    b = rng.standard_normal((5000, 5000))
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -161,6 +168,7 @@ def main() -> None:
         }
     load_end = os.getloadavg()
 
+    calibration = _calibration_sec()
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(sum(timings.values()), 4),
@@ -174,10 +182,36 @@ def main() -> None:
             "end": [round(x, 2) for x in load_end],
         },
         # fixed-work CPU reference for cross-boot normalization (see
-        # _calibration_sec); ~0.19 s on the round-5 reference host
-        "calibration_sec": _calibration_sec(),
+        # _calibration_sec); ~1.1 s on the round-6 reference host
+        "calibration_sec": calibration,
     }
+    # Full detail (queries + spread + loadavg) to a file: the full JSON
+    # line outgrew the driver's stdout tail-capture in round 5
+    # (BENCH_r05.json parsed:null), so the durable copy lives on disk.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout lines below still carry everything
     print(json.dumps(out))
+    # Compact headline as the LAST stdout line (<300 bytes): any
+    # tail-capture window keeps it, so the round's headline number is
+    # always machine-readable even when the per-query detail line is not.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": out["value"],
+                "unit": "sec",
+                "sf": out["sf"],
+                "n_queries": len(timings),
+                "runs_per_query": RUNS,
+                "calibration_sec": calibration,
+                "detail": "BENCH_LOCAL.json",
+            }
+        )
+    )
     spark.stop()
 
 

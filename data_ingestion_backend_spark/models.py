@@ -133,6 +133,29 @@ CONTACTS_SCHEMA = T.StructType(
     ]
 )
 
+#: streaming near-dup gate tables (streaming/neardup.py) — fixed by
+#: construction: 16 MinHash signature slots (dedup.MINHASH_COEFFS),
+#: the distinct-shingle array used for exact-Jaccard verification, and
+#: the verified pair output of ``dedup._verify_jaccard``.  Registered
+#: here so a never-seeded warehouse reads an EMPTY corpus (admit
+#: everything) rather than raising KeyError('neardup_index').
+NEARDUP_INDEX_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType(), True)]
+    + [T.StructField(f"m{j}", T.LongType(), True) for j in range(16)]
+    + [
+        T.StructField("ss", T.ArrayType(T.StringType()), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+NEARDUP_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType(), True),
+        T.StructField("doc_b", T.LongType(), True),
+        T.StructField("jaccard", T.DoubleType(), True),
+    ]
+)
+
 PIPELINE_TABLES = ("jobs", "staging", "issues", "issue_items", "contacts")
 
 SCHEMAS = {
@@ -141,4 +164,6 @@ SCHEMAS = {
     "issues": ISSUES_SCHEMA,
     "issue_items": ISSUE_ITEMS_SCHEMA,
     "contacts": CONTACTS_SCHEMA,
+    "neardup_index": NEARDUP_INDEX_SCHEMA,
+    "neardup_pairs": NEARDUP_PAIRS_SCHEMA,
 }

@@ -12,11 +12,17 @@ admission gate): that one answers "is this byte-identical to something
 we have", this one answers "is this a near-duplicate of something we
 have".
 
-Exactly-once uses the same two guards as ``streaming/incremental.py``:
-the stream checkpoint stops clean-restart re-reads, and a last-absorbed
-``batch_id`` marker (written AFTER both table writes) absorbs the
-foreachBatch re-delivery window — re-running a crashed batch neither
-duplicates pairs nor double-inserts index rows.
+Exactly-once uses three guards: the stream checkpoint stops
+clean-restart re-reads; a last-absorbed ``batch_id`` marker absorbs
+the post-commit foreachBatch re-delivery window; and a pre-write
+INTENT record (batch_id + the pre-batch snapshot versions of both
+tables) closes the window the marker alone leaves open — a crash
+AFTER a table write committed but BEFORE the marker was written.  A
+re-delivered batch that finds its own intent rebuilds both tables
+from the recorded base versions, so re-application replaces the
+partial commit instead of appending on top of it (idempotent under
+any crash point; snapshots are immutable, so the base versions are
+still readable).
 
 Scale notes: the index tables are the per-doc signature frame (16
 BIGINT minhashes + the distinct-shingle array used for exact-Jaccard
@@ -29,6 +35,7 @@ re-shingled.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +63,26 @@ def last_admitted_batch(wh: Warehouse, name: str = PAIRS_TABLE) -> int:
         return int(f.read().strip())
 
 
+def _intent_path(wh: Warehouse) -> str:
+    return os.path.join(wh.root, PAIRS_TABLE, "_intent")
+
+
+def _read_intent(wh: Warehouse) -> dict | None:
+    p = _intent_path(wh)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.loads(f.read())
+
+
+def _write_atomic(path: str, payload: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
 def seed_index(wh: Warehouse, corpus_docs: DataFrame) -> None:
     """Build the initial corpus index from a static (doc_id, text) frame."""
     wh.write(INDEX_TABLE, minhash_per_doc_frame(corpus_docs))
@@ -67,15 +94,34 @@ def neardup_gate_batch(
     """Process one micro-batch: emit its near-dup pairs and absorb it
     into the index, exactly once.
 
-    Returns False (no-op) on a re-delivered ``batch_id``.  Write order is
-    pairs → index → marker: a crash anywhere in between re-delivers the
-    batch and the marker check rejects the re-run, while the versioned
-    snapshot writes themselves are atomic (pointer swap), so readers
-    never see a torn table.
+    Returns False (no-op) on a re-delivered ``batch_id`` that already
+    committed (marker check).  For the window the marker cannot cover —
+    a crash AFTER the pairs and/or index write committed but BEFORE the
+    marker — an intent record written before the first table write pins
+    the pre-batch snapshot versions; the re-run reads THOSE versions
+    (``wh.read(table, base)``) instead of the possibly-half-advanced
+    current pointers, so its writes contain base + batch exactly once.
+    Each individual snapshot write is itself atomic (pointer swap), so
+    readers never see a torn table at any crash point.
     """
     if batch_id <= last_admitted_batch(wh):
         return False
-    corpus_per_doc = wh.read(INDEX_TABLE)
+    intent = _read_intent(wh)
+    if intent is not None and intent["batch_id"] == batch_id:
+        # crashed re-run of this very batch: rebuild from the recorded bases
+        pairs_base, index_base = intent["pairs_base"], intent["index_base"]
+    else:
+        pairs_base = wh.current_version(PAIRS_TABLE)
+        index_base = wh.current_version(INDEX_TABLE)
+        _write_atomic(
+            _intent_path(wh),
+            json.dumps(
+                {"batch_id": batch_id, "pairs_base": pairs_base, "index_base": index_base}
+            ),
+        )
+    corpus_per_doc = (
+        wh.read(INDEX_TABLE, index_base) if index_base >= 0 else wh.read(INDEX_TABLE)
+    )
     corpus_bands = _band_table(corpus_per_doc)
     # Materialize once per batch: the per-doc frame feeds its own band
     # projection, the candidate join, and the index append — without a
@@ -87,17 +133,13 @@ def neardup_gate_batch(
         corpus_bands,
         corpus_per_doc,
     )
-    if wh.current_version(PAIRS_TABLE) < 0:
+    if pairs_base < 0:
         wh.write(PAIRS_TABLE, pairs)
     else:
-        wh.write(PAIRS_TABLE, wh.read(PAIRS_TABLE).unionByName(pairs))
+        wh.write(PAIRS_TABLE, wh.read(PAIRS_TABLE, pairs_base).unionByName(pairs))
     wh.write(INDEX_TABLE, corpus_per_doc.unionByName(batch_per_doc))
-    marker = _marker_path(wh, PAIRS_TABLE)
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, marker)
+    _write_atomic(_marker_path(wh, PAIRS_TABLE), str(batch_id))
+    os.remove(_intent_path(wh))
     return True
 
 

@@ -89,3 +89,73 @@ def test_redelivered_batch_rejected(spark, tmp_path):
     assert neardup_gate_batch(wh, new, batch_id=0) is False
     assert _pairs_set(wh.read(PAIRS_TABLE)) == pairs_after
     assert wh.read(INDEX_TABLE).count() == index_after
+
+
+def test_crash_between_table_write_and_marker_is_idempotent(spark, tmp_path, monkeypatch):
+    """The window the marker alone cannot cover: both snapshot writes
+    committed, then the process died BEFORE the marker write.  The
+    re-delivered batch finds the intent record and rebuilds from the
+    recorded base versions — final state must be bit-identical to a
+    single clean run, with no duplicated pairs or double-inserted docs."""
+    import data_ingestion_backend_spark.streaming.neardup as nd
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    # clean single-run reference state
+    wh_ref = Warehouse(spark, str(tmp_path / "wh_ref"))
+    seed_index(wh_ref, corpus)
+    assert neardup_gate_batch(wh_ref, new, batch_id=0) is True
+    want_pairs = _pairs_set(wh_ref.read(PAIRS_TABLE))
+    want_index = wh_ref.read(INDEX_TABLE).count()
+
+    # crashed run: kill the process right before the marker write — by
+    # then BOTH table versions have committed via their pointer swaps
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    seed_index(wh, corpus)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_write_atomic = nd._write_atomic
+
+    def crash_on_marker(path, payload):
+        if path.endswith("_last_batch"):
+            raise Boom("simulated crash before marker write")
+        real_write_atomic(path, payload)
+
+    monkeypatch.setattr(nd, "_write_atomic", crash_on_marker)
+    try:
+        neardup_gate_batch(wh, new, batch_id=0)
+    except Boom:
+        pass
+    monkeypatch.setattr(nd, "_write_atomic", real_write_atomic)
+
+    # partial commit is visible (this is exactly the hazard): tables
+    # advanced, marker did not
+    assert wh.current_version(PAIRS_TABLE) >= 0
+    assert last_admitted_batch(wh) == -1
+    assert wh.read(INDEX_TABLE).count() > want_index - new.count()  # index absorbed
+
+    # re-delivery of the same batch_id must REPLACE, not re-append
+    assert neardup_gate_batch(wh, new, batch_id=0) is True
+    assert _pairs_set(wh.read(PAIRS_TABLE)) == want_pairs
+    assert wh.read(PAIRS_TABLE).count() == len(want_pairs)  # no dup rows either
+    assert wh.read(INDEX_TABLE).count() == want_index
+    assert last_admitted_batch(wh) == 0
+
+
+def test_unseeded_stream_reads_empty_corpus(spark, tmp_path):
+    """A gate run on a warehouse where seed_index was never called must
+    treat the corpus as empty (admit everything, emit only new×new
+    pairs) — not raise KeyError('neardup_index')."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert neardup_gate_batch(wh, new, batch_id=0) is True
+    got = _pairs_set(wh.read(PAIRS_TABLE))
+    # every emitted pair is new×new
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert all(a in new_ids and b in new_ids for a, b, _ in got)
+    assert wh.read(INDEX_TABLE).count() == len(new_ids)
