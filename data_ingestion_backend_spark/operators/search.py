@@ -133,7 +133,14 @@ def bm25_topk(
     tfn = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
     )
-    contrib = F.round(idf * tfn * 10000.0).cast("bigint")
+    # FLOOR-grid snap, not ROUND: idf·tfn flows through ln/÷ so the
+    # double is irrational-class — a near-midpoint contribution can
+    # ROUND differently per engine (Spark HALF_UP on the exact binary
+    # expansion vs DuckDB in float) and flip a rank at a new SF.  FLOOR
+    # of the identical double is exact on both engines (same idiom as
+    # the timeseries z-score grid); contributions are positive, so no
+    # toward-zero asymmetry.
+    contrib = F.floor(idf * tfn * 10000.0).cast("bigint")
     scored = (
         postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_tbl), "term")
@@ -184,7 +191,7 @@ dfreq AS (
 ),
 lscored AS (
   SELECT q.query_id, p.doc_id,
-         SUM(CAST(ROUND(
+         SUM(CAST(FLOOR(
            ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
            * (p.tf * {BM25_K1 + 1.0})
              / (p.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * p.dl / s.avgdl))
@@ -260,7 +267,7 @@ denr AS (
 ),
 fused AS (
   SELECT query_id, doc_id,
-         SUM(CAST(ROUND({RRF_SCALE} / ({RRF_K} + rnk)) AS BIGINT)) AS rrf_i
+         SUM(CAST(FLOOR({RRF_SCALE} / ({RRF_K} + rnk)) AS BIGINT)) AS rrf_i
   FROM (
     SELECT query_id, doc_id, rnk FROM lexr WHERE rnk <= {TOPK}
     UNION ALL
@@ -291,7 +298,10 @@ def rrf_fuse(ranked_arms: list[DataFrame], k: int = RRF_K, topk: int = TOPK) -> 
     unioned = ranked_arms[0].select("query_id", "doc_id", "rnk")
     for arm in ranked_arms[1:]:
         unioned = unioned.unionByName(arm.select("query_id", "doc_id", "rnk"))
-    contrib = F.round(F.lit(RRF_SCALE) / (F.lit(k) + F.col("rnk"))).cast("bigint")
+    # FLOOR-grid for the same cross-engine reason as the BM25 contribs:
+    # RRF_SCALE/(k+rank) is a computed double; floor of the identical
+    # double is exact where a near-midpoint ROUND may differ per engine.
+    contrib = F.floor(F.lit(RRF_SCALE) / (F.lit(k) + F.col("rnk"))).cast("bigint")
     fused = unioned.groupBy("query_id", "doc_id").agg(
         F.sum(contrib).alias("rrf_i")
     )

@@ -305,18 +305,21 @@ _ZSCORE_SQL = f"""
 WITH stats AS (
   SELECT event_type,
          COUNT(*) AS n,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS m,
-         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))
-                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS m2
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS m,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS m2
   FROM events GROUP BY event_type
 ),
 z AS (
   SELECT e.event_id, e.event_type, e.value,
-         CAST(FLOOR((e.value - s.m / s.n)
-               / sqrt((s.m2 - s.m * s.m / s.n) / (s.n - 1))
-               * 10000.0) AS BIGINT) / 10000.0 AS zscore
-  FROM events e JOIN stats s USING (event_type)
-  WHERE s.n > 1 AND (s.m2 - s.m * s.m / s.n) > 0
+         CAST(SIGN(zr) * FLOOR(ABS(zr) * 10000.0) AS BIGINT) / 10000.0 AS zscore
+  FROM (
+    SELECT e.*, s.n, s.m, s.m2,
+           (e.value - s.m / s.n)
+             / sqrt((s.m2 - s.m * s.m / s.n) / (s.n - 1)) AS zr
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.n > 1 AND (s.m2 - s.m * s.m / s.n) > 0
+  ) e
 )
 SELECT event_id, event_type, ROUND(value, 2) AS value, zscore
 FROM z WHERE ABS(zscore) >= {ZSCORE_THRESHOLD}
@@ -359,10 +362,16 @@ def zscore_flags(
 ) -> DataFrame:
     """The reusable core of ``ts_anomaly_zscore`` (any keyed frame)."""
     vdec = F.col(value_col).cast("decimal(18,6)")
+    # Round the moments IN EXACT DECIMAL, then cast: Σv² is an exact
+    # scale-12 decimal, so values exactly on a 6-dp midpoint
+    # (…5000000 at scale 12) are reachable, and ROUND(double, 6) on
+    # those is the cross-engine midpoint hazard — decimal HALF_UP is
+    # identical on both engines, and identical decimals cast to
+    # identical doubles.
     stats = events.groupBy(series_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(vdec).cast("double"), 6).alias("m"),
-        F.round(F.sum(vdec * vdec).cast("double"), 6).alias("m2"),
+        F.round(F.sum(vdec), 6).cast("double").alias("m"),
+        F.round(F.sum(vdec * vdec), 6).cast("double").alias("m2"),
     )
     mean = F.col("m") / F.col("n")
     var = (F.col("m2") - F.col("m") * F.col("m") / F.col("n")) / (F.col("n") - 1)
@@ -371,9 +380,13 @@ def zscore_flags(
     # diverges when the double sits a hair off a .00005 midpoint (Spark
     # rounds the exact binary expansion HALF_UP, DuckDB rounds in float;
     # observed once at sf0.1 in the MAD twin).  Same trick as
-    # delta.snapshot_diff's floor-cents tokens.
+    # delta.snapshot_diff's floor-cents tokens.  Snapped SYMMETRICALLY
+    # about zero (sign·floor|z|): a plain floor admits z = −2.99995 (→
+    # −3.0000) but not +2.99995 (→ +2.9999) — an epsilon-lower effective
+    # threshold for negative outliers only.
+    zraw = (F.col(value_col) - mean) / F.sqrt(var)
     z = (
-        F.floor(((F.col(value_col) - mean) / F.sqrt(var)) * 10000.0)
+        (F.signum(zraw) * F.floor(F.abs(zraw) * 10000.0))
         .cast("bigint")
         / 10000.0
     )
@@ -420,11 +433,13 @@ mad AS (
   FROM dev GROUP BY event_type
 )
 SELECT event_id, event_type, ROUND(value, 2) AS value,
-       CAST(FLOOR({MAD_C} * (value - med) / mad * 10000.0) AS BIGINT)
+       CAST(SIGN({MAD_C} * (value - med) / mad)
+            * FLOOR(ABS({MAD_C} * (value - med) / mad) * 10000.0) AS BIGINT)
          / 10000.0 AS rz
 FROM dev JOIN mad USING (event_type)
 WHERE mad > 0
-  AND ABS(CAST(FLOOR({MAD_C} * (value - med) / mad * 10000.0) AS BIGINT)
+  AND ABS(CAST(SIGN({MAD_C} * (value - med) / mad)
+               * FLOOR(ABS({MAD_C} * (value - med) / mad) * 10000.0) AS BIGINT)
             / 10000.0) >= {MAD_THRESHOLD}
 ORDER BY event_id
 """
@@ -467,10 +482,12 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # FLOOR-grid snap (see zscore_flags): exact on identical doubles,
     # where ROUND(x, 4) was observed to split a near-midpoint at sf0.1.
+    # Symmetric about zero (sign·floor|rz|) so negative outliers aren't
+    # admitted at an epsilon-lower effective threshold than positive.
+    rzraw = F.lit(MAD_C) * (F.col("value") - F.col("med")) / F.col("mad")
     rz = (
-        F.floor(
-            F.lit(MAD_C) * (F.col("value") - F.col("med")) / F.col("mad") * 10000.0
-        ).cast("bigint")
+        (F.signum(rzraw) * F.floor(F.abs(rzraw) * 10000.0))
+        .cast("bigint")
         / 10000.0
     )
     return (
