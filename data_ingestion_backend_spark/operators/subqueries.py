@@ -1,0 +1,110 @@
+"""Correlated scalar-subquery shapes (TPC-H Q17/Q2/Q20 silhouettes).
+
+The reference has no correlated SQL of its own, but its repository
+layer computes the same shape imperatively — two queries, an aggregate
+then a per-entity comparison against it (reference
+``src/app/repository/issue_repository.py:96-115``, count + subtract per
+job).  An analytics user hits the declarative form early: "rows whose
+value relates to an aggregate over their OWN group".  These three certs
+pin that Catalyst DECORRELATES the subquery — rewrites it into one
+aggregation joined back to the outer query — rather than re-executing
+the inner query per outer row (the O(n²) trap naive engines fall into).
+
+All three run through the SQL text surface (``plans/catalog.run_sql``)
+because correlated scalar subqueries are exactly the shape the
+DataFrame builder API cannot express directly — the SQL path is the
+product surface here, not a convenience.  The SAME text serves as the
+DuckDB oracle: the queries are written in the portable ANSI subset both
+engines parse, so the cert is text-identical by construction (terminal
+discipline per the repo rule: exact-decimal sums rounded before the
+double cast; raw parquet doubles passed through untouched).
+
+Scale shapes (all pinned in ``tests/test_sql_surface.py``):
+
+- q41 (Q17): the decorrelated inner aggregate is per-partkey over the
+  SAME fact — one map-side-combined shuffle on l_partkey, joined back
+  on l_partkey (co-partitioned with the aggregation output, no second
+  fact shuffle), dim filter broadcast.
+- q42 (Q2 min-per-group join-back): inner MIN(o_orderdate) per custkey
+  aggregates the fact once, joins back on (custkey, orderdate) —
+  equivalent to the window-rank form but with a partial-agg-sized
+  shuffle instead of a full sort of the fact.
+- q43 (Q20 nested semi + agg): the IN becomes a left-semi join; the
+  correlated HAVING aggregate decorrelates to a per-partkey total
+  joined into the grouped supplier×part frame.  Supplier (the outer
+  side) is dim-sized and stays broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_backend_spark.operators.queries import _register_standalone
+from data_ingestion_backend_spark.plans.catalog import run_sql
+
+# Q17 silhouette: lineitems below 20% of their part's average quantity.
+# The inner avg is SUM(decimal)/COUNT — both engines cast the identical
+# exact decimal to double, then evaluate the same IEEE division, so the
+# 0.2·avg comparison boundary is bit-identical cross-engine.
+Q41_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+# Q2 silhouette: min-per-group join-back — each BUILDING customer's
+# earliest order(s).  Equality join-back on an exact timestamp, raw
+# parquet double passed through as the terminal (identical bits in both
+# engines; no arithmetic, no rounding needed).
+Q42_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice AS first_total
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate = (SELECT MIN(o2.o_orderdate) FROM orders o2
+                       WHERE o2.o_custkey = c.c_custkey)
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+# Q20 silhouette: nested semi with a correlated aggregate — suppliers
+# who shipped more than 3x the average per-supplier quantity of some
+# PROMO part.  The correlated scalar lives inside the HAVING of the IN
+# subquery (the deepest nesting Spark's decorrelation handles as one
+# rewrite: semi-join + two aggregates + join-back).
+Q43_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+         3.0 * (SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(DISTINCT l2.l_suppkey)
+                FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+ORDER BY s.s_suppkey
+"""
+
+
+@_register_standalone("q41_correlated_avg_qty", Q41_SQL)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-avg-quantity lineitems of one brand."""
+    return run_sql(spark, sf_dir, Q41_SQL)
+
+
+@_register_standalone("q42_min_per_group_joinback", Q42_SQL)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: earliest order per customer via correlated MIN."""
+    return run_sql(spark, sf_dir, Q42_SQL)
+
+
+@_register_standalone("q43_nested_semi_agg", Q43_SQL)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join gated by a correlated HAVING aggregate."""
+    return run_sql(spark, sf_dir, Q43_SQL)

@@ -21,5 +21,6 @@ import data_ingestion_backend_spark.operators.delta  # noqa: F401,E402 — regis
 import data_ingestion_backend_spark.operators.layout  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.dq  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.search  # noqa: F401,E402 — registers (standalone)
+import data_ingestion_backend_spark.operators.subqueries  # noqa: F401,E402 — registers
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,111 @@
+"""SQL text surface (plans/catalog.py) + correlated-subquery decorrelation.
+
+Two contracts:
+
+1. **Text ≡ builder.**  The engine's certified queries produce identical
+   results whether expressed as a DataFrame builder chain or as SQL text
+   through ``run_sql`` — the oracle texts are written in the portable
+   ANSI subset, so they double as the Spark SQL input.  This is the
+   reference's actual user surface (its API endpoints are query
+   surfaces, reference ``src/app/api/issues.py:39-106``).
+
+2. **Decorrelation.**  The q41/q42/q43 correlated scalar subqueries must
+   compile to one aggregation + join-back, never a per-outer-row
+   subquery re-execution — the plan contains HashAggregate/join nodes
+   and NO scalar-subquery execution node.  Losing decorrelation is the
+   O(n²) cliff at 100 TB even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_ingestion_backend_spark.operators.queries import STANDALONE_QUERIES
+from data_ingestion_backend_spark.operators.subqueries import Q41_SQL, Q42_SQL, Q43_SQL
+from data_ingestion_backend_spark.plans.audit import formatted_plan
+from data_ingestion_backend_spark.plans.catalog import register_fixture_views, run_sql
+from data_ingestion_backend_spark.registry import ORACLE, QUERIES
+from tests.conftest import SF_DIR_ORACLE
+
+# certified queries whose oracle text is engine-portable: the SAME string
+# runs on DuckDB (differential gate) and Spark (this surface)
+TEXT_EQ_QUERIES = [
+    "q03_topk",
+    "q05_conditional_counts",
+    "q08_multiway_join",
+    "q12_pricing_summary",
+    "q16_month_rollup",
+    "q25_distinct_agg",
+    "q28_shipping_priority",
+    "q29_regional_revenue",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_fixture_views_register(spark):
+    register_fixture_views(spark, SF_DIR_ORACLE)
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
+    # events arrives type-normalized through the view too (the nanos/NTZ
+    # shim lives in load_table, which the registration funnels through)
+    [t] = spark.sql("SELECT ts FROM events LIMIT 1").dtypes
+    assert t[1] == "timestamp"
+
+
+@pytest.mark.parametrize("name", TEXT_EQ_QUERIES)
+def test_sql_text_equals_builder(spark, name):
+    got_sql = run_sql(spark, SF_DIR_ORACLE, ORACLE[name])
+    got_builder = QUERIES[name](spark, SF_DIR_ORACLE)
+    assert sorted(got_sql.columns) == sorted(got_builder.columns)
+    assert _canon(got_sql) == _canon(got_builder)
+
+
+# ---------------------------------------------------------------------------
+# decorrelation plan pins
+# ---------------------------------------------------------------------------
+
+
+def _assert_decorrelated(plan: str):
+    # a decorrelated plan is pure joins+aggregates; a surviving scalar
+    # subquery shows up as a Subquery/ScalarSubquery execution node that
+    # would re-run per outer row (or once per reuse — either way it is
+    # the shape we forbid)
+    assert "Subquery" not in plan, "correlated subquery was not decorrelated"
+    assert "HashAggregate" in plan
+
+
+def test_q41_decorrelates_to_one_aggregate_joined_back(spark):
+    df = run_sql(spark, SF_DIR_ORACLE, Q41_SQL)
+    plan = formatted_plan(df)
+    _assert_decorrelated(plan)
+    # the per-partkey average joins back via broadcast (agg output is
+    # |parts|-sized, far under the threshold) — not a fact-fact shuffle
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q42_decorrelates_min_per_group(spark):
+    df = run_sql(spark, SF_DIR_ORACLE, Q42_SQL)
+    plan = formatted_plan(df)
+    _assert_decorrelated(plan)
+
+
+def test_q43_nested_semi_decorrelates(spark):
+    df = run_sql(spark, SF_DIR_ORACLE, Q43_SQL)
+    plan = formatted_plan(df)
+    _assert_decorrelated(plan)
+    # the IN gate must stay a semi-join
+    assert "Semi" in plan
+
+
+def test_correlated_queries_match_row_shapes(spark):
+    # cheap structural smoke at the graded SF (full value certs run in
+    # the differential gate): single-row scalar for q41, non-empty
+    # join-backs for q42/q43
+    assert STANDALONE_QUERIES["q41_correlated_avg_qty"](spark, SF_DIR_ORACLE).count() == 1
+    assert STANDALONE_QUERIES["q42_min_per_group_joinback"](spark, SF_DIR_ORACLE).count() > 0
+    n_sup = STANDALONE_QUERIES["q43_nested_semi_agg"](spark, SF_DIR_ORACLE).count()
+    assert 0 < n_sup < 100, "q43 threshold must stay selective"
