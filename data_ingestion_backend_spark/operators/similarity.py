@@ -304,13 +304,24 @@ def _train_centroids_sample(emb: DataFrame) -> "np.ndarray":  # noqa: F821
     regardless of corpus size — at 100 TB the training cost is unchanged
     and only the (distributed, single-pass) assignment scales.
     """
+    S = _sample_matrix(emb)
+    return _lloyd_spherical(S)
+
+
+def _sample_matrix(emb: DataFrame) -> "np.ndarray":  # noqa: F821
+    """Deterministic normalized training sample (first IVF_SAMPLE ids)."""
     import numpy as np
 
-    rows = (
-        emb.orderBy("vec_id").limit(IVF_SAMPLE).select("e").toPandas()["e"]
-    )
+    order_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+    rows = emb.orderBy(order_col).limit(IVF_SAMPLE).select("e").toPandas()["e"]
     S = np.asarray(rows.tolist(), dtype=np.float64)
     S /= np.linalg.norm(S, axis=1, keepdims=True)
+    return S
+
+
+def _lloyd_spherical(S: "np.ndarray") -> "np.ndarray":  # noqa: F821
+    import numpy as np
+
     C = S[:IVF_CLUSTERS].copy()  # deterministic init: first k sample vectors
     for _ in range(IVF_ITERS):
         assign = (S @ C.T).argmax(axis=1)
@@ -320,6 +331,26 @@ def _train_centroids_sample(emb: DataFrame) -> "np.ndarray":  # noqa: F821
                 C[j] = members.mean(axis=0)
         C /= np.linalg.norm(C, axis=1, keepdims=True)
     return C
+
+
+def _cv_quantization_baseline(S: "np.ndarray") -> float:  # noqa: F821
+    """Generalization-corrected quantization quality: fit a twin
+    quantizer on the first half of the training sample, evaluate mean
+    max-cosine on the second half.  The in-index mean cos is optimistic
+    (the sample-fit k-means SAW those vectors — on a corpus no bigger
+    than IVF_SAMPLE, all of them), so a drift monitor comparing fresh
+    batches against it reads the train/holdout gap as phantom drift;
+    the cross-fit estimate is what an unseen same-distribution batch
+    actually scores.  Pure driver-side numpy on ≤ IVF_SAMPLE rows."""
+    half = len(S) // 2
+    if half < IVF_CLUSTERS:
+        # micro-corpus (< 2k vectors): no held-out half to cross-fit on;
+        # fall back to the optimistic in-sample value rather than a
+        # fabricated constant
+        C = _lloyd_spherical(S)
+        return float((S @ C.T).max(axis=1).mean())
+    C = _lloyd_spherical(S[:half])
+    return float((S[half:] @ C.T).max(axis=1).mean())
 
 
 def _assign_clusters(df: DataFrame, vec_col: str, centroids, n: int) -> DataFrame:
@@ -564,15 +595,112 @@ def build_ivf_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
     """
     import os
 
-    centroids = _train_centroids_sample(corpus.select(F.col("e")))
+    S = _sample_matrix(corpus)
+    centroids = _lloyd_spherical(S)
     assigned = _assign_clusters(corpus, "e", centroids, 1)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(path, "corpus")
     )
-    spark.createDataFrame(
+    centroid_df = spark.createDataFrame(
         [(i, row.tolist()) for i, row in enumerate(centroids)],
         "cluster long, centroid array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    )
+    centroid_df.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    # drift-monitor baseline: the CROSS-FIT quantization quality (what an
+    # unseen same-distribution batch scores), plus the in-index mean for
+    # reference — see _cv_quantization_baseline for why not the latter
+    in_index = _quantization_fit(
+        spark.read.parquet(os.path.join(path, "corpus")), centroid_df
+    ).collect()[0]
+    spark.createDataFrame(
+        [
+            (
+                _cv_quantization_baseline(S),
+                float(in_index["mean_cos"]),
+                int(in_index["n"]),
+            )
+        ],
+        "baseline_mean_cos double, in_index_mean_cos double, n bigint",
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def _quantization_fit(assigned: DataFrame, centroid_df: DataFrame) -> DataFrame:
+    """Mean cosine of assigned vectors to their centroid — the scalar
+    that says how well the quantizer still fits the data it indexes.
+    One broadcast join + one global avg; never a collect of vectors."""
+    from data_ingestion_backend_spark.operators.dedup import cosine_expr
+
+    return assigned.join(F.broadcast(centroid_df), "cluster").agg(
+        F.avg(cosine_expr(F.col("e"), F.col("centroid"))).alias("mean_cos"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def append_to_ivf_index(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    drift_tol: float = 0.05,
+) -> dict:
+    """Incremental IVF maintenance: absorb a batch of new vectors into
+    the existing index WITHOUT retraining — the ANN twin of
+    ``dedup_incremental``.
+
+    The batch is assigned with the index's frozen quantizer (one Arrow
+    GEMM pass over the batch only) and appended into its cells' hive
+    partitions — the at-rest corpus is never re-read, never re-assigned,
+    never rewritten; daily cost is O(|batch|·k·d), independent of index
+    size.  Because the quantizer is frozen, a search after append is
+    IDENTICAL to an in-memory IVF over the grown corpus with the same
+    centroids (golden-tested), and partition pruning keeps working — new
+    files land inside existing ``cluster=N/`` directories.
+
+    Frozen quantizers rot: if the incoming distribution shifts, new
+    vectors land far from every centroid and recall decays silently.
+    The drift monitor compares the BATCH's mean cos-to-assigned-centroid
+    against the build-time baseline (stored in ``stats``): a drop
+    > ``drift_tol`` sets ``retrain=True`` — the signal to rebuild the
+    index (``build_ivf_index`` on the grown corpus) at the next
+    maintenance window.  Returns
+    ``{baseline_mean_cos, batch_mean_cos, drift, retrain}``.
+
+    The baseline is the build-time CROSS-FIT quantization quality
+    (``_cv_quantization_baseline``), not the in-index mean: the in-index
+    value is optimistic by the quantizer's train/holdout gap (~0.11 on
+    the 64-dim fixture), which a naive monitor reads as phantom drift on
+    every same-distribution batch.  Against the cross-fit baseline a
+    same-distribution batch reads ≈0 drift and a genuine shift reads
+    its full displacement, so the tight default tolerance works.  A
+    deployment should still calibrate from the returned readings of its
+    first few known-good batches (the appended batch is absorbed either
+    way — the monitor signals, it does not gate).
+    """
+    import os
+
+    import numpy as np
+
+    crows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    centroid_df = spark.read.parquet(os.path.join(path, "centroids"))
+    # one GEMM pass over the batch; pinned because both the stats agg and
+    # the cell write consume it
+    assigned = _assign_clusters(new_vectors, "e", C, 1).localCheckpoint(eager=True)
+    batch = _quantization_fit(assigned, centroid_df).collect()[0]
+    baseline = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+    assigned.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "corpus")
+    )
+    drift = float(baseline["baseline_mean_cos"]) - float(batch["mean_cos"])
+    return {
+        "baseline_mean_cos": float(baseline["baseline_mean_cos"]),
+        "batch_mean_cos": float(batch["mean_cos"]),
+        "drift": drift,
+        "retrain": drift > drift_tol,
+    }
 
 
 def ivf_search_persisted(
