@@ -156,6 +156,14 @@ NEARDUP_PAIRS_SCHEMA = T.StructType(
     ]
 )
 
+NEARDUP_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("band_idx", T.IntegerType(), True),
+        T.StructField("band_key", T.StringType(), True),
+    ]
+)
+
 PIPELINE_TABLES = ("jobs", "staging", "issues", "issue_items", "contacts")
 
 SCHEMAS = {
@@ -166,4 +174,5 @@ SCHEMAS = {
     "contacts": CONTACTS_SCHEMA,
     "neardup_index": NEARDUP_INDEX_SCHEMA,
     "neardup_pairs": NEARDUP_PAIRS_SCHEMA,
+    "neardup_bands": NEARDUP_BANDS_SCHEMA,
 }

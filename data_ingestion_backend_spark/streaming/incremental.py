@@ -8,18 +8,13 @@ and merged into a versioned warehouse snapshot — the streaming form of
 100 TB per-user/per-domain totals table actually is in production: a
 continuously-maintained materialized view, not a nightly full groupBy.
 
-Exactly-once across crashes needs TWO guards, and they cover different
-failure windows:
-
-1. the stream CHECKPOINT stops a drained micro-batch from being read
-   again after a clean restart;
-2. the state snapshot records the ``batch_id`` it last absorbed, so the
-   foreachBatch re-delivery window (crash AFTER the state write but
-   BEFORE the checkpoint commit — Spark re-runs that batch) is absorbed
-   by an idempotency check instead of double-counting.  This is the
-   same write-then-commit discipline the ingest pipeline uses
-   (``pipeline.ingest_file`` + replace-per-job), applied to aggregate
-   state: merging batch N twice is detected by N ≤ last_applied.
+Exactly-once across crashes uses the three shared guards in
+``streaming/txn.py``: the stream checkpoint (clean-restart re-reads),
+the last-absorbed ``batch_id`` marker (post-commit re-delivery), and a
+pre-write intent record pinning the pre-batch snapshot version — so a
+crash AFTER the state write committed but BEFORE the marker makes the
+re-delivered batch re-merge against the RECORDED base version instead
+of double-counting on top of its own partial commit.
 
 The state table is decomposable aggregates only (count/sum/min/max) —
 exactly what ``merge_keyed_state`` merges associatively, so maintenance
@@ -28,13 +23,12 @@ order never changes the result (golden-tested in test_delta.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_backend_spark.operators.delta import merge_keyed_state
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
+from data_ingestion_backend_spark.streaming import txn
 
 #: Aggregate shape of the maintained view (mirrors agg_incremental_merge).
 def aggregate_user_totals(df: DataFrame) -> DataFrame:
@@ -46,16 +40,8 @@ def aggregate_user_totals(df: DataFrame) -> DataFrame:
     )
 
 
-def _marker_path(wh: Warehouse, table: str) -> str:
-    return os.path.join(wh.root, table, "_last_batch")
-
-
 def last_applied_batch(wh: Warehouse, table: str) -> int:
-    p = _marker_path(wh, table)
-    if not os.path.exists(p):
-        return -1
-    with open(p) as f:
-        return int(f.read().strip())
+    return txn.last_batch(wh, table)
 
 
 def apply_delta_batch(
@@ -63,21 +49,27 @@ def apply_delta_batch(
 ) -> bool:
     """Merge one micro-batch into the state snapshot, exactly once.
 
-    Returns False (no-op) when ``batch_id`` was already absorbed — the
-    foreachBatch re-delivery window.  Write order is state-snapshot
-    first, marker last: a crash between the two re-delivers the batch,
-    the marker check rejects it, and the committed snapshot stays
-    correct (the snapshot pointer swap itself is atomic, so readers
-    never see a torn version).
+    Returns False (no-op) when ``batch_id`` was already absorbed (the
+    post-commit re-delivery window, caught by the marker).  The crash
+    window BETWEEN the state write and the marker is covered by the
+    intent record: the re-delivered batch merges against the base
+    version recorded before the first attempt's write, so the partial
+    commit is replaced, never double-counted (see ``streaming/txn.py``).
+    Each snapshot write is an atomic pointer swap, so readers never see
+    a torn version at any crash point.
     """
     if batch_id <= last_applied_batch(wh, table):
         return False
+    bases = txn.begin_batch(
+        wh, table, batch_id, {"state": wh.current_version(table)}
+    )
+    base = bases["state"]
     delta = aggregate_user_totals(batch_df)
-    if wh.current_version(table) < 0:
+    if base < 0:
         merged = delta
     else:
         merged = merge_keyed_state(
-            wh.read(table),
+            wh.read(table, base),
             delta,
             "user_id",
             sums=("n", "sum_value"),
@@ -85,11 +77,7 @@ def apply_delta_batch(
             maxs=("last_ts",),
         )
     wh.write(table, merged)
-    marker = _marker_path(wh, table)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-    os.replace(tmp, marker)
+    txn.commit_batch(wh, table, batch_id)
     return True
 
 

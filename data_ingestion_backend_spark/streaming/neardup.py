@@ -35,9 +35,6 @@ re-shingled.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_backend_spark.operators.dedup import (
@@ -46,46 +43,32 @@ from data_ingestion_backend_spark.operators.dedup import (
     minhash_per_doc_frame,
 )
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
+from data_ingestion_backend_spark.streaming import txn
 
 INDEX_TABLE = "neardup_index"
 PAIRS_TABLE = "neardup_pairs"
-
-
-def _marker_path(wh: Warehouse, name: str) -> str:
-    return os.path.join(wh.root, name, "_last_batch")
+BANDS_TABLE = "neardup_bands"
 
 
 def last_admitted_batch(wh: Warehouse, name: str = PAIRS_TABLE) -> int:
-    p = _marker_path(wh, name)
-    if not os.path.exists(p):
-        return -1
-    with open(p) as f:
-        return int(f.read().strip())
-
-
-def _intent_path(wh: Warehouse) -> str:
-    return os.path.join(wh.root, PAIRS_TABLE, "_intent")
-
-
-def _read_intent(wh: Warehouse) -> dict | None:
-    p = _intent_path(wh)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.loads(f.read())
-
-
-def _write_atomic(path: str, payload: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(payload)
-    os.replace(tmp, path)
+    return txn.last_batch(wh, name)
 
 
 def seed_index(wh: Warehouse, corpus_docs: DataFrame) -> None:
-    """Build the initial corpus index from a static (doc_id, text) frame."""
-    wh.write(INDEX_TABLE, minhash_per_doc_frame(corpus_docs))
+    """Build the initial corpus index from a static (doc_id, text) frame.
+
+    Writes BOTH persisted forms: the per-doc signature frame (minhashes +
+    shingle arrays, used for exact-Jaccard verification) and its band
+    projection (the probe table).  Persisting the bands is what makes the
+    per-batch probe cost O(batch + candidates): without it every batch
+    would re-derive 16 md5 band keys per CORPUS doc — O(index) recompute
+    per batch, the growth the 100-batch soak (tools/streamsoak.py)
+    measures.  At 100 TB the band table is bucketed on (band_idx,
+    band_key) so the probe join is bucket-pruned, not scanned.
+    """
+    per_doc = minhash_per_doc_frame(corpus_docs).localCheckpoint(eager=True)
+    wh.write(INDEX_TABLE, per_doc)
+    wh.write(BANDS_TABLE, _band_table(per_doc))
 
 
 def neardup_gate_batch(
@@ -106,30 +89,36 @@ def neardup_gate_batch(
     """
     if batch_id <= last_admitted_batch(wh):
         return False
-    intent = _read_intent(wh)
-    if intent is not None and intent["batch_id"] == batch_id:
-        # crashed re-run of this very batch: rebuild from the recorded bases
-        pairs_base, index_base = intent["pairs_base"], intent["index_base"]
-    else:
-        pairs_base = wh.current_version(PAIRS_TABLE)
-        index_base = wh.current_version(INDEX_TABLE)
-        _write_atomic(
-            _intent_path(wh),
-            json.dumps(
-                {"batch_id": batch_id, "pairs_base": pairs_base, "index_base": index_base}
-            ),
-        )
+    bases = txn.begin_batch(
+        wh,
+        PAIRS_TABLE,
+        batch_id,
+        {
+            "pairs": wh.current_version(PAIRS_TABLE),
+            "index": wh.current_version(INDEX_TABLE),
+            "bands": wh.current_version(BANDS_TABLE),
+        },
+    )
+    pairs_base, index_base = bases["pairs"], bases["index"]
+    bands_base = bases.get("bands", -1)
     corpus_per_doc = (
         wh.read(INDEX_TABLE, index_base) if index_base >= 0 else wh.read(INDEX_TABLE)
     )
-    corpus_bands = _band_table(corpus_per_doc)
+    # persisted probe table (see seed_index); legacy/unseeded warehouses
+    # fall back to deriving it from the per-doc frame (empty or one-off)
+    corpus_bands = (
+        wh.read(BANDS_TABLE, bands_base)
+        if bands_base >= 0
+        else _band_table(corpus_per_doc)
+    )
     # Materialize once per batch: the per-doc frame feeds its own band
     # projection, the candidate join, and the index append — without a
     # local pin the collect_list aggregation would run three times.
     batch_per_doc = minhash_per_doc_frame(batch_docs).localCheckpoint(eager=True)
+    batch_bands = _band_table(batch_per_doc)
     pairs = dedup_incremental_pairs(
         batch_per_doc,
-        _band_table(batch_per_doc),
+        batch_bands,
         corpus_bands,
         corpus_per_doc,
     )
@@ -138,8 +127,8 @@ def neardup_gate_batch(
     else:
         wh.write(PAIRS_TABLE, wh.read(PAIRS_TABLE, pairs_base).unionByName(pairs))
     wh.write(INDEX_TABLE, corpus_per_doc.unionByName(batch_per_doc))
-    _write_atomic(_marker_path(wh, PAIRS_TABLE), str(batch_id))
-    os.remove(_intent_path(wh))
+    wh.write(BANDS_TABLE, corpus_bands.unionByName(batch_bands))
+    txn.commit_batch(wh, PAIRS_TABLE, batch_id)
     return True
 
 

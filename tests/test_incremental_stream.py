@@ -102,3 +102,54 @@ def test_resume_across_restarts_with_new_data(spark, tmp_path):
     # restart resumed batch numbering (no replay of batch <= b1)
     assert last_applied_batch(wh, "user_totals") > b1
     assert _snap(wh.read("user_totals")) == _snap(aggregate_user_totals(ev))
+
+
+def test_crash_between_state_write_and_marker_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """The window the marker cannot cover: the merged state snapshot
+    committed, then the process died BEFORE the marker write.  The
+    re-delivered batch finds its intent record and re-merges against the
+    RECORDED base version — final state equals a single clean run, no
+    double-counted sums."""
+    from data_ingestion_backend_spark.streaming import txn
+
+    ev = load_table(spark, SF_DIR_SMALL, "events")
+    b0 = ev.where(F.col("event_id") % 3 == 0)
+    b1 = ev.where(F.col("event_id") % 3 != 0)
+
+    # clean reference
+    wh_ref = Warehouse(spark, str(tmp_path / "wh_ref"))
+    assert apply_delta_batch(wh_ref, "user_totals", b0, 0) is True
+    assert apply_delta_batch(wh_ref, "user_totals", b1, 1) is True
+    want = _snap(wh_ref.read("user_totals"))
+
+    # crashed run: batch 1's state write commits, marker write dies
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert apply_delta_batch(wh, "user_totals", b0, 0) is True
+
+    class Boom(RuntimeError):
+        pass
+
+    real_write_atomic = txn.write_atomic
+
+    def crash_on_marker(path, payload):
+        if path.endswith("_last_batch"):
+            raise Boom("simulated crash before marker write")
+        real_write_atomic(path, payload)
+
+    monkeypatch.setattr(txn, "write_atomic", crash_on_marker)
+    try:
+        apply_delta_batch(wh, "user_totals", b1, 1)
+    except Boom:
+        pass
+    monkeypatch.setattr(txn, "write_atomic", real_write_atomic)
+
+    # hazard is real: state advanced past batch 0's version, marker didn't
+    assert wh.current_version("user_totals") == 1
+    assert last_applied_batch(wh, "user_totals") == 0
+
+    # re-delivery must REPLACE the partial commit, not merge on top of it
+    assert apply_delta_batch(wh, "user_totals", b1, 1) is True
+    assert _snap(wh.read("user_totals")) == want
+    assert last_applied_batch(wh, "user_totals") == 1

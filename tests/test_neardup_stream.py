@@ -97,7 +97,7 @@ def test_crash_between_table_write_and_marker_is_idempotent(spark, tmp_path, mon
     re-delivered batch finds the intent record and rebuilds from the
     recorded base versions — final state must be bit-identical to a
     single clean run, with no duplicated pairs or double-inserted docs."""
-    import data_ingestion_backend_spark.streaming.neardup as nd
+    from data_ingestion_backend_spark.streaming import txn
 
     docs = load_table(spark, SF_DIR_ORACLE, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
@@ -118,19 +118,19 @@ def test_crash_between_table_write_and_marker_is_idempotent(spark, tmp_path, mon
     class Boom(RuntimeError):
         pass
 
-    real_write_atomic = nd._write_atomic
+    real_write_atomic = txn.write_atomic
 
     def crash_on_marker(path, payload):
         if path.endswith("_last_batch"):
             raise Boom("simulated crash before marker write")
         real_write_atomic(path, payload)
 
-    monkeypatch.setattr(nd, "_write_atomic", crash_on_marker)
+    monkeypatch.setattr(txn, "write_atomic", crash_on_marker)
     try:
         neardup_gate_batch(wh, new, batch_id=0)
     except Boom:
         pass
-    monkeypatch.setattr(nd, "_write_atomic", real_write_atomic)
+    monkeypatch.setattr(txn, "write_atomic", real_write_atomic)
 
     # partial commit is visible (this is exactly the hazard): tables
     # advanced, marker did not
