@@ -89,10 +89,13 @@ STANDALONE_HEADLINE = [
     "dedup_incremental",
     "text_vocab_topn",
     "scale_bloom_pruned_join",
-    # round-6: correlated scalar subqueries via the SQL text surface
+    # round-6: correlated + global scalar subqueries via the SQL text surface
     "q41_correlated_avg_qty",
     "q42_min_per_group_joinback",
     "q43_nested_semi_agg",
+    "q44_global_fraction_having",
+    "q45_max_over_view",
+    "q46_antijoin_above_avg",
 ]
 
 

@@ -92,6 +92,62 @@ ORDER BY s.s_suppkey
 """
 
 
+# --- global (uncorrelated) scalar subqueries — the OTHER subquery family.
+# Correlated subqueries decorrelate into joins; these compile to a
+# one-row broadcast reused across the outer plan (Spark executes the
+# scalar subquery once and injects the literal — the plan shows a
+# ReusedSubquery/Subquery node, which is CORRECT here, unlike the
+# per-row correlated case the q41-q43 pins forbid).
+
+# TPC-H Q11 silhouette: parts whose shipped value exceeds a fixed
+# fraction of the GLOBAL total — group-HAVING against a global scalar.
+Q44_SQL = """
+SELECT l_partkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
+       0.0006 * (SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+                             AS DOUBLE)
+                 FROM lineitem l2)
+ORDER BY part_value DESC, l_partkey
+"""
+
+# TPC-H Q15 silhouette: the supplier(s) achieving the maximum total
+# revenue — a named view consumed twice (join + global MAX), the shape
+# Spark must plan without recomputing the aggregate per consumer arm.
+Q45_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+# TPC-H Q22 silhouette: above-average-balance customers with NO urgent
+# orders — global scalar (positive-balance average) + NOT EXISTS
+# anti-join, aggregated per nation.
+Q46_SQL = """
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                                 AS DOUBLE) / COUNT(*)
+                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
 @_register_standalone("q41_correlated_avg_qty", Q41_SQL)
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue from below-avg-quantity lineitems of one brand."""
@@ -108,3 +164,21 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: semi-join gated by a correlated HAVING aggregate."""
     return run_sql(spark, sf_dir, Q43_SQL)
+
+
+@_register_standalone("q44_global_fraction_having", Q44_SQL)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a global-total scalar subquery."""
+    return run_sql(spark, sf_dir, Q44_SQL)
+
+
+@_register_standalone("q45_max_over_view", Q45_SQL)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: view consumed by a join AND a global MAX scalar."""
+    return run_sql(spark, sf_dir, Q45_SQL)
+
+
+@_register_standalone("q46_antijoin_above_avg", Q46_SQL)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-average scalar + NOT EXISTS anti-join."""
+    return run_sql(spark, sf_dir, Q46_SQL)

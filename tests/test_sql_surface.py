@@ -21,7 +21,14 @@ from __future__ import annotations
 import pytest
 
 from data_ingestion_backend_spark.operators.queries import STANDALONE_QUERIES
-from data_ingestion_backend_spark.operators.subqueries import Q41_SQL, Q42_SQL, Q43_SQL
+from data_ingestion_backend_spark.operators.subqueries import (
+    Q41_SQL,
+    Q42_SQL,
+    Q43_SQL,
+    Q44_SQL,
+    Q45_SQL,
+    Q46_SQL,
+)
 from data_ingestion_backend_spark.plans.audit import formatted_plan
 from data_ingestion_backend_spark.plans.catalog import register_fixture_views, run_sql
 from data_ingestion_backend_spark.registry import ORACLE, QUERIES
@@ -99,6 +106,21 @@ def test_q43_nested_semi_decorrelates(spark):
     _assert_decorrelated(plan)
     # the IN gate must stay a semi-join
     assert "Semi" in plan
+
+
+def test_global_scalar_subqueries_execute_once(spark):
+    """q44-q46's UNCORRELATED scalars are the one place a Subquery node
+    is correct: the scalar runs once as its own stage and its literal is
+    injected into the outer plan — per-row re-execution is impossible by
+    construction.  The outer plans stay normal aggregates/joins, and
+    q46's NOT EXISTS compiles to an anti-JOIN, never a per-row probe."""
+    for sql_text in (Q44_SQL, Q45_SQL):
+        plan = formatted_plan(run_sql(spark, SF_DIR_ORACLE, sql_text))
+        assert "Subquery" in plan  # the once-executed scalar stage
+        assert "HashAggregate" in plan
+    plan46 = formatted_plan(run_sql(spark, SF_DIR_ORACLE, Q46_SQL))
+    assert "Subquery" in plan46
+    assert "Anti" in plan46
 
 
 def test_correlated_queries_match_row_shapes(spark):

@@ -58,6 +58,12 @@ def compare(old: dict, new: dict, threshold: float = 0.25) -> dict:
     cal_new = new.get("calibration_sec")
     # scale NEW times into OLD's host-speed units
     ratio = (cal_old / cal_new) if (cal_old and cal_new) else None
+    # Guard against comparing files whose calibration WORKLOADS differ
+    # (round 5 used a ~50 ms 1500² matmul, round 6+ a ~1.25 s 5000² one):
+    # host speed never moves 3×, so a ratio outside [1/3, 3] means the
+    # fixed work itself changed and normalization would be nonsense.
+    if ratio is not None and not (1 / 3 <= ratio <= 3):
+        ratio = None
     scale = ratio if ratio is not None else 1.0
 
     shared = sorted(set(old["queries"]) & set(new["queries"]))
