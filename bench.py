@@ -96,6 +96,7 @@ STANDALONE_HEADLINE = [
     "q44_global_fraction_having",
     "q45_max_over_view",
     "q46_antijoin_above_avg",
+    "graph_pagerank",
 ]
 
 
