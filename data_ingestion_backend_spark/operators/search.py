@@ -114,6 +114,25 @@ def bm25_topk(
     inverted index (`dedup.NGRAM_MAX_DF`), applied to retrieval.
     """
     postings, stats = bm25_postings(docs)
+    return bm25_topk_from_index(
+        postings, stats, queries, k=k, k1=k1, b=b, max_df_frac=max_df_frac
+    )
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Score from a PREBUILT index — the body of :func:`bm25_topk`, split
+    out so the persisted/incrementally-maintained index (``search_index``
+    module functions below) shares the exact scoring arithmetic with the
+    certified build-per-query form.  ``stats`` must carry
+    ``(n_docs, avgdl)``."""
     qterms = queries.select("query_id", "term").distinct()
     # exact df for query terms only: postings are distinct (doc, term)
     # pairs, so count(*) per term IS document frequency.
@@ -358,3 +377,95 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rnk")
     )
     return rrf_fuse([lex, den]).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Persisted + incrementally-maintained BM25 index
+# --------------------------------------------------------------------------
+#
+# The retrieval twin of `dedup_incremental` and `similarity.
+# append_to_ivf_index`: at 100 TB the inverted index is MAINTAINED, not
+# rebuilt per query — new documents tokenize once, their postings append
+# into the persisted table, and the global stats (n_docs, Σdl) merge as
+# exact integers.  Query-time scoring derives idf/avgdl from the CURRENT
+# stats, so every document's score automatically reflects the grown
+# corpus — the index stores corpus-independent facts (tf, dl) only,
+# which is precisely why BM25 supports cheap appends where a score-
+# materializing index would need a full rescore per batch.
+#
+# At rest the postings table is written bucketed/partitioned by term
+# hash so a query's broadcast-term probe prunes buckets; the local
+# warehouse models the append discipline (versioned snapshot union),
+# Delta/Iceberg file appends drop the rewrite cost.
+
+SEARCH_POSTINGS_TABLE = "search_postings"
+SEARCH_STATS_TABLE = "search_stats"
+
+
+def _postings_and_int_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    postings = (
+        base.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    stats_int = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("sum_dl"),
+    )
+    return postings, stats_int
+
+
+def build_search_index(wh, docs: DataFrame) -> None:
+    """Materialize the inverted index: postings + INTEGER corpus stats
+    (n_docs, Σdl — exact, so incremental merges can never drift from a
+    rebuild the way running float averages would)."""
+    postings, stats_int = _postings_and_int_stats(docs)
+    wh.write(SEARCH_POSTINGS_TABLE, postings)
+    wh.write(SEARCH_STATS_TABLE, stats_int)
+
+
+def append_to_search_index(wh, new_docs: DataFrame) -> None:
+    """Absorb a document batch: tokenize the BATCH only, append its
+    postings, add its integer stats.  The corpus is never re-tokenized —
+    per-batch cost is O(|batch| tokens) + the snapshot append."""
+    new_postings, new_stats = _postings_and_int_stats(new_docs)
+    wh.write(
+        SEARCH_POSTINGS_TABLE,
+        wh.read(SEARCH_POSTINGS_TABLE).unionByName(new_postings),
+    )
+    merged = (
+        wh.read(SEARCH_STATS_TABLE)
+        .unionByName(new_stats)
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+    )
+    wh.write(SEARCH_STATS_TABLE, merged)
+
+
+def bm25_topk_persisted(
+    wh,
+    queries: DataFrame,
+    k: int = TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Search the persisted index.  avgdl derives from the integer stats
+    with the same double division the per-query build uses
+    (CAST(Σdl) / n_docs), so persisted-vs-rebuilt rankings are
+    bit-identical — golden-tested in tests/test_search.py."""
+    postings = wh.read(SEARCH_POSTINGS_TABLE)
+    stats = wh.read(SEARCH_STATS_TABLE).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    return bm25_topk_from_index(
+        postings, stats, queries, k=k, k1=k1, b=b, max_df_frac=max_df_frac
+    )

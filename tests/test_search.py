@@ -171,3 +171,44 @@ def test_max_df_guard_drops_ubiquitous_terms_only(spark):
     # query 1 still finds the rareterm doc
     assert {r.query_id for r in g} == {1}
     assert [r.doc_id for r in g] == [100]
+
+
+def test_incremental_index_matches_rebuild_bit_for_bit(spark, tmp_path):
+    """Maintenance contract of the persisted BM25 index: build on 90% of
+    the corpus, append the remaining 10% as a batch, and search results
+    must equal a from-scratch build over the full corpus EXACTLY —
+    integer score grid, ranks, and tie-breaks included.  The appended
+    batch is tokenized once; the corpus is never re-tokenized (postings
+    are corpus-independent facts, which is why BM25 appends cheaply)."""
+    from data_ingestion_backend_spark.operators.search import (
+        QUERY_PREFIX_TOKENS,
+        append_to_search_index,
+        bm25_topk,
+        bm25_topk_persisted,
+        build_search_index,
+    )
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    queries = (
+        docs.filter((F.col("doc_id") % 100 == 3) & (F.col("doc_id") < 500))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.col("text"), " "), 1, QUERY_PREFIX_TOKENS)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_search_index(wh, corpus)
+    append_to_search_index(wh, batch)
+
+    got = bm25_topk_persisted(wh, queries)
+    want = bm25_topk(docs, queries)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(got) == as_set(want)
+    assert as_set(got), "no results — vacuous"
