@@ -97,6 +97,9 @@ STANDALONE_HEADLINE = [
     "q45_max_over_view",
     "q46_antijoin_above_avg",
     "graph_pagerank",
+    "q47_null_semantics",
+    "q48_unpivot",
+    "q49_moving_frame",
 ]
 
 
