@@ -55,3 +55,90 @@ def assert_scan_pruned(df: DataFrame, table_cols: int, max_cols: int) -> None:
     assert widths and min(widths) <= max_cols, (
         f"no scan pruned below {max_cols} cols (widths={widths}, table={table_cols})"
     )
+
+
+# --------------------------------------------------------------------------
+# Preflight audit: flag scale anti-patterns BEFORE a query runs
+# --------------------------------------------------------------------------
+
+#: finding codes → human meaning; keep codes stable, tooling keys on them
+PREFLIGHT_CODES = {
+    "CARTESIAN": "cartesian/nested-loop product — O(n·m) at data scale",
+    "PYTHON_UDF": "row-at-a-time Python UDF in the plan — breaks codegen,"
+    " ~10-100x slower than built-ins or Arrow-batched pandas UDFs",
+    "UNPUSHED_SCAN": "a parquet/ORC scan with a filter above it but no"
+    " pushed filters — predicate not reaching the format reader",
+    "WIDE_SCAN": "a scan reading every column of a wide table — projection"
+    " not pruned",
+    "FACT_SORTMERGE": "sort-merge join with no broadcast anywhere — if both"
+    " sides are fact-sized this pays two O(n log n) sorts; hint"
+    " shuffle_hash when no consumer needs sort order",
+}
+
+
+def preflight(df: DataFrame, wide_cols: int = 12) -> list[dict]:
+    """Static scale-risk audit of a DataFrame's physical plan.
+
+    Returns findings ``[{code, detail}, ...]`` — empty means no known
+    anti-pattern.  This is the ops-surface twin of tests/test_plans.py:
+    the tests pin certified queries' plans at build time; ``preflight``
+    lets a PIPELINE AUTHOR check an ad-hoc query before pointing it at
+    the 100 TB table.  Heuristics are deliberately conservative (plan
+    text only, no cardinality estimates): every code is a "look here",
+    not a verdict — e.g. a sort-merge join of a fact against an
+    already-sorted bucketed table is fine, and the finding says so.
+    """
+    plan = formatted_plan(df)
+    findings: list[dict] = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            {"code": "CARTESIAN", "detail": PREFLIGHT_CODES["CARTESIAN"]}
+        )
+    if re.search(r"BatchEvalPython|PythonUDF", plan):
+        findings.append(
+            {"code": "PYTHON_UDF", "detail": PREFLIGHT_CODES["PYTHON_UDF"]}
+        )
+    # scans whose pushed list carries no real predicate (IsNotNull guards
+    # don't count — Spark pushes those even for opaque expressions) while
+    # a residual Filter above does more than null checks
+    pushes = pushed_filters(df)
+    only_null_guards = [
+        p
+        for p in pushes
+        if not [
+            e
+            for e in p.split(",")
+            if e.strip() and not e.strip().startswith("IsNotNull")
+        ]
+    ]
+    residual_real_filter = any(
+        "Condition :" in line and re.search(r"(?i)(?<!isnot)null|[<>=]|StartsWith|Contains|md5|like", line.split("Condition :", 1)[1].replace("isnotnull", ""))
+        for line in plan.splitlines()
+        if "Condition :" in line
+    )
+    if only_null_guards and residual_real_filter:
+        findings.append(
+            {
+                "code": "UNPUSHED_SCAN",
+                "detail": f"{len(only_null_guards)} scan(s) push only "
+                f"IsNotNull guards while a residual filter computes above — "
+                f"{PREFLIGHT_CODES['UNPUSHED_SCAN']}",
+            }
+        )
+    wide = [s for s in read_schemas(df) if len(s.split(",")) > wide_cols]
+    if wide:
+        findings.append(
+            {
+                "code": "WIDE_SCAN",
+                "detail": f"{len(wide)} scan(s) read > {wide_cols} columns — "
+                f"{PREFLIGHT_CODES['WIDE_SCAN']}",
+            }
+        )
+    if "SortMergeJoin" in plan and "Broadcast" not in plan:
+        findings.append(
+            {
+                "code": "FACT_SORTMERGE",
+                "detail": PREFLIGHT_CODES["FACT_SORTMERGE"],
+            }
+        )
+    return findings
