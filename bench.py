@@ -100,6 +100,8 @@ STANDALONE_HEADLINE = [
     "q47_null_semantics",
     "q48_unpivot",
     "q49_moving_frame",
+    "ts_ewma",
+    "ts_concurrency",
 ]
 
 

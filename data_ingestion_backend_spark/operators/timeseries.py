@@ -502,3 +502,129 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("rz")) >= MAD_THRESHOLD)
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Integer EWMA: sequential per-series fold, cross-engine exact
+# --------------------------------------------------------------------------
+#
+# The one computation class the window families above don't cover:
+# a SEQUENTIAL recurrence (each output depends on the previous output,
+# not on a frame of inputs).  SQL windows can't express it; the
+# idiomatic Spark form is an ordered per-series fold.  Float EWMA can
+# never hash-match across engines (every step compounds rounding in
+# engine-specific order), so the recurrence runs on a 1e-2 integer grid
+# with integer division — exact, and DuckDB's list_reduce replays the
+# identical fold:
+#
+#     e_0 = x_0;  e_t = (15·x_t + 85·e_{t-1}) div 100      (α = 0.15)
+#
+# Scale note: the certification form folds each series inside one row
+# (array_agg per series) — bounded by series length, which is fine for
+# per-entity series (a user's events, a device's readings) and the
+# 5-series fixture, but NOT for one giant global series.  The
+# production path for unbounded series is chunked float folding with
+# per-chunk carry (EWMA is a linear recurrence, so chunk results
+# compose), traded against exactness — integer division is not
+# associative, so the exact form is inherently sequential.  This is the
+# documented reason the cert keeps the fold per-series-bounded.
+
+EWMA_A_NUM, EWMA_A_DEN = 15, 100  # α = 0.15 on the integer grid
+
+_EWMA_SQL = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+       list_reduce(
+         array_agg(CAST(ROUND(value * 100) AS BIGINT) ORDER BY ts, event_id),
+         (acc, x) -> ({EWMA_A_NUM} * x + {100 - EWMA_A_NUM} * acc) // {EWMA_A_DEN}
+       ) AS ewma_x100
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@_register_standalone("ts_ewma", _EWMA_SQL)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final integer-grid EWMA per event-type series.
+
+    One groupBy shuffle builds the ordered per-series array
+    (sort_array over (ts, event_id, x) structs — (ts, event_id) is a
+    total order, so both engines fold the identical sequence), then the
+    fold runs element-by-element inside ``aggregate`` with the first
+    element as the seed (matching DuckDB ``list_reduce`` semantics).
+    Values are non-negative in the fixture, so truncating and floor
+    division agree; the 2-dp value grid makes ROUND(value·100) exact on
+    both engines (grid-landing class, not floor class).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    arr = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "x"))),
+            lambda s: s.x,
+        ).alias("xs"),
+    )
+    fold = F.expr(
+        f"aggregate(slice(xs, 2, size(xs) - 1), xs[0],"
+        f" (acc, x) -> ({EWMA_A_NUM} * x + {100 - EWMA_A_NUM} * acc)"
+        f" div {EWMA_A_DEN})"
+    )
+    return arr.select(
+        "event_type", "n_points", fold.alias("ewma_x100")
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval concurrency
+# --------------------------------------------------------------------------
+#
+# "How many X are active at once" — the classic interval-overlap
+# aggregation (peak concurrent sessions, simultaneous jobs, live
+# connections).  The naive form joins every interval against every
+# instant (quadratic); the sweep line is the scalable rewrite: each
+# interval contributes a +1 at its start and a -1 at its end, deltas
+# merge per distinct boundary instant, and a running sum over the sorted
+# boundaries IS the concurrency profile.  Semantics are closed-open
+# [s, e): at an instant where one interval ends and another begins, the
+# merged delta nets to zero (the continuing count is correct), and
+# zero-length intervals contribute nothing — deterministic and
+# engine-identical, so the oracle is the same portable text.
+#
+# Scale: intervals here are per (user, day) activity spans (one groupBy
+# of the fact); the sweep shuffles only the 2·|intervals| boundary
+# points, the running sum partitions by day (the natural parallelism
+# unit — no global sort), and the final max is a per-day aggregate.
+# |boundaries| ≪ |events| by construction at any scale.
+
+_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+         MIN(CAST(ts AS TIMESTAMP)) AS s, MAX(CAST(ts AS TIMESTAMP)) AS e
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT d, s AS t, 1 AS delta FROM iv WHERE s < e
+  UNION ALL
+  SELECT d, e AS t, -1 AS delta FROM iv WHERE s < e
+),
+sw AS (SELECT d, t, SUM(delta) AS dsum FROM pts GROUP BY d, t),
+run AS (SELECT d, t, SUM(dsum) OVER (PARTITION BY d ORDER BY t) AS concurrent
+        FROM sw)
+SELECT d, CAST(MAX(concurrent) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries
+FROM run GROUP BY d ORDER BY d
+"""
+
+
+@_register_standalone("ts_concurrency", _CONCURRENCY_SQL)
+def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent active users per day via the sweep line
+    (identical portable SQL on both engines through the text surface)."""
+    from data_ingestion_backend_spark.plans.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _CONCURRENCY_SQL)
