@@ -492,6 +492,37 @@ def connected_components(
     return final_labels
 
 
+def cc_incremental(labels: DataFrame, new_pairs: DataFrame, **cc_kwargs) -> DataFrame:
+    """Incrementally maintain connected components: merge a batch of NEW
+    edges into an existing labeling without re-propagating the old edge
+    set — the graph-closure member of the maintenance family
+    (``dedup_incremental_pairs``, ``similarity.append_to_ivf_index``,
+    ``search.append_to_search_index``).
+
+    Correctness rests on component contraction: in the current labeling
+    every component is connected THROUGH its label (lbl = the component's
+    min node id, itself a member), so replacing the old edges with the
+    STAR edges (node → lbl) preserves exactly the old connectivity.  CC
+    over ``stars ∪ new_pairs`` therefore equals CC over
+    ``old_edges ∪ new_pairs`` — and since each old component's minimum
+    IS its label and labels are nodes of the reduced graph, the merged
+    min-labels come out identical to a full rebuild (golden-tested
+    against one, including random graphs).
+
+    Cost: the reduced graph has |labeled nodes| + |new batch| edges
+    instead of |all old edges| + |new batch|, and star components have
+    diameter ≤ 2, so the delta propagation converges in ~2-3 rounds no
+    matter how deep the ORIGINAL components were to build — at 100 TB
+    the daily closure update touches the label table and the day's new
+    near-dup pairs, never the historical pair corpus.
+    """
+    stars = labels.filter(F.col("doc_id") != F.col("lbl")).select(
+        F.col("doc_id").alias("doc_a"), F.col("lbl").alias("doc_b")
+    )
+    reduced = stars.unionByName(new_pairs.select("doc_a", "doc_b"))
+    return connected_components(reduced, **cc_kwargs)
+
+
 @_register(
     "dedup_clusters",
     f"""WITH RECURSIVE {_minhash_ctes()},

@@ -131,3 +131,54 @@ def test_repeated_calls_stable_and_self_cleaning(spark):
     edges = _edges(spark, [(1, 2), (2, 3)])
     results = [_labels(connected_components(edges)) for _ in range(3)]
     assert results[0] == results[1] == results[2] == {1: 1, 2: 1, 3: 1}
+
+
+# --------------------------------------------------------------------------
+# Incremental maintenance (cc_incremental)
+# --------------------------------------------------------------------------
+
+
+def test_incremental_bridges_old_components(spark):
+    from data_ingestion_backend_spark.operators.dedup import cc_incremental
+
+    old = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21)])
+    labels = connected_components(old)
+    assert _labels(labels) == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    # one new edge bridges {1,2,3} and {10,11}; another attaches a brand
+    # new node 30 to {20,21}
+    new = _edges(spark, [(3, 10), (21, 30)])
+    got = _labels(cc_incremental(labels, new))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 20: 20, 21: 20, 30: 20}
+
+
+def test_incremental_empty_labeling_is_full_cc(spark):
+    from data_ingestion_backend_spark.operators.dedup import cc_incremental
+
+    labels = connected_components(_edges(spark, []))
+    new = _edges(spark, [(5, 6), (6, 7)])
+    assert _labels(cc_incremental(labels, new)) == {5: 5, 6: 5, 7: 5}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_matches_full_rebuild_on_random_graphs(spark, seed):
+    """The maintenance contract: labels(old) + batch == full CC over
+    old ∪ batch, for random graphs and random splits — the same oracle
+    discipline as the union-find differential above."""
+    import random
+
+    from data_ingestion_backend_spark.operators.dedup import cc_incremental
+
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    cut = len(edges) * 4 // 5
+    old, new = edges[:cut], edges[cut:]
+
+    labels_old = connected_components(_edges(spark, old))
+    got = _labels(cc_incremental(labels_old, _edges(spark, new)))
+    want = _labels(connected_components(_edges(spark, edges)))
+    assert got == want
