@@ -295,3 +295,28 @@ def scale_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         dbl(F.col("total_value"), 2).alias("total_value"),
     ).orderBy("user_id")
+
+
+def bucket_point_lookup(spark: SparkSession, table: str, key: str, value) -> list:
+    """Point lookup on a bucketed table, reading ONE bucket's files.
+
+    The third scan-avoidance tier after partition pruning (warehouse
+    hive layout) and stripe/row-group pushdown (parquet/ORC filters):
+    an equality predicate on the bucketing key hashes to exactly one
+    bucket, so the scan lists 1/n_buckets of the files BEFORE any
+    footer is read — at 100 TB a keyed lookup touches gigabytes, not
+    the table.  Spark's planner only applies bucket pruning on a
+    BUCKETED scan, and ``autoBucketedScan`` silently downgrades to a
+    plain file scan when no join/aggregation wants the distribution —
+    so the knob is pinned off for the lookup's duration (plan-time
+    conf, restored after the collect).  The collect is control-plane
+    by definition: a point lookup's result is key-cardinality-sized.
+    ``tests/test_scale.py`` pins ``SelectedBucketsCount: 1 out of N``.
+    """
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        return spark.table(table).filter(F.col(key) == value).collect()
+    finally:
+        spark.conf.set(conf_key, prev)

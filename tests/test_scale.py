@@ -97,3 +97,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucket_point_lookup_reads_one_bucket(spark, tmp_path):
+    """Equality on the bucketing key must prune to ONE bucket at
+    planning time (SelectedBucketsCount) and return exactly the row."""
+    from data_ingestion_backend_spark.operators.scale import bucket_point_lookup
+    from data_ingestion_backend_spark.plans.audit import formatted_plan
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    orders = load_table(spark, SF_DIR_ORACLE, "orders")
+    write_bucketed(orders, "pl_orders", "o_orderkey", 16, path=str(tmp_path / "bo"))
+
+    key = orders.select("o_orderkey").limit(1).collect()[0][0]
+    rows = bucket_point_lookup(spark, "pl_orders", "o_orderkey", key)
+    assert len(rows) == 1 and rows[0]["o_orderkey"] == key
+
+    # plan pin under the same conf the helper uses
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        plan = formatted_plan(
+            spark.table("pl_orders").filter(F.col("o_orderkey") == key)
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+    assert "SelectedBucketsCount: 1 out of 16" in plan
