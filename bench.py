@@ -102,6 +102,7 @@ STANDALONE_HEADLINE = [
     "q49_moving_frame",
     "ts_ewma",
     "ts_concurrency",
+    "fuzzy_part_names",
 ]
 
 

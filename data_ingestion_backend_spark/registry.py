@@ -24,5 +24,6 @@ import data_ingestion_backend_spark.operators.search  # noqa: F401,E402 — regi
 import data_ingestion_backend_spark.operators.subqueries  # noqa: F401,E402 — registers
 import data_ingestion_backend_spark.operators.graph  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.semantics  # noqa: F401,E402 — registers (standalone)
+import data_ingestion_backend_spark.operators.fuzzy  # noqa: F401,E402 — registers (standalone)
 
 __all__ = ["QUERIES", "ORACLE"]
