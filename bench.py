@@ -103,6 +103,7 @@ STANDALONE_HEADLINE = [
     "ts_ewma",
     "ts_concurrency",
     "fuzzy_part_names",
+    "q50_profit_star_join",
 ]
 
 

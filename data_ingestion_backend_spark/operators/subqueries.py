@@ -182,3 +182,45 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: global-average scalar + NOT EXISTS anti-join."""
     return run_sql(spark, sf_dir, Q46_SQL)
+
+
+# TPC-H Q9 silhouette: the 5-way star join (part ⋈ lineitem ⋈ supplier ⋈
+# orders ⋈ nation) — the deepest join-reordering workout in the registry.
+# No correlated subquery here; it lives in this module because it shares
+# the SQL-text surface and the planner-exercise purpose.  Catalyst must
+# (a) push the LIKE filter into the part scan and broadcast the filtered
+# dim, (b) broadcast supplier and nation, (c) leave ONE fact-sized
+# shuffle (lineitem ⋈ orders on the shared key feeding the final
+# aggregate) — the q28/q29 discipline compounded across five tables.
+# (The classic Q9 subtracts ps_supplycost; no partsupp table in the
+# fixture star schema, so the measure is revenue only.)
+#
+# Terminal discipline: the revenue sum is an exact scale-4 decimal, and
+# rounding it to 2 dp AFTER the double cast is the cross-engine midpoint
+# hazard (a scale-4 value can sit exactly on a 2-dp midpoint — hit for
+# real at sf0.1: 18266789.615 rounded .62 in Spark, .61 in DuckDB).
+# Round in exact decimal FIRST, cast second; the outer double ROUND only
+# collapses the 1-ulp cast noise and can't see a midpoint because the
+# value is already on the 2-dp grid.
+Q50_SQL = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))), 2) AS DOUBLE), 2)
+         AS amount,
+       COUNT(*) AS n_lines
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY nation, o_year
+"""
+
+
+@_register_standalone("q50_profit_star_join", Q50_SQL)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way star join → per-nation/year revenue."""
+    return run_sql(spark, sf_dir, Q50_SQL)

@@ -102,26 +102,33 @@ def preflight(df: DataFrame, wide_cols: int = 12) -> list[dict]:
     # don't count — Spark pushes those even for opaque expressions) while
     # a residual Filter above does more than null checks
     pushes = pushed_filters(df)
-    only_null_guards = [
-        p
-        for p in pushes
-        if not [
+
+    def _null_guards_only(p: str) -> bool:
+        return not [
             e
             for e in p.split(",")
             if e.strip() and not e.strip().startswith("IsNotNull")
         ]
-    ]
+
     residual_real_filter = any(
-        "Condition :" in line and re.search(r"(?i)(?<!isnot)null|[<>=]|StartsWith|Contains|md5|like", line.split("Condition :", 1)[1].replace("isnotnull", ""))
+        "Condition :" in line
+        and re.search(
+            r"(?i)(?<!isnot)null|[<>=]|StartsWith|Contains|md5|like",
+            line.split("Condition :", 1)[1].replace("isnotnull", ""),
+        )
         for line in plan.splitlines()
         if "Condition :" in line
     )
-    if only_null_guards and residual_real_filter:
+    # Flag only when NO scan in the plan pushed a real predicate while a
+    # real residual filter computes above — in a multi-scan plan, scans
+    # with nothing to push (pure join inputs) are normal, and per-scan
+    # attribution is not reliable from plan text.
+    if pushes and all(_null_guards_only(p) for p in pushes) and residual_real_filter:
         findings.append(
             {
                 "code": "UNPUSHED_SCAN",
-                "detail": f"{len(only_null_guards)} scan(s) push only "
-                f"IsNotNull guards while a residual filter computes above — "
+                "detail": "no scan pushes a real predicate while a residual "
+                "filter computes above — "
                 f"{PREFLIGHT_CODES['UNPUSHED_SCAN']}",
             }
         )

@@ -28,6 +28,7 @@ from data_ingestion_backend_spark.operators.subqueries import (
     Q44_SQL,
     Q45_SQL,
     Q46_SQL,
+    Q50_SQL,
 )
 from data_ingestion_backend_spark.plans.audit import formatted_plan
 from data_ingestion_backend_spark.plans.catalog import register_fixture_views, run_sql
@@ -131,3 +132,16 @@ def test_correlated_queries_match_row_shapes(spark):
     assert STANDALONE_QUERIES["q42_min_per_group_joinback"](spark, SF_DIR_ORACLE).count() > 0
     n_sup = STANDALONE_QUERIES["q43_nested_semi_agg"](spark, SF_DIR_ORACLE).count()
     assert 0 < n_sup < 100, "q43 threshold must stay selective"
+
+
+def test_q50_star_join_broadcasts_dims_no_sortmerge(spark):
+    """The 5-way star join must resolve every dim side to a broadcast
+    hash join (no sort-merge anywhere at this scale) and stay clean
+    under the preflight auditor."""
+    from data_ingestion_backend_spark.plans.audit import preflight
+
+    df = run_sql(spark, SF_DIR_ORACLE, Q50_SQL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert preflight(df) == []
