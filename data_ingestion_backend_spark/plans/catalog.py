@@ -28,17 +28,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_backend_spark.sources.fixtures import TABLES, load_table
 
+#: last registration per session: (applicationId, sf_dir, source fingerprint).
+#: Registration itself is lazy (no data read), but building each view's
+#: DataFrame lists the parquet footer paths driver-side — ten listings per
+#: call adds up in per-query loops (the bench runs each SQL-text query 6×),
+#: so re-registration happens only when the session, directory, or the
+#: directory's contents change.  Same fingerprint discipline as the dedup
+#: persist memo: a rewritten source must never serve stale views.
+_REGISTERED: dict[str, tuple[str, str]] = {}
+
 
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
-    """(Re-)register the ten fixture tables as session temp views.
+    """(Re-)register the ten fixture tables as session temp views."""
+    from data_ingestion_backend_spark.operators.dedup import _source_fingerprint
 
-    ``createOrReplaceTempView`` is a catalog-pointer swap (no data is
-    read), so re-registering per call is free and makes the view set
-    track ``sf_dir`` — two successive calls at different scale factors
-    never leak stale views into each other's queries.
-    """
+    app = spark.sparkContext.applicationId
+    state = (sf_dir, _source_fingerprint(sf_dir))
+    if _REGISTERED.get(app) == state:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[app] = state
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
