@@ -82,6 +82,14 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     ``groupBy(dst)`` shuffle per iteration; the edge⋈rank join is
     broadcast (rank table is |nodes|-sized) or co-partitioned when the
     edge table is bucketed by src.
+
+    Measured negative result (r6, sf0.1): pre-partitioning the edge
+    list by src (repartition + eager checkpoint) read 3.4 s vs 2.8 s
+    for this form — at fixture scale AQE broadcasts the tiny rank table
+    anyway and the extra materialization is pure overhead.  The
+    pre-partitioned/bucketed form only wins once ranks outgrow the
+    broadcast threshold (billions of nodes), which is why it is a
+    deployment note here, not code.
     """
     edges = edges.localCheckpoint(eager=True)  # built once, reused per iter
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
