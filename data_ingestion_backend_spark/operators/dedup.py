@@ -157,6 +157,28 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_shingled_frame(load_table(spark, sf_dir, "documents"))
 
 
+#: switch to the exploded verify join when a doc's distinct-shingle set
+#: exceeds this (≈ a 50k-word document): the array form's per-doc row is
+#: O(|shingle set|) wide, and book-length docs make rows multi-MB — a
+#: task-memory hazard the row-sized exploded form doesn't have.
+VERIFY_EXPLODE_OVER = 50_000
+
+#: max(n) probe results per per-doc DataFrame HANDLE — the session-
+#: memoized per-doc table is one handle reused by every dedup query in a
+#: session, so the probe job runs once, not once per verify call.  The
+#: strong reference keeps id() from aliasing a collected frame.
+_VERIFY_PROBE_MEMO: dict[int, tuple[DataFrame, int]] = {}
+
+
+def _max_shingle_count(per_doc: DataFrame) -> int:
+    hit = _VERIFY_PROBE_MEMO.get(id(per_doc))
+    if hit is not None and hit[0] is per_doc:
+        return hit[1]
+    v = per_doc.agg(F.max("n")).collect()[0][0] or 0
+    _VERIFY_PROBE_MEMO[id(per_doc)] = (per_doc, v)
+    return v
+
+
 def _verify_jaccard(
     per_doc: DataFrame, pairs: DataFrame, threshold: float | None
 ) -> DataFrame:
@@ -168,7 +190,17 @@ def _verify_jaccard(
     output of LSH/inverted-index blocking, so the per-pair array work is
     negligible next to re-joining the exploded shingle table (which cost
     two extra full shingle pipelines before this rewrite).
+
+    SIZE GUARD: the array form's row width is the document's distinct
+    shingle count; past ``VERIFY_EXPLODE_OVER`` (book-length docs) those
+    rows are multi-MB and threaten task memory, so the guard probes
+    ``max(n)`` (an aggregate over the already-built per-doc table — one
+    cheap job) and routes to :func:`_verify_jaccard_exploded`, which
+    computes the identical Jaccard from row-sized exploded shingles
+    (equality pinned by ``test_dedup_verify_paths``).
     """
+    if _max_shingle_count(per_doc) > VERIFY_EXPLODE_OVER:
+        return _verify_jaccard_exploded(per_doc, pairs, threshold)
     a = per_doc.select(
         F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"), F.col("n").alias("na")
     )
@@ -180,6 +212,37 @@ def _verify_jaccard(
     out = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"), jac.alias("_j"))
+    )
+    if threshold is not None:
+        out = out.filter(F.col("_j") >= threshold)
+    return out.drop("_j").orderBy("doc_a", "doc_b")
+
+
+def _verify_jaccard_exploded(
+    per_doc: DataFrame, pairs: DataFrame, threshold: float | None
+) -> DataFrame:
+    """Row-sized verify path for huge documents: intersection sizes come
+    from joining each candidate pair against the EXPLODED shingle rows
+    (pair ⋈ shingles(a) ⋈ shingles(b) on equal shingle → count), so no
+    row is ever wider than one shingle.  Costs two exploded-shingle
+    joins instead of two array lookups — the right trade exactly when
+    the arrays stop fitting comfortably in task memory."""
+    ex = per_doc.select("doc_id", F.explode("ss").alias("s"))
+    inter = (
+        pairs.join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("i"))
+    )
+    na = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"i": 0.0})
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"), jac.alias("_j"))
     )
     if threshold is not None:
