@@ -104,6 +104,7 @@ STANDALONE_HEADLINE = [
     "ts_concurrency",
     "fuzzy_part_names",
     "q50_profit_star_join",
+    "prep_sample_exact_k",
 ]
 
 

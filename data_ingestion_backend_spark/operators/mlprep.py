@@ -842,3 +842,87 @@ def mix_to_targets(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
         .filter(F.col("src_rank") <= F.col("quota"))
         .select("doc_id", "source", "src_rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic exact-k-per-group sampling (fixed-size dev sets)
+# --------------------------------------------------------------------------
+
+EXACT_K_PER_SOURCE = 5
+_EXACT_K_SALT_BUCKETS = 32
+
+
+def _hash_rank_sql() -> str:
+    # deterministic per-doc draw: first 8 md5 hex chars as an integer —
+    # same idiom as the rate-based sampler, so selections never depend
+    # on run order or partitioning
+    return (
+        "CAST(('0x' || substr(md5('k:' || source || ':' || CAST(doc_id AS STRING)),"
+        " 1, 8)) AS BIGINT)"
+    )
+
+
+@_register_standalone(
+    "prep_sample_exact_k",
+    f"""SELECT doc_id, source,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY {_hash_rank_sql()}, doc_id)
+                   AS BIGINT) AS rk
+       FROM documents
+       QUALIFY rk <= {EXACT_K_PER_SOURCE}
+       ORDER BY source, rk""",
+)
+def prep_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-source deterministic sample (the fixed-size dev-set
+    draw the rate-based ``prep_sample_stratified`` cannot give: a rate
+    yields a BINOMIAL count per group; evals need exactly k).
+
+    The draw orders each group by a content-derived hash (uniform over
+    docs, stable across runs/partitionings) and keeps the first k —
+    uniform sampling without replacement, no rand() anywhere.
+
+    Scale shape: a single window over ``partitionBy(source)`` funnels
+    each source onto ONE reducer — the low-cardinality hot-key trap the
+    z-score operator documents.  This implementation is the two-phase
+    top-k instead: phase 1 ranks within (source, salt-bucket) — |src|·32
+    balanced partitions — and keeps k per bucket (any group's true
+    top-k survives: each candidate beats every discarded row of its own
+    bucket); phase 2 re-ranks the ≤ |src|·32·k survivors, a frame small
+    enough that its single-reducer-per-source window is free.  The
+    DuckDB oracle runs the straightforward one-window form — an
+    independent plan arriving at the identical selection.
+    """
+    hr = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("k:"),
+                    F.col("source"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", hr.alias("hr")
+    )
+    salted = docs.withColumn(
+        "salt", (F.col("doc_id") % _EXACT_K_SALT_BUCKETS)
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("hr", "doc_id")
+    survivors = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= EXACT_K_PER_SOURCE)
+    )
+    w2 = Window.partitionBy("source").orderBy("hr", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= EXACT_K_PER_SOURCE)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
