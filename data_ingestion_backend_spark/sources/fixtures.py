@@ -92,7 +92,16 @@ def load_tables(
 def register_views(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
-    """Load fixture tables and register each as a temp view for spark.sql."""
+    """Load fixture tables and register each as a temp view for spark.sql.
+
+    Invalidates the SQL surface's registration memo (plans/catalog.py):
+    this function may rebind the same view names to a different sf_dir,
+    and a later ``run_sql`` must re-register rather than trust its memo
+    over views someone else overwrote.
+    """
+    from data_ingestion_backend_spark.plans import catalog
+
+    catalog._REGISTERED.pop(spark.sparkContext.applicationId, None)
     tables = load_tables(spark, sf_dir, names)
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
