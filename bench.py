@@ -105,6 +105,7 @@ STANDALONE_HEADLINE = [
     "fuzzy_part_names",
     "q50_profit_star_join",
     "prep_sample_exact_k",
+    "q51_lateral_topk",
 ]
 
 

@@ -224,3 +224,30 @@ ORDER BY nation, o_year
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: 5-way star join → per-nation/year revenue."""
     return run_sql(spark, sf_dir, Q50_SQL)
+
+
+# LATERAL correlated subquery with LIMIT — "top-k related rows per
+# entity" written the way an application developer writes it (the
+# reference's nested issue payload builds exactly this shape in Python:
+# per issue, the ordered affected rows — src/app/api/issues.py:83-106).
+# Catalyst decorrelates the per-row LIMIT into a rank window over one
+# join (plan-pinned: no per-customer re-execution), which is also why
+# the oracle can't disagree: both engines reduce to the same windowed
+# semantics over identical inputs; ties are broken by o_orderkey.
+Q51_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'MACHINERY' AND c.c_custkey < 200
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@_register_standalone("q51_lateral_topk", Q51_SQL)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via a correlated LATERAL LIMIT."""
+    return run_sql(spark, sf_dir, Q51_SQL)

@@ -145,3 +145,13 @@ def test_q50_star_join_broadcasts_dims_no_sortmerge(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert preflight(df) == []
+
+
+def test_q51_lateral_limit_becomes_window(spark):
+    """The correlated LATERAL ... LIMIT must decorrelate into a rank
+    window over one join — never a per-outer-row subquery execution."""
+    from data_ingestion_backend_spark.operators.subqueries import Q51_SQL
+
+    plan = formatted_plan(run_sql(spark, SF_DIR_ORACLE, Q51_SQL))
+    assert "Window" in plan
+    assert "Subquery" not in plan
