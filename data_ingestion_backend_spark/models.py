@@ -164,6 +164,27 @@ NEARDUP_BANDS_SCHEMA = T.StructType(
     ]
 )
 
+#: persisted BM25 inverted-index tables (operators/search.py) — fixed by
+#: construction: tokenized postings (term frequency per doc) and the
+#: INTEGER corpus stats the incremental merge relies on.  Registered so
+#: an index-never-built warehouse reads an EMPTY index (zero postings,
+#: zero stats rows) rather than raising KeyError('search_postings').
+SEARCH_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("dl", T.IntegerType(), True),
+        T.StructField("term", T.StringType(), True),
+        T.StructField("tf", T.LongType(), True),
+    ]
+)
+
+SEARCH_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType(), True),
+        T.StructField("sum_dl", T.LongType(), True),
+    ]
+)
+
 PIPELINE_TABLES = ("jobs", "staging", "issues", "issue_items", "contacts")
 
 SCHEMAS = {
@@ -175,4 +196,6 @@ SCHEMAS = {
     "neardup_index": NEARDUP_INDEX_SCHEMA,
     "neardup_pairs": NEARDUP_PAIRS_SCHEMA,
     "neardup_bands": NEARDUP_BANDS_SCHEMA,
+    "search_postings": SEARCH_POSTINGS_SCHEMA,
+    "search_stats": SEARCH_STATS_SCHEMA,
 }

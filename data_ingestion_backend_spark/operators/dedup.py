@@ -166,8 +166,14 @@ VERIFY_EXPLODE_OVER = 50_000
 #: max(n) probe results per per-doc DataFrame HANDLE — the session-
 #: memoized per-doc table is one handle reused by every dedup query in a
 #: session, so the probe job runs once, not once per verify call.  The
-#: strong reference keeps id() from aliasing a collected frame.
+#: strong reference keeps id() from aliasing a collected frame.  BOUNDED:
+#: callers that build a fresh frame per call (streaming batches) would
+#: otherwise pin every dead frame — and its localCheckpoint blocks — for
+#: the session lifetime; insertion-order eviction keeps only the newest
+#: handles (streaming callers should pass ``max_n`` explicitly anyway,
+#: see ``dedup_incremental_pairs``).
 _VERIFY_PROBE_MEMO: dict[int, tuple[DataFrame, int]] = {}
+_VERIFY_PROBE_MEMO_CAP = 4
 
 
 def _max_shingle_count(per_doc: DataFrame) -> int:
@@ -175,12 +181,17 @@ def _max_shingle_count(per_doc: DataFrame) -> int:
     if hit is not None and hit[0] is per_doc:
         return hit[1]
     v = per_doc.agg(F.max("n")).collect()[0][0] or 0
+    while len(_VERIFY_PROBE_MEMO) >= _VERIFY_PROBE_MEMO_CAP:
+        _VERIFY_PROBE_MEMO.pop(next(iter(_VERIFY_PROBE_MEMO)))
     _VERIFY_PROBE_MEMO[id(per_doc)] = (per_doc, v)
     return v
 
 
 def _verify_jaccard(
-    per_doc: DataFrame, pairs: DataFrame, threshold: float | None
+    per_doc: DataFrame,
+    pairs: DataFrame,
+    threshold: float | None,
+    max_n: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, from per-doc arrays.
 
@@ -197,9 +208,14 @@ def _verify_jaccard(
     ``max(n)`` (an aggregate over the already-built per-doc table — one
     cheap job) and routes to :func:`_verify_jaccard_exploded`, which
     computes the identical Jaccard from row-sized exploded shingles
-    (equality pinned by ``test_dedup_verify_paths``).
+    (equality pinned by ``test_dedup_verify_paths``).  Callers that
+    already know the bound (persisted index stats) pass ``max_n`` and
+    skip the probe job entirely — both paths are bit-equal, so an
+    over-estimate only changes the physical route, never the result.
     """
-    if _max_shingle_count(per_doc) > VERIFY_EXPLODE_OVER:
+    if max_n is None:
+        max_n = _max_shingle_count(per_doc)
+    if max_n > VERIFY_EXPLODE_OVER:
         return _verify_jaccard_exploded(per_doc, pairs, threshold)
     a = per_doc.select(
         F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"), F.col("n").alias("na")
@@ -1261,6 +1277,7 @@ _NEW_BATCH_PRED_SQL = "doc_id % 10 = 0"
 def dedup_incremental_pairs(
     per_doc_new: DataFrame, bands_new: DataFrame, bands_corpus: DataFrame,
     per_doc_corpus: DataFrame, threshold: float = JACCARD_THRESHOLD,
+    max_n: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING the new batch, without ever joining
     corpus×corpus: candidates are (new ⋈ corpus-index bands) ∪ (new
@@ -1298,7 +1315,12 @@ def dedup_incremental_pairs(
     )
     cand = cand_nc.unionByName(cand_nn).distinct()
     per_doc_all = per_doc_new.unionByName(per_doc_corpus)
-    return _verify_jaccard(per_doc_all, cand, threshold)
+    # ``max_n`` lets streaming callers route the verify path from
+    # persisted index stats instead of probing max(n) over the whole
+    # union each batch — that probe is an O(index) scan that would undo
+    # the persisted-band O(batch) claim (and the union handle is fresh
+    # per batch, so the session memo never hits).
+    return _verify_jaccard(per_doc_all, cand, threshold, max_n=max_n)
 
 
 def _incremental_oracle_sql() -> str:

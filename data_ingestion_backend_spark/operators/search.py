@@ -429,17 +429,42 @@ def build_search_index(wh, docs: DataFrame) -> None:
     wh.write(SEARCH_STATS_TABLE, stats_int)
 
 
-def append_to_search_index(wh, new_docs: DataFrame) -> None:
+def append_to_search_index(wh, new_docs: DataFrame, batch_id: int | None = None) -> None:
     """Absorb a document batch: tokenize the BATCH only, append its
     postings, add its integer stats.  The corpus is never re-tokenized —
-    per-batch cost is O(|batch| tokens) + the snapshot append."""
+    per-batch cost is O(|batch| tokens) + the snapshot append.
+
+    An index never built reads as EMPTY (models.SCHEMAS registers the
+    search tables), so the first append IS the build.
+
+    ``batch_id`` opts into the exactly-once commit protocol shared with
+    the streaming sinks (``streaming/txn.py``): a re-delivered batch id
+    is rejected outright, and a crash between the two table writes (or
+    after them but before the marker) makes the re-run rebuild from the
+    intent-pinned base versions instead of stacking onto its own partial
+    commit.  Without it the append is a plain read-modify-write — fine
+    for a single-writer batch job, unsafe under re-delivery."""
+    from data_ingestion_backend_spark.streaming import txn
+
+    postings_base = wh.current_version(SEARCH_POSTINGS_TABLE)
+    stats_base = wh.current_version(SEARCH_STATS_TABLE)
+    if batch_id is not None:
+        if batch_id <= txn.last_batch(wh, SEARCH_POSTINGS_TABLE):
+            return
+        bases = txn.begin_batch(
+            wh,
+            SEARCH_POSTINGS_TABLE,
+            batch_id,
+            {"postings": postings_base, "stats": stats_base},
+        )
+        postings_base, stats_base = bases["postings"], bases["stats"]
     new_postings, new_stats = _postings_and_int_stats(new_docs)
     wh.write(
         SEARCH_POSTINGS_TABLE,
-        wh.read(SEARCH_POSTINGS_TABLE).unionByName(new_postings),
+        wh.read(SEARCH_POSTINGS_TABLE, postings_base).unionByName(new_postings),
     )
     merged = (
-        wh.read(SEARCH_STATS_TABLE)
+        wh.read(SEARCH_STATS_TABLE, stats_base)
         .unionByName(new_stats)
         .agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
@@ -447,6 +472,8 @@ def append_to_search_index(wh, new_docs: DataFrame) -> None:
         )
     )
     wh.write(SEARCH_STATS_TABLE, merged)
+    if batch_id is not None:
+        txn.commit_batch(wh, SEARCH_POSTINGS_TABLE, batch_id)
 
 
 def bm25_topk_persisted(

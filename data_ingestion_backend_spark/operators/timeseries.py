@@ -514,8 +514,10 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # idiomatic Spark form is an ordered per-series fold.  Float EWMA can
 # never hash-match across engines (every step compounds rounding in
 # engine-specific order), so the recurrence runs on a 1e-2 integer grid
-# with integer division — exact, and DuckDB's list_reduce replays the
-# identical fold:
+# with integer division — exact and sign-safe: Spark's div and DuckDB's
+# integer // both truncate toward zero (pinned by a planted negative
+# differential test), and DuckDB's list_reduce replays the identical
+# fold:
 #
 #     e_0 = x_0;  e_t = (15·x_t + 85·e_{t-1}) div 100      (α = 0.15)
 #
@@ -552,9 +554,14 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order, so both engines fold the identical sequence), then the
     fold runs element-by-element inside ``aggregate`` with the first
     element as the seed (matching DuckDB ``list_reduce`` semantics).
-    Values are non-negative in the fixture, so truncating and floor
-    division agree; the 2-dp value grid makes ROUND(value·100) exact on
-    both engines (grid-landing class, not floor class).
+    Division semantics agree for ALL signs: Spark's integer ``div``
+    and DuckDB's integer ``//`` BOTH truncate toward zero (DuckDB
+    floors only for floating-point operands — verified, and pinned
+    for negative values and sign-crossing intermediates by
+    ``test_ewma_fold_integer_division_matches_duckdb_on_negatives``),
+    so negative event values need no special-casing.  The 2-dp value
+    grid makes ROUND(value·100) exact on both engines (grid-landing
+    class, not floor class).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",

@@ -35,7 +35,11 @@ re-shingled.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_ingestion_backend_spark.operators.dedup import (
     _band_table,
@@ -48,6 +52,34 @@ from data_ingestion_backend_spark.streaming import txn
 INDEX_TABLE = "neardup_index"
 PAIRS_TABLE = "neardup_pairs"
 BANDS_TABLE = "neardup_bands"
+_STATS_FILE = "_stats"
+
+
+def _stats_path(wh: Warehouse) -> str:
+    return os.path.join(wh.root, INDEX_TABLE, _STATS_FILE)
+
+
+def _write_index_stats(wh: Warehouse, version: int, max_n: int) -> None:
+    txn.write_atomic(
+        _stats_path(wh), json.dumps({"version": version, "max_n": max_n})
+    )
+
+
+def _index_max_n(wh: Warehouse, per_doc: DataFrame, version: int) -> int:
+    """max distinct-shingle count of the corpus index, from the persisted
+    stats sidecar when it matches ``version``; an aggregation over the
+    pinned frame otherwise (legacy/unseeded warehouses, or a crash
+    recovery whose stats ran ahead of the pinned base — one-off cost).
+    The stat routes the bit-equal verify-path choice only, so it must be
+    version-exact merely to avoid an UNDER-estimate of a shrunken corpus
+    — and the index only ever grows."""
+    p = _stats_path(wh)
+    if os.path.exists(p):
+        with open(p) as f:
+            stats = json.loads(f.read())
+        if stats.get("version") == version:
+            return int(stats["max_n"])
+    return per_doc.agg(F.max("n")).collect()[0][0] or 0
 
 
 def last_admitted_batch(wh: Warehouse, name: str = PAIRS_TABLE) -> int:
@@ -67,8 +99,11 @@ def seed_index(wh: Warehouse, corpus_docs: DataFrame) -> None:
     band_key) so the probe join is bucket-pruned, not scanned.
     """
     per_doc = minhash_per_doc_frame(corpus_docs).localCheckpoint(eager=True)
-    wh.write(INDEX_TABLE, per_doc)
+    v = wh.write(INDEX_TABLE, per_doc)
     wh.write(BANDS_TABLE, _band_table(per_doc))
+    _write_index_stats(
+        wh, v, per_doc.agg(F.max("n")).collect()[0][0] or 0
+    )
 
 
 def neardup_gate_batch(
@@ -101,11 +136,17 @@ def neardup_gate_batch(
     )
     pairs_base, index_base = bases["pairs"], bases["index"]
     bands_base = bases.get("bands", -1)
-    corpus_per_doc = (
-        wh.read(INDEX_TABLE, index_base) if index_base >= 0 else wh.read(INDEX_TABLE)
-    )
-    # persisted probe table (see seed_index); legacy/unseeded warehouses
-    # fall back to deriving it from the per-doc frame (empty or one-off)
+    # Read the PINNED base unconditionally — never the current pointer.
+    # ``Warehouse.read(table, -1)`` returns the empty typed frame (the
+    # neardup schemas are registered in models.SCHEMAS for exactly this),
+    # so a re-delivered FIRST batch whose crash landed after the index
+    # write sees an empty corpus, not its own half-committed write — the
+    # current-pointer fallback here duplicated every index row on that
+    # crash path (corpus ∪ batch = batch twice).
+    corpus_per_doc = wh.read(INDEX_TABLE, index_base)
+    # persisted probe table (see seed_index); legacy warehouses whose
+    # index predates the band table fall back to deriving it from the
+    # pinned per-doc frame (one-off; empty base → empty bands)
     corpus_bands = (
         wh.read(BANDS_TABLE, bands_base)
         if bands_base >= 0
@@ -116,18 +157,24 @@ def neardup_gate_batch(
     # local pin the collect_list aggregation would run three times.
     batch_per_doc = minhash_per_doc_frame(batch_docs).localCheckpoint(eager=True)
     batch_bands = _band_table(batch_per_doc)
+    # verify-path routing stat: max over (persisted corpus stat, O(batch)
+    # batch aggregation) — never an O(index) scan per batch
+    batch_max_n = batch_per_doc.agg(F.max("n")).collect()[0][0] or 0
+    max_n = max(batch_max_n, _index_max_n(wh, corpus_per_doc, index_base))
     pairs = dedup_incremental_pairs(
         batch_per_doc,
         batch_bands,
         corpus_bands,
         corpus_per_doc,
+        max_n=max_n,
     )
     if pairs_base < 0:
         wh.write(PAIRS_TABLE, pairs)
     else:
         wh.write(PAIRS_TABLE, wh.read(PAIRS_TABLE, pairs_base).unionByName(pairs))
-    wh.write(INDEX_TABLE, corpus_per_doc.unionByName(batch_per_doc))
+    new_index_v = wh.write(INDEX_TABLE, corpus_per_doc.unionByName(batch_per_doc))
     wh.write(BANDS_TABLE, corpus_bands.unionByName(batch_bands))
+    _write_index_stats(wh, new_index_v, max_n)
     txn.commit_batch(wh, PAIRS_TABLE, batch_id)
     return True
 

@@ -146,6 +146,85 @@ def test_crash_between_table_write_and_marker_is_idempotent(spark, tmp_path, mon
     assert last_admitted_batch(wh) == 0
 
 
+def test_crash_on_first_batch_unseeded_is_idempotent(spark, tmp_path, monkeypatch):
+    """The base=-1 arm of the crash window: the FIRST batch on an
+    unseeded warehouse commits its index/bands/pairs writes, then dies
+    before the marker.  The recorded bases are all -1, so the re-run
+    must read the EMPTY typed frames — not the current pointer, which by
+    then holds the crashed batch's own rows (reading it made the rerun
+    treat its own write as the corpus: every index row duplicated and
+    each in-batch pair re-emitted as a spurious new×corpus pair)."""
+    from data_ingestion_backend_spark.streaming import txn
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+
+    # clean single-run reference state (unseeded: corpus is empty)
+    wh_ref = Warehouse(spark, str(tmp_path / "wh_ref"))
+    assert neardup_gate_batch(wh_ref, new, batch_id=0) is True
+    want_pairs = _pairs_set(wh_ref.read(PAIRS_TABLE))
+    want_index = wh_ref.read(INDEX_TABLE).count()
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    class Boom(RuntimeError):
+        pass
+
+    real_write_atomic = txn.write_atomic
+
+    def crash_on_marker(path, payload):
+        if path.endswith("_last_batch"):
+            raise Boom("simulated crash before marker write")
+        real_write_atomic(path, payload)
+
+    monkeypatch.setattr(txn, "write_atomic", crash_on_marker)
+    try:
+        neardup_gate_batch(wh, new, batch_id=0)
+    except Boom:
+        pass
+    monkeypatch.setattr(txn, "write_atomic", real_write_atomic)
+
+    # hazard is live: the index committed, the marker did not
+    assert wh.read(INDEX_TABLE).count() == want_index
+    assert last_admitted_batch(wh) == -1
+
+    # re-delivery must rebuild from the pinned EMPTY base, exactly once
+    assert neardup_gate_batch(wh, new, batch_id=0) is True
+    assert wh.read(INDEX_TABLE).count() == want_index  # no doubled rows
+    assert _pairs_set(wh.read(PAIRS_TABLE)) == want_pairs
+    assert wh.read(PAIRS_TABLE).count() == len(want_pairs)
+    assert last_admitted_batch(wh) == 0
+
+
+def test_index_stats_sidecar_tracks_versions(spark, tmp_path):
+    """The verify-path routing stat is served from the persisted sidecar
+    — version-matched, no O(index) aggregation per batch — and is kept
+    current by seed and by every absorbed batch."""
+    from data_ingestion_backend_spark.streaming.neardup import (
+        _index_max_n,
+        _stats_path,
+    )
+    import json
+    import os
+
+    wh, _, new = _setup(spark, tmp_path)  # _setup already seeds the index
+    assert os.path.exists(_stats_path(wh))
+    stats = json.loads(open(_stats_path(wh)).read())
+    assert stats["version"] == wh.current_version(INDEX_TABLE)
+    true_max = (
+        wh.read(INDEX_TABLE).agg(F.max("n")).collect()[0][0] or 0
+    )
+    assert stats["max_n"] == true_max
+    # version-matched read never touches the frame: passing a non-frame
+    # sentinel proves no aggregation job runs on the hit path
+    assert _index_max_n(wh, None, stats["version"]) == true_max
+
+    assert neardup_gate_batch(wh, new, batch_id=0) is True
+    stats2 = json.loads(open(_stats_path(wh)).read())
+    assert stats2["version"] == wh.current_version(INDEX_TABLE)
+    assert stats2["max_n"] >= true_max
+
+
 def test_unseeded_stream_reads_empty_corpus(spark, tmp_path):
     """A gate run on a warehouse where seed_index was never called must
     treat the corpus as empty (admit everything, emit only new×new

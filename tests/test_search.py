@@ -212,3 +212,90 @@ def test_incremental_index_matches_rebuild_bit_for_bit(spark, tmp_path):
     as_set = lambda df: {tuple(r) for r in df.collect()}
     assert as_set(got) == as_set(want)
     assert as_set(got), "no results — vacuous"
+
+
+def test_append_on_unbuilt_index_is_build(spark, tmp_path):
+    """An index never built reads as EMPTY (search tables registered in
+    models.SCHEMAS): the first append IS the build — no
+    KeyError('search_postings'), and searching after it equals a
+    from-scratch build over the same docs."""
+    from data_ingestion_backend_spark.operators.search import (
+        QUERY_PREFIX_TOKENS,
+        append_to_search_index,
+        bm25_topk,
+        bm25_topk_persisted,
+    )
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text")
+    sub = docs.filter(F.col("doc_id") < 300)
+    queries = (
+        sub.filter(F.col("doc_id") % 100 == 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.slice(F.split(F.col("text"), " "), 1, QUERY_PREFIX_TOKENS)
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    append_to_search_index(wh, sub)  # never built — must not raise
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    got = as_set(bm25_topk_persisted(wh, queries))
+    assert got == as_set(bm25_topk(sub, queries))
+    assert got, "no results — vacuous"
+
+
+def test_append_with_batch_id_is_exactly_once(spark, tmp_path):
+    """batch_id opts the append into the txn protocol: a re-delivered id
+    is a no-op, and a crash between the postings write and the marker
+    makes the re-run REPLACE its partial commit (base-pinned rebuild)."""
+    from data_ingestion_backend_spark.operators.search import (
+        SEARCH_POSTINGS_TABLE,
+        SEARCH_STATS_TABLE,
+        append_to_search_index,
+        build_search_index,
+    )
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+    from data_ingestion_backend_spark.streaming import txn
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_search_index(wh, corpus)
+    append_to_search_index(wh, batch, batch_id=0)
+    n_postings = wh.read(SEARCH_POSTINGS_TABLE).count()
+    stats = wh.read(SEARCH_STATS_TABLE).collect()[0]
+
+    # re-delivery: no-op
+    append_to_search_index(wh, batch, batch_id=0)
+    assert wh.read(SEARCH_POSTINGS_TABLE).count() == n_postings
+    assert wh.read(SEARCH_STATS_TABLE).collect()[0] == stats
+
+    # crash window: postings committed, marker not — re-run must not stack
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    build_search_index(wh2, corpus)
+
+    class Boom(RuntimeError):
+        pass
+
+    real = txn.write_atomic
+
+    def crash_on_marker(path, payload):
+        if path.endswith("_last_batch"):
+            raise Boom()
+        real(path, payload)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(txn, "write_atomic", crash_on_marker):
+        try:
+            append_to_search_index(wh2, batch, batch_id=0)
+        except Boom:
+            pass
+    append_to_search_index(wh2, batch, batch_id=0)  # re-delivery
+    assert wh2.read(SEARCH_POSTINGS_TABLE).count() == n_postings
+    assert wh2.read(SEARCH_STATS_TABLE).collect()[0] == stats

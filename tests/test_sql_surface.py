@@ -64,6 +64,25 @@ def test_fixture_views_register(spark):
     assert t[1] == "timestamp"
 
 
+def test_second_session_in_same_app_gets_views(spark):
+    """Temp views are per-SparkSession, not per-application: a sibling
+    session created with ``newSession()`` shares the applicationId but
+    none of the views — the registration memo must be keyed by session
+    identity, or the sibling hits the first session's memo and
+    ``run_sql`` fails with TABLE_OR_VIEW_NOT_FOUND."""
+    register_fixture_views(spark, SF_DIR_ORACLE)  # prime the memo
+    sibling = spark.newSession()
+    try:
+        n = run_sql(
+            sibling, SF_DIR_ORACLE, "SELECT COUNT(*) AS n FROM lineitem"
+        ).collect()[0]["n"]
+        assert n > 0
+    finally:
+        # drop the sibling's views so it can be GC'd cleanly
+        for t in ("lineitem",):
+            sibling.catalog.dropTempView(t)
+
+
 @pytest.mark.parametrize("name", TEXT_EQ_QUERIES)
 def test_sql_text_equals_builder(spark, name):
     got_sql = run_sql(spark, SF_DIR_ORACLE, ORACLE[name])

@@ -175,3 +175,58 @@ def test_mad_fixture_rate_sane(spark):
     out = ts_anomaly_mad(spark, SF_DIR_ORACLE).collect()
     assert 0 < len(out) < 0.10 * n_total
     assert all(abs(r.rz) >= 3.5 for r in out)
+
+
+def test_ewma_fold_integer_division_matches_duckdb_on_negatives(spark):
+    """The EWMA recurrence agrees across engines for NEGATIVE values
+    too: Spark's integer ``div`` and DuckDB's integer ``//`` BOTH
+    truncate toward zero (DuckDB floors only for float operands, e.g.
+    ``-7 // 2 = -3`` on integers).  Planted mixed-sign series (negative
+    inputs AND sign-crossing intermediates) pin the agreement, and a
+    flooring fold is shown to differ — so the test fails loudly if
+    either engine ever changes its integer-division semantics."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from data_ingestion_backend_spark.operators.timeseries import (
+        EWMA_A_DEN,
+        EWMA_A_NUM,
+    )
+
+    series = {
+        "neg": [-101, -7, -3000, 55, -1],
+        "cross": [100, -100, 100, -100, 7],
+        "posneg": [-1, -2, -3, -4, -5, 999],
+    }
+    rows = [(k, xs) for k, xs in series.items()]
+    sdf = spark.createDataFrame(rows, "event_type string, xs array<bigint>")
+    fold = F.expr(
+        f"aggregate(slice(xs, 2, size(xs) - 1), xs[0],"
+        f" (acc, x) -> ({EWMA_A_NUM} * x + {100 - EWMA_A_NUM} * acc)"
+        f" div {EWMA_A_DEN})"
+    )
+    got = {
+        r["event_type"]: r["e"]
+        for r in sdf.select("event_type", fold.alias("e")).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for k, xs in series.items():
+        want[k] = con.execute(
+            f"SELECT list_reduce($1::BIGINT[],"
+            f" (acc, x) -> ({EWMA_A_NUM} * x + {100 - EWMA_A_NUM} * acc)"
+            f" // {EWMA_A_DEN})",
+            [xs],
+        ).fetchone()[0]
+    assert got == want
+    # ...and the planted series genuinely exercises the sign branch: a
+    # FLOORING fold differs, so agreement above isn't vacuous
+    floorf = F.expr(
+        f"aggregate(slice(xs, 2, size(xs) - 1), xs[0],"
+        f" (acc, x) -> CAST(floor(({EWMA_A_NUM} * x + {100 - EWMA_A_NUM} * acc)"
+        f" / CAST({EWMA_A_DEN} AS DOUBLE)) AS BIGINT))"
+    )
+    got_floor = {
+        r["event_type"]: r["e"]
+        for r in sdf.select("event_type", floorf.alias("e")).collect()
+    }
+    assert got_floor != want, "planted series never exercised the sign branch"

@@ -65,3 +65,42 @@ def test_size_guard_routes_to_exploded(spark, monkeypatch):
     monkeypatch.setattr(dd, "VERIFY_EXPLODE_OVER", 1)  # every doc is "huge"
     out = dd._verify_jaccard(per_doc, cand, threshold=0.8)
     assert out.count() >= 0 and called, "guard did not route to exploded path"
+
+
+def test_explicit_max_n_skips_probe_and_routes(spark, monkeypatch):
+    """Callers holding persisted index stats pass max_n: no probe job
+    runs, and the value routes the path exactly like the probed one."""
+    import data_ingestion_backend_spark.operators.dedup as dd
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text")
+    per_doc = minhash_per_doc_frame(docs).localCheckpoint(eager=True)
+    cand = _pairs(per_doc).localCheckpoint(eager=True)
+
+    def boom(_):
+        raise AssertionError("probe ran despite explicit max_n")
+
+    monkeypatch.setattr(dd, "_max_shingle_count", boom)
+    arr = dd._verify_jaccard(per_doc, cand, 0.8, max_n=1)  # tiny → array path
+    exploded = []
+    real = dd._verify_jaccard_exploded
+    monkeypatch.setattr(
+        dd,
+        "_verify_jaccard_exploded",
+        lambda *a: (exploded.append(1), real(*a))[1],
+    )
+    huge = dd._verify_jaccard(per_doc, cand, 0.8, max_n=dd.VERIFY_EXPLODE_OVER + 1)
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert exploded, "max_n over threshold did not route to exploded path"
+    assert as_set(arr) == as_set(huge)
+
+
+def test_probe_memo_is_bounded(spark):
+    """Fresh per-doc handles (the streaming pattern) must not grow the
+    memo without bound — each dead entry pins its DataFrame forever."""
+    import data_ingestion_backend_spark.operators.dedup as dd
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("doc_id", "text")
+    small = docs.limit(5)
+    for _ in range(dd._VERIFY_PROBE_MEMO_CAP + 3):
+        dd._max_shingle_count(minhash_per_doc_frame(small))
+    assert len(dd._VERIFY_PROBE_MEMO) <= dd._VERIFY_PROBE_MEMO_CAP
