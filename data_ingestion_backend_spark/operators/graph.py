@@ -88,8 +88,9 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     for this form — at fixture scale AQE broadcasts the tiny rank table
     anyway and the extra materialization is pure overhead.  The
     pre-partitioned/bucketed form only wins once ranks outgrow the
-    broadcast threshold (billions of nodes), which is why it is a
-    deployment note here, not code.
+    broadcast threshold (billions of nodes) — that form is
+    :func:`pagerank_bucketed` (r7), plan-pinned to shuffle neither the
+    edge table nor a broadcast build per iteration.
     """
     edges = edges.localCheckpoint(eager=True)  # built once, reused per iter
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
@@ -99,6 +100,60 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         inflow = (
             edges.join(ranks, edges.src == ranks.node)
             .join(outw, "src")
+            .select(F.col("dst"), F.expr("(r * w) div tw").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr("(85 * coalesce(inflow, 0)) div 100")
+                ).cast("bigint").alias("r"),
+            )
+        )
+    return ranks
+
+
+def pagerank_bucketed(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    n_buckets: int = 16,
+    table: str = "pr_edges_bucketed",
+    path: str | None = None,
+) -> DataFrame:
+    """The past-the-broadcast-threshold form of :func:`pagerank`: edges
+    (with their source's total out-weight folded in) are materialized
+    ONCE as a table bucketed by ``src``, and every iteration's
+    rank⋈edge join is co-partitioned on the bucket layout — so per
+    iteration the plan moves only the |nodes|-sized rank table (one
+    small exchange) plus the ``groupBy(dst)`` inflow aggregation, never
+    the fact-sized edge list and never a broadcast build that individual
+    executors must hold (the failure mode at billions of nodes, where
+    the rank table outgrows both the broadcast threshold and executor
+    memory).
+
+    Folding ``tw`` into the bucketed table also removes the
+    per-iteration outw join entirely: the one-time build pays one extra
+    groupBy (itself exchange-free — bucketed input), the steady state
+    pays zero.  Bit-equal to :func:`pagerank` (integer arithmetic;
+    pinned by ``test_connected_components.py``), plan-pinned to scan
+    ``Bucketed: true`` with no edge-side exchange.
+    """
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    ew = edges.join(outw, "src").select("src", "dst", "w", "tw")
+    from data_ingestion_backend_spark.operators.scale import write_bucketed
+
+    write_bucketed(ew, table, "src", n_buckets=n_buckets, path=path)
+    e = spark.table(table)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("bigint"))
+    for _ in range(iters):
+        inflow = (
+            e.join(ranks, e.src == ranks.node)
             .select(F.col("dst"), F.expr("(r * w) div tw").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"))

@@ -107,6 +107,76 @@ def salted_aggregate(
     )
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: list,
+    n_salts: int = 16,
+    fact_salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for the shape AQE's two defenses miss: the
+    join key is hot on the FACT side and the other side is too large to
+    broadcast (past ``autoBroadcastJoinThreshold``), so the plain plan
+    is a sort-merge join whose hot key lands on one reducer.
+
+    Only the HOT keys are salted (replicating the whole dim n_salts ways
+    would multiply the dim shuffle by n_salts for nothing): fact rows on
+    a hot key get a deterministic salt in [0, n_salts) derived from
+    ``fact_salt_source`` (a high-cardinality column — replays partition
+    identically, same discipline as ``salted_aggregate``), every other
+    row gets salt 0; dim rows on a hot key are replicated once per salt,
+    every other dim row rides with salt 0.  The join is then on
+    (key, _salt) — the hot key's probe rows spread over n_salts
+    reducers, each holding a full replica of that key's (few) dim rows.
+
+    Result equality with the plain join is exact for ``inner`` and
+    ``left``: a fact row carries exactly ONE salt, and the dim rows for
+    its key exist at exactly that salt value (replicated when hot, salt
+    0 otherwise), so every (fact, dim) pair appears exactly once.
+    ``right``/``full`` are refused — an unmatched replicated dim row
+    would surface once per salt.
+
+    ``hot_keys`` is the caller's (small) list of known-hot values —
+    from a stats table, yesterday's AQE skew report, or a sampled
+    top-k; at 100 TB the list is metadata, not data.  When AQE's
+    skew-split CAN see the skew (sort-merge, post-shuffle), prefer it
+    (zero code); this form exists for the cases it cannot: skew hidden
+    behind a bucketed/co-partitioned join (no exchange for AQE to
+    re-plan) or a build side that individual reducers must hold.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — replicated dim "
+            "rows would duplicate unmatched right/full output"
+        )
+    if not hot_keys:
+        return fact.join(dim, key, how)
+    if fact_salt_source is None:
+        raise ValueError(
+            "salted_join: fact_salt_source is required (deterministic "
+            "salting — rand() would break replays and the oracle)"
+        )
+    is_hot = F.col(key).isin(*hot_keys)
+    fact_s = fact.withColumn(
+        "_salt",
+        F.when(
+            is_hot,
+            F.pmod(F.xxhash64(F.col(fact_salt_source)), F.lit(n_salts)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    dim_s = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -125,3 +125,74 @@ def test_bucket_point_lookup_reads_one_bucket(spark, tmp_path):
     finally:
         spark.conf.set(conf_key, prev)
     assert "SelectedBucketsCount: 1 out of 16" in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Property equality on a planted 20%-hot key: the salted form must
+    reproduce the plain join's row MULTISET exactly (inner and left),
+    and non-hot keys must not be replicated."""
+    from data_ingestion_backend_spark.operators.scale import salted_join
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # plant the skew: 20% of events funneled onto one hot user
+    hot_user = 0
+    ev = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(hot_user)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    dim = (
+        load_table(spark, SF_DIR_ORACLE, "events")
+        .select(F.col("user_id")).distinct()
+        .withColumn("segment", F.col("user_id") % 7)
+    )
+
+    def multiset(df):
+        rows = [tuple(str(v) for v in r) for r in df.collect()]
+        out = {}
+        for t in rows:
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    for how in ("inner", "left"):
+        plain = ev.join(dim, "user_id", how).select(
+            "user_id", "event_id", "event_type", "segment"
+        )
+        salted = salted_join(
+            ev, dim, "user_id", [hot_user], fact_salt_source="event_id", how=how
+        ).select("user_id", "event_id", "event_type", "segment")
+        assert multiset(plain) == multiset(salted), f"{how} join diverged"
+
+    # guard rails
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, "user_id", [hot_user], how="full")
+    with pytest.raises(ValueError):
+        salted_join(ev, dim, "user_id", [hot_user])  # no salt source
+    # empty hot list degrades to the plain join (same plan, no _salt)
+    assert "_salt" not in salted_join(ev, dim, "user_id", []).columns
+
+
+def test_salted_join_spreads_hot_key_partitions(spark):
+    """The mechanism itself: after salting, the hot key's fact rows hash
+    to n_salts distinct (key, salt) shuffle keys instead of one."""
+    from data_ingestion_backend_spark.operators.scale import salted_join
+
+    ev = load_table(spark, SF_DIR_ORACLE, "events").select("event_id", "user_id")
+    ev = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    n_salts = 8
+    salts_used = (
+        ev.filter(F.col("user_id") == 0)
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(n_salts)).cast("int")
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts_used == n_salts, "hot rows did not spread over all salts"

@@ -186,6 +186,57 @@ def main() -> None:
         for k, v in saved.items():
             spark.conf.set(k, v)
 
+        # --- salted JOIN: the skew shape AQE's defenses can miss -------
+        # lineitem⋈orders on the 20%-hot orderkey with broadcast DISABLED
+        # (modelling a dim past autoBroadcastJoinThreshold → sort-merge).
+        # Three arms, results asserted equal before timing:
+        #   plain SMJ (skew split off) / AQE skew split / salted_join
+        from data_ingestion_backend_spark.operators.scale import salted_join
+
+        li = spark.read.parquet(os.path.join(tmp, "lineitem.parquet")).select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_linenumber",
+            F.col("l_extendedprice").cast(DEC2).alias("price"),
+        )
+        od = spark.read.parquet(os.path.join(tmp, "orders.parquet")).select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        bcast_saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def joined(df):
+            return df.groupBy("o_orderpriority").agg(
+                F.count("*").alias("n"), F.sum("price").alias("rev")
+            )
+
+        plain_j = joined(li.join(od, "o_orderkey"))
+        salted_j = joined(
+            salted_join(
+                li, od, "o_orderkey", [info["hot_orderkey"]],
+                fact_salt_source="l_linenumber", n_salts=32,
+            )
+        )
+        jdiff = (
+            plain_j.withColumnRenamed("n", "pn").withColumnRenamed("rev", "pv")
+            .join(salted_j, "o_orderpriority", "full")
+            .filter(
+                (F.col("pn") != F.col("n")) | (F.col("pv") != F.col("rev"))
+                | F.col("pn").isNull() | F.col("n").isNull()
+            )
+            .count()
+        )
+        assert jdiff == 0, f"salted_join != plain join on {jdiff} groups"
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t_join_plain = timed(sink(plain_j))
+        t_join_salted = timed(sink(salted_j))
+        for k, v in skew_conf.items():
+            spark.conf.set(k, v)
+        t_join_aqe = timed(sink(plain_j))
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_saved)
+
         out = {
             "copies": args.copies,
             "n_events": n_total,
@@ -195,6 +246,9 @@ def main() -> None:
             "agg_salted_sec": round(t_salted, 3),
             "q29_skewjoin_on_sec": round(t_q29_skewfix, 3),
             "q29_skewjoin_off_sec": round(t_q29_noskewfix, 3),
+            "join_nobcast_plain_sec": round(t_join_plain, 3),
+            "join_nobcast_salted_sec": round(t_join_salted, 3),
+            "join_nobcast_aqeskew_sec": round(t_join_aqe, 3),
         }
         print(json.dumps(out))
     finally:
