@@ -161,14 +161,45 @@ def main() -> None:
     # warm-up (JVM/codegen/file listing) — untimed
     QUERIES["q12_pricing_summary"](spark, SF_DIR).collect()
 
+    # ingestion E2E: the reference's flagship write path (sniff → read →
+    # validate → promote through 5 snapshot writes) on a ~5 MB synthetic
+    # batch — exactly the reference's file-size ceiling
+    # (csv_validator.py:15), so the per-round number tracks the pipeline
+    # this engine exists to scale past that cap.  Repeat runs take the
+    # reprocess path (same job id), which is the same DAG plus the
+    # replace-per-job anti-joins — the steady-state ingestion shape.
+    import shutil
+    import tempfile
+
+    from data_ingestion_backend_spark.pipeline import ingest_file
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+    from tools.ingestbench import BASE_ROWS, gen_csv
+
+    ingest_work = tempfile.mkdtemp(prefix="bench_ingest_")
+    ingest_csv = os.path.join(ingest_work, "batch.csv")
+    gen_csv(spark, ingest_csv, BASE_ROWS)
+    ingest_wh = Warehouse(spark, os.path.join(ingest_work, "wh"))
+
+    def _ingest_e2e(spark_, _sf_dir):
+        ingest_file(spark_, ingest_wh, ingest_csv, user_id=1, reprocess=True)
+        return spark_.range(0)
+
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    names.append("ingest_e2e")
     for name in names:
         samples: list[float] = []
-        for i in range(RUNS + 1):
+        # ingest_e2e runs ~10 s dominated by fixed control-plane cost
+        # (25 snapshot/ledger jobs) — one warm + one timed run records
+        # the number without stretching the sweep by a minute
+        n_runs = 1 if name == "ingest_e2e" else RUNS
+        for i in range(n_runs + 1):
             t0 = time.perf_counter()
-            df = (QUERIES.get(name) or STANDALONE_QUERIES[name])(spark, SF_DIR)
+            if name == "ingest_e2e":
+                df = _ingest_e2e(spark, SF_DIR)
+            else:
+                df = (QUERIES.get(name) or STANDALONE_QUERIES[name])(spark, SF_DIR)
             # noop sink: executes the complete physical plan (scan→…→sort)
             # without paying Python-side row materialization, so the number
             # measures the engine, not py4j serialization.
@@ -184,6 +215,7 @@ def main() -> None:
             "max": round(max(samples), 4),
         }
     load_end = os.getloadavg()
+    shutil.rmtree(ingest_work, ignore_errors=True)
 
     calibration = _calibration_sec()
     out = {

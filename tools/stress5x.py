@@ -122,13 +122,77 @@ def build_corpus(spark, out_dir: str, copies: int) -> None:
             os.symlink(src, dst)
 
 
-def timed(fn, spark, sf_dir: str) -> float:
+def _spill_totals(spark) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over all completed
+    stages, via the local UI REST API — the spill/no-spill evidence the
+    scale tiers record (SCALE.md §7)."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return -1, -1
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = _json.load(r)
+        return (
+            sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            sum(s.get("diskBytesSpilled", 0) for s in stages),
+        )
+    except Exception:
+        return -1, -1
+
+
+def timed(fn, spark, sf_dir: str, spills: dict | None = None) -> float:
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
+    if spills is not None:
+        mem, disk = _spill_totals(spark)
+        spills["mem_spill_total"] = mem
+        spills["disk_spill_total"] = disk
     return best
+
+
+def _persisted_bm25(spark, corpus_dir: str):
+    """Special op: build the persisted BM25 index over the corpus ONCE
+    (untimed — that's the amortized nightly cost), return a probe
+    callable shaped like a registry query so the timed part measures
+    the index-backed search only."""
+    import tempfile as _tf
+
+    from data_ingestion_backend_spark.operators.search import (
+        QUERY_PREFIX_TOKENS,
+        bm25_topk_persisted,
+        build_search_index,
+    )
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, _tf.mkdtemp(prefix="bm25idx_", dir=os.path.dirname(__file__)))
+    docs = load_table(spark, corpus_dir, "documents").select("doc_id", "text")
+    build_search_index(wh, docs)
+
+    def probe(spark_, sf_dir_):
+        d = load_table(spark_, sf_dir_, "documents")
+        queries = (
+            d.filter((F.col("doc_id") % 100 == 3) & (F.col("doc_id") < 500))
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.explode(
+                    F.slice(F.split(F.col("text"), " "), 1, QUERY_PREFIX_TOKENS)
+                ).alias("term"),
+            )
+            .distinct()
+        )
+        return bm25_topk_persisted(wh, queries)
+
+    return probe, wh.root
 
 
 def main() -> None:
@@ -143,14 +207,37 @@ def main() -> None:
         build_corpus(spark, tmp, args.copies)
         out = {}
         for name in ops:
-            fn = QUERIES.get(name) or STANDALONE_QUERIES[name]
-            base = timed(fn, spark, SF_DIR)
-            big = timed(fn, spark, tmp)
+            cleanup = None
+            if name == "search_bm25_topk_persisted":
+                fn_base, idx1 = _persisted_bm25(spark, SF_DIR)
+                fn_big, idxN = _persisted_bm25(spark, tmp)
+                base = timed(fn_base, spark, SF_DIR)
+                sp_before = _spill_totals(spark)
+                big = timed(fn_big, spark, tmp)
+                sp_after = _spill_totals(spark)
+                cleanup = (idx1, idxN)
+            else:
+                fn = QUERIES.get(name) or STANDALONE_QUERIES[name]
+                base = timed(fn, spark, SF_DIR)
+                sp_before = _spill_totals(spark)
+                big = timed(fn, spark, tmp)
+                sp_after = _spill_totals(spark)
+            spill_mem = (
+                sp_after[0] - sp_before[0] if sp_before[0] >= 0 else -1
+            )
+            spill_disk = (
+                sp_after[1] - sp_before[1] if sp_before[1] >= 0 else -1
+            )
             out[name] = {
                 "t1x": round(base, 3),
                 f"t{args.copies}x": round(big, 3),
                 "ratio": round(big / base, 2),
+                "spill_mem_bytes": spill_mem,
+                "spill_disk_bytes": spill_disk,
             }
+            if cleanup:
+                for p in cleanup:
+                    shutil.rmtree(p, ignore_errors=True)
             print(
                 f"{name:28s} 1x={base:6.2f}s {args.copies}x={big:6.2f}s "
                 f"ratio={big/base:5.2f}",
