@@ -106,6 +106,8 @@ STANDALONE_HEADLINE = [
     "q50_profit_star_join",
     "prep_sample_exact_k",
     "q51_lateral_topk",
+    # round-7: salted-join mechanism cert
+    "scale_salted_join_segments",
 ]
 
 

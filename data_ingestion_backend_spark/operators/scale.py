@@ -367,6 +367,52 @@ def scale_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@_register_standalone(
+    "scale_salted_join_segments",
+    """WITH dim AS (
+         SELECT DISTINCT user_id, user_id % 7 AS segment FROM events
+       )
+       SELECT d.segment,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+              ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                AS total_value
+       FROM events e JOIN dim d ON d.user_id = e.user_id
+       GROUP BY d.segment
+       ORDER BY d.segment""",
+)
+def scale_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment event totals THROUGH the salted-join path.
+
+    The DuckDB oracle runs the plain join; the Spark side routes the
+    same join through :func:`salted_join` with three keys declared hot
+    (replicated dim rows + deterministic fact salts), so the whole
+    replicate/spread/join machinery is oracle-certified — the salted
+    plan must be row-for-row the plain join or the aggregate hashes
+    diverge.  The fixture's keys are near-uniform; correctness of the
+    mechanism is independent of whether the declared keys are truly hot
+    (the measured hot-key win lives in `tools/skewbench.py` / SCALE.md
+    §8 where real 20% skew is planted).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").cast(DEC2).alias("v")
+    )
+    dim = (
+        ev.select("user_id").distinct().withColumn("segment", F.col("user_id") % 7)
+    )
+    hot = [1, 2, 3]  # deterministic; mechanism-exercising, see docstring
+    joined = salted_join(ev, dim, "user_id", hot, fact_salt_source="event_id")
+    return (
+        joined.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            dbl(F.sum("v"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
 def bucket_point_lookup(spark: SparkSession, table: str, key: str, value) -> list:
     """Point lookup on a bucketed table, reading ONE bucket's files.
 
