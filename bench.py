@@ -106,8 +106,9 @@ STANDALONE_HEADLINE = [
     "q50_profit_star_join",
     "prep_sample_exact_k",
     "q51_lateral_topk",
-    # round-7: salted-join mechanism cert
+    # round-7: salted-join mechanism cert + BPE merge learning
     "scale_salted_join_segments",
+    "text_bpe_merges",
 ]
 
 

@@ -470,3 +470,117 @@ def text_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning (tokenizer training), vocabulary-state iterative
+# --------------------------------------------------------------------------
+#
+# The missing half of the tokenizer surface: `bpe_token_count` BUDGETS
+# with a fixed tokenizer; this LEARNS one.  Classic byte-pair-encoding
+# training (Sennrich et al., ACL 2016 — public): start from characters,
+# repeatedly merge the most frequent adjacent symbol pair, emit the
+# merge list.  The scale discipline is the textbook one: the iterated
+# state is the (distinct word, count, symbol array) VOCABULARY table —
+# one corpus-sized groupBy up front, then every iteration runs on the
+# vocab table, which Heaps' law keeps sublinear in corpus size.  Each
+# iteration is (a) one bigram-count aggregation over the vocab (pair
+# counts weighted by word count), (b) a 1-row argmax to the driver (a
+# control-plane scalar — the merge decision IS the output), (c) a
+# map-only array fold applying the merge greedy-left-to-right.
+# Periodic localCheckpoint truncates the iterative lineage, same as
+# connected components.  Determinism: argmax ties break lexicographically
+# on (left, right), so re-runs and engines agree exactly.
+
+BPE_MERGES = 10
+
+
+def _apply_merge(symbols: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (left, right) inside a
+    symbol array — the exact fold reference BPE uses ("aaa" + (a,a) →
+    ["aa","a"]): an element joins the previous accumulator tail only
+    when the tail equals `left` AND was not itself just produced by
+    this merge at that position (the fold's tail check encodes that —
+    a freshly-merged tail equals left||right, not left)."""
+    l, r = F.lit(left), F.lit(right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l)
+            & (s == r),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(l, r))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[DataFrame, DataFrame]:
+    """Learn the top-``n_merges`` BPE merges over ``docs.text``.
+
+    Returns ``(merges, vocab)``: the ordered merge table
+    (rank, left, right, merged, pair_count) and the final
+    (word, n, symbols) vocabulary state.  Golden-tested against an
+    independent pure-Python reference implementation on the fixture
+    (`tests/test_text_bpe.py`) plus a determinism re-run — the
+    differential-oracle discipline for an operator whose per-iteration
+    argmax is not expressible as one SQL query.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "symbols", F.expr("transform(split(word, ''), s -> s)")
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(symbols) >= 2 THEN "
+                    "transform(sequence(1, size(symbols) - 1),"
+                    " i -> struct(element_at(symbols, i) AS l,"
+                    "             element_at(symbols, i + 1) AS r)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] is None:
+            break
+        left, right, count = best[0]["p"]["l"], best[0]["p"]["r"], best[0]["c"]
+        merges.append((rank, left, right, left + right, int(count)))
+        vocab = vocab.select(
+            "word", "n", _apply_merge(F.col("symbols"), left, right).alias("symbols")
+        )
+        if rank % 3 == 0:
+            vocab = vocab.localCheckpoint(eager=True)  # truncate lineage
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+    return merges_df, vocab
+
+
+@_register_standalone("text_bpe_merges", None)  # rows-only by design:
+# the per-iteration argmax is a driver-coordinated loop, not one SQL
+# query; the cert is the pure-Python reference differential + the
+# determinism re-run in tests/test_text_bpe.py
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BPE_MERGES} learned BPE merges over the documents fixture."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges, _ = bpe_learn_merges(docs)
+    return merges.orderBy("rank")
