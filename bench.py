@@ -106,9 +106,11 @@ STANDALONE_HEADLINE = [
     "q50_profit_star_join",
     "prep_sample_exact_k",
     "q51_lateral_topk",
-    # round-7: salted-join mechanism cert + BPE merge learning
+    # round-7: salted-join mechanism cert + BPE merge learning +
+    # recursive-CTE cert (identical text on both engines)
     "scale_salted_join_segments",
     "text_bpe_merges",
+    "q52_recursive_ancestors",
 ]
 
 

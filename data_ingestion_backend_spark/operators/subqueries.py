@@ -251,3 +251,38 @@ ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per customer via a correlated LATERAL LIMIT."""
     return run_sql(spark, sf_dir, Q51_SQL)
+
+
+# WITH RECURSIVE — iterative SQL as ONE portable statement (Spark 4.1
+# and DuckDB both execute it).  The recursion is a strict hierarchy
+# derived from the key space (parent(k) = floor(k / 2): every custkey
+# chains to the root through ~log2(n) ancestors), so the working set
+# per level is |frontier|-bounded — no path explosion, deterministic
+# depth, pure integer output.  This certifies the engine's recursive-
+# CTE execution (frontier iteration under the hood — the same runtime
+# shape as connected components / PageRank) with a uniform-gate oracle
+# on the IDENTICAL text.  floor(x / 2.0) instead of integer division
+# keeps one text portable (DuckDB // and Spark div are spelled
+# differently); keys are positive so floor is exact.
+Q52_SQL = """
+WITH RECURSIVE anc (ck, node, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 512
+  UNION ALL
+  SELECT ck, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+  FROM anc WHERE node > 1
+)
+SELECT ck,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_ancestors,
+       CAST(MAX(depth) AS BIGINT) AS chain_len,
+       CAST(SUM(node) AS BIGINT) AS chain_sum
+FROM anc
+GROUP BY ck
+ORDER BY ck
+"""
+
+
+@_register_standalone("q52_recursive_ancestors", Q52_SQL)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor chains via WITH RECURSIVE (identical text, both engines)."""
+    return run_sql(spark, sf_dir, Q52_SQL)
