@@ -1351,3 +1351,105 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.filter(~is_new),
         per_doc.filter(~is_new),
     )
+
+
+# --------------------------------------------------------------------------
+# exact set-similarity join via PREFIX FILTERING (PPJoin-style)
+# --------------------------------------------------------------------------
+
+#: Jaccard threshold for the prefix-filtered join — matches the
+#: ``dedup_ngram_jaccard`` cert so the two candidate-generation
+#: disciplines are directly comparable on the same ground truth.
+PREFIX_JACCARD_T = 0.5
+
+
+def prefix_filtered_candidates(sh: DataFrame, t: float) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs whose Jaccard CAN reach ``t``,
+    generated by prefix filtering over a global rare-first token order.
+
+    The published discipline (SSJoin primitive, Chaudhuri/Ganti/Kaushik
+    ICDE'06; PPJoin, Xiao/Wang/Lin/Yu WWW'08 — public papers): order
+    every document's shingles by ascending global document frequency
+    (ties by the shingle string — any consistent total order works) and
+    join only on each document's PREFIX, the first
+    ``n - ceil(t*n) + 1`` shingles.  Two sets with ``J >= t`` overlap in
+    at least ``ceil(t*max(na, nb))`` shingles, and sets that overlap
+    that much must share at least one shingle inside both prefixes — so
+    recall is EXACTLY 1.0, no contract needed.  This is the structural
+    difference from ``NGRAM_MAX_DF`` df-pruning: pruning drops hot
+    shingles and documents pairs that share only hot shingles are lost
+    (a documented recall contract); the prefix filter keeps every true
+    pair and *still* never joins through hot shingles in practice,
+    because the rare-first order pushes the hottest shingles to the END
+    of each document — out of the prefix.  Candidate cost is
+    Σ_{prefix tokens} df_prefix(token)², where the prefix posting lists
+    are the globally RAREST tokens — the quantity prefix filtering is
+    designed to keep small.
+
+    The length filter rides along for free: ``J >= t`` forces
+    ``min(na, nb) >= t * max(na, nb)``, pruning candidates whose sizes
+    alone rule them out before the verify join.
+
+    Scale shape: one groupBy(s) for the df table, one df join + one
+    doc_id-partitioned window pass (rank + count share the same
+    shuffle), then a posting self-join that touches ONLY prefix rows.
+    At 100 TB the df table is vocabulary-sized (broadcastable for text
+    corpora), the window is a per-doc sort of its shingle set, and the
+    posting join is bounded by rare-token df² — the same reason the
+    production set-similarity joins (PPJoin family) scale.
+    """
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_all = Window.partitionBy("doc_id")
+    pref = (
+        sh.join(df_tbl, "s")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "s", "n")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb"))
+    return (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.least("na", "nb") >= F.lit(t) * F.greatest("na", "nb"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+#: Ground-truth oracle: the FULL quadratic Jaccard join, no filtering of
+#: any kind — certifying the prefix filter's exact-recall claim, not just
+#: its arithmetic (the df-pruned cert can only be certified against its
+#: own pruned candidate set).
+_PREFIX_ORACLE = f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {PREFIX_JACCARD_T}
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+@_register_standalone("dedup_jaccard_prefix", _PREFIX_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs at ``PREFIX_JACCARD_T`` via prefix filtering —
+    the recall-lossless sibling of ``dedup_ngram_jaccard``.  The oracle
+    is the unfiltered quadratic join, so a single dropped candidate
+    anywhere in the prefix logic hash-fails the cert."""
+    sh = _session_persisted(
+        spark, sf_dir, "ngram_shingles", lambda: _docs_shingled(spark, sf_dir)
+    )
+    per_doc = _minhash_per_doc(spark, sf_dir).select("doc_id", "ss", "n")
+    cand = prefix_filtered_candidates(sh, PREFIX_JACCARD_T)
+    return _verify_jaccard(per_doc, cand, PREFIX_JACCARD_T)
