@@ -187,3 +187,89 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot path the fixture cannot)."""
     names = load_table(spark, sf_dir, "part").select("p_name").distinct()
     return fuzzy_self_join(names, "p_name")
+
+
+# --------------------------------------------------------------------------
+# Entity resolution end-to-end: block → match → cluster → canonicalize
+# --------------------------------------------------------------------------
+
+_ER_ORACLE = f"""
+WITH RECURSIVE
+names AS (SELECT p_name AS name, MIN(p_partkey) AS key FROM part GROUP BY p_name),
+toks AS (SELECT name, key, unnest(string_split(name, ' ')) AS tok FROM names),
+pairs AS (
+  SELECT DISTINCT a.key AS ka, b.key AS kb
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+),
+und AS (SELECT ka AS a, kb AS b FROM pairs UNION ALL SELECT kb, ka FROM pairs),
+reach(id, lbl) AS (
+  SELECT key, key FROM names
+  UNION
+  SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+)
+SELECT n.name, MIN(r.lbl) AS entity_id, MIN(r.lbl) = n.key AS is_canonical
+FROM names n JOIN reach r ON r.id = n.key
+GROUP BY n.name, n.key
+ORDER BY n.name
+"""
+
+
+@_register_standalone("er_canonical_parts", _ER_ORACLE)
+def er_canonical_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution E2E: the pipeline that turns "rows that look
+    alike" into "one canonical entity per cluster" — the full version of
+    the reference's DUPLICATE_EMAIL keep/merge decision
+    (``src/models/issue.py:12-17`` + the dedup merge the API implies).
+
+    Stage shapes, each individually certified elsewhere and composed
+    here into ONE DataFrame DAG:
+
+    1. **block + match**: df-guarded token-posting join with exact
+       ``levenshtein`` verify (:func:`fuzzy_self_join` — the
+       ``fuzzy_part_names`` cert);
+    2. **cluster**: distributed delta min-label propagation over the
+       match pairs (:func:`dedup.connected_components` — the
+       ``dedup_clusters`` cert), driver sees only the convergence
+       counter;
+    3. **canonicalize (survivorship)**: deterministic canonical key =
+       MIN entity key per component — swap in any other survivorship
+       rule (longest name, freshest record) as an ``F.min_by``
+       aggregation without touching stages 1-2.
+
+    Node ids are ``MIN(p_partkey)`` per distinct name: bigint keys keep
+    the CC loop narrow (labels shuffle 16 bytes/row, not name strings).
+    The DuckDB oracle reaches the same fixpoint via a recursive CTE over
+    the UNGUARDED posting join — an independent evaluation of all three
+    stages at once; one lost match pair or one wrong label anywhere
+    hash-fails the cert.
+
+    Scale: matching is the guarded posting join (linear with the
+    absolute df cap), CC is O(component diameter) rounds over match
+    pairs only (near-dup subgraph, not the corpus), canonicalization is
+    one join — the standard production ER decomposition.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("key"))
+    )
+    pairs = fuzzy_self_join(names.select("p_name"), "p_name")
+    ka = names.select(F.col("p_name").alias("name_a"), F.col("key").alias("doc_a"))
+    kb = names.select(F.col("p_name").alias("name_b"), F.col("key").alias("doc_b"))
+    key_pairs = pairs.join(ka, "name_a").join(kb, "name_b").select("doc_a", "doc_b")
+
+    from data_ingestion_backend_spark.operators.dedup import connected_components
+
+    labels = connected_components(key_pairs)
+    return (
+        names.join(labels, names.key == labels.doc_id, "left")
+        .select(
+            F.col("p_name").alias("name"),
+            F.coalesce(F.col("lbl"), F.col("key")).alias("entity_id"),
+            (F.coalesce(F.col("lbl"), F.col("key")) == F.col("key")).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("name")
+    )

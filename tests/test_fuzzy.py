@@ -107,3 +107,39 @@ def test_absolute_max_df_cap_still_finds_planted_pairs(spark):
     assert ("acme inc", "acmee inc") in got
     n = names.count()
     assert _fuzzy_candidates(names, "p_name", max_df=5).count() < n * (n - 1) // 8
+
+
+def test_er_transitive_closure_planted(spark, tmp_path):
+    """ER must merge A~B, B~C into ONE entity even when A and C are more
+    than max_dist apart (transitivity through the cluster stage), and
+    the canonical key must be the component-min key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_backend_spark.operators.fuzzy import er_canonical_parts
+
+    rows = [
+        (10, "amber linen rose"),      # A
+        (20, "amber linen rosy"),      # B: dist 1 from A
+        (30, "amber linen rosyx"),     # C: dist 1 from B, dist 2 from A
+        (40, "cobalt steel frame"),    # isolated entity
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": [r[0] for r in rows],
+                "p_name": [r[1] for r in rows],
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    out = {
+        (r["name"], r["entity_id"], r["is_canonical"])
+        for r in er_canonical_parts(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        ("amber linen rose", 10, True),
+        ("amber linen rosy", 10, False),
+        ("amber linen rosyx", 10, False),
+        ("cobalt steel frame", 40, True),
+    }
