@@ -926,3 +926,90 @@ def prep_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rk")
         .orderBy("source", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling WITHOUT replacement — integer-exact systematic form
+# --------------------------------------------------------------------------
+
+#: systematic-sample size: small enough that every SF has more docs than
+#: draws, large enough that heavy docs earn multiple draws at sf0.001.
+WEIGHTED_SAMPLE_K = 50
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH ordered AS (
+  SELECT doc_id, n_chars AS w,
+         COALESCE(SUM(n_chars) OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         SUM(n_chars) OVER () AS total_w
+  FROM documents
+)
+SELECT doc_id, w,
+       ((({WEIGHTED_SAMPLE_K} * (cum_before + w)) - 1) // total_w)
+         - (({WEIGHTED_SAMPLE_K} * cum_before + total_w - 1) // total_w) + 1
+         AS n_draws
+FROM ordered
+WHERE ((({WEIGHTED_SAMPLE_K} * (cum_before + w)) - 1) // total_w)
+      >= (({WEIGHTED_SAMPLE_K} * cum_before + total_w - 1) // total_w)
+ORDER BY doc_id
+"""
+
+
+@_register_standalone("prep_sample_weighted", _WEIGHTED_SAMPLE_SQL)
+def prep_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, probability ∝ ``n_chars``
+    — the "sample training docs by length/quality score" primitive —
+    as DETERMINISTIC systematic sampling (the particle-filter /
+    SUS form) made integer-exact for the cross-engine oracle.
+
+    Shape: order docs by the md5 permutation (stable, engine-neutral),
+    take the running weight sum, and select every doc whose cumulative
+    interval ``[cum_before, cum_before + w)`` covers a grid point
+    ``j·W/k`` (j = 0..k-1, W = total weight, k = {WEIGHTED_SAMPLE_K}).
+    Each grid point lands in exactly one interval, so at most k distinct
+    docs are drawn, inclusion probability is proportional to weight, and
+    a doc heavier than ``W/k`` is drawn once with ``n_draws > 1`` (its
+    importance-weighting multiplicity) — exactly the without-replacement
+    semantics sequence-mixing wants.  The float-free selection test is
+    pure BIGINT: interval covers a grid point ⇔
+    ``floor((k·cum_after − 1)/W) ≥ ceil(k·cum_before/W)`` — both engines
+    compute identical integers (non-negative operands, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree), closing the
+    ln/pow ULP hazard an Efraimidis-Spirakis key ordering would carry
+    through the oracle hash.
+
+    Scale: ONE global running-sum window is the textbook caveat — at
+    100 TB replace the single ORDER BY with the two-phase form (cumsum
+    within hash buckets + broadcast per-bucket offsets, the
+    ``prep_sample_exact_k`` discipline); k·W fits BIGINT to ~9·10¹⁸, past
+    which the grid arithmetic moves to DECIMAL(38,0) unchanged.
+    """
+    w_ord = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    cum_before = F.coalesce(
+        F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total_w = F.sum("w").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ordered = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").alias("w"))
+        .withColumn("cum_before", cum_before)
+        .withColumn("total_w", total_w)
+    )
+    # integer floor-division: expr('a div b') truncates; operands are
+    # non-negative so truncation == floor on both engines
+    lo_i = F.expr(
+        f"({WEIGHTED_SAMPLE_K} * cum_before + total_w - 1) div total_w"
+    )
+    hi_i = F.expr(
+        f"({WEIGHTED_SAMPLE_K} * (cum_before + w) - 1) div total_w"
+    )
+    return (
+        ordered.withColumn("n_draws", (hi_i - lo_i + 1).cast("bigint"))
+        .filter(hi_i >= lo_i)
+        .select("doc_id", "w", "n_draws")
+        .orderBy("doc_id")
+    )
