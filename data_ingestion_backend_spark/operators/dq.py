@@ -177,3 +177,77 @@ def dq_star_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report.orderBy("rule", "table_name")
+
+
+# --------------------------------------------------------------------------
+# equi-width histogram profiling (integer-exact bucket edges)
+# --------------------------------------------------------------------------
+
+HIST_BUCKETS = 20
+
+_HIST_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+bounds AS (
+  SELECT MIN(c) AS lo,
+         ((MAX(c) - MIN(c)) // {HIST_BUCKETS}) + 1 AS width
+  FROM cents
+)
+SELECT (c - lo) // width AS bucket,
+       lo + ((c - lo) // width) * width AS lo_cents,
+       lo + ((c - lo) // width + 1) * width - 1 AS hi_cents,
+       COUNT(*) AS n
+FROM cents, bounds
+GROUP BY 1, 2, 3
+ORDER BY bucket
+"""
+
+
+@_register_standalone("dq_histogram_price", _HIST_ORACLE)
+def dq_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``l_extendedprice`` — the column-profile
+    primitive behind data-quality dashboards and optimizer-style value
+    distributions (the reference's intake report
+    ``src/app/services/csv_validator.py:339-354`` stops at counts; this
+    is the distribution the report implies).
+
+    Bucketing is INTEGER-EXACT end to end: prices move to cents via
+    ``round(x*100)`` (ROUND, not a bare cast — the parquet doubles sit
+    ±1 ulp off the cent grid, and Spark's double→bigint cast truncates
+    while DuckDB's rounds, so the bare cast splits engines exactly
+    there), then width = ``(max-min) div B + 1`` guarantees max lands in
+    bucket B-1 with zero float boundary hazard — ``floor((x-min)/width)``
+    on doubles is exactly the idiom the cross-engine memo forbids.  All
+    bucket/edge arithmetic past the rounding is BIGINT on both engines.
+
+    Scale: one global MIN/MAX aggregate (map-side combinable, broadcast
+    back as a 1-row frame) + one groupBy over {HIST_BUCKETS} keys — two
+    scans, no shuffle wider than the bucket count.  The two-pass shape
+    is the standard exact-histogram plan; the one-pass alternative
+    (fixed pre-agreed edges) degenerates to a plain groupBy.
+    """
+    cents = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c")
+        )
+    )
+    bounds = cents.agg(
+        F.min("c").alias("lo"),
+        ((F.max("c") - F.min("c")) / F.lit(HIST_BUCKETS))
+        .cast("bigint")
+        .alias("_w0"),
+    ).select("lo", (F.col("_w0") + 1).alias("width"))
+    bkt = F.expr("(c - lo) div width")
+    return (
+        cents.crossJoin(F.broadcast(bounds))
+        .select(
+            bkt.alias("bucket"),
+            (F.col("lo") + bkt * F.col("width")).alias("lo_cents"),
+            (F.col("lo") + (bkt + 1) * F.col("width") - 1).alias("hi_cents"),
+        )
+        .groupBy("bucket", "lo_cents", "hi_cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )

@@ -72,3 +72,29 @@ def test_conditional_rules_share_one_scan(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_histogram_covers_all_rows_and_edges(spark):
+    """Every row lands in exactly one bucket; min/max land in the first/
+    last bucket (the +1-width construction's whole point)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR_ORACLE
+    from data_ingestion_backend_spark.operators.dq import (
+        HIST_BUCKETS,
+        dq_histogram_price,
+    )
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+
+    hist = dq_histogram_price(spark, SF_DIR_ORACLE).collect()
+    li = load_table(spark, SF_DIR_ORACLE, "lineitem")
+    n_rows = li.count()
+    assert sum(r["n"] for r in hist) == n_rows
+    buckets = [r["bucket"] for r in hist]
+    assert min(buckets) == 0 and max(buckets) == HIST_BUCKETS - 1
+    # edges are exact cents: the true max price sits inside the last bucket
+    mx = li.agg(
+        F.round(F.max("l_extendedprice") * 100, 0).cast("bigint")
+    ).collect()[0][0]
+    last = [r for r in hist if r["bucket"] == HIST_BUCKETS - 1][0]
+    assert last["lo_cents"] <= mx <= last["hi_cents"]
