@@ -234,11 +234,11 @@ def dq_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bounds = cents.agg(
-        F.min("c").alias("lo"),
-        ((F.max("c") - F.min("c")) / F.lit(HIST_BUCKETS))
-        .cast("bigint")
-        .alias("_w0"),
-    ).select("lo", (F.col("_w0") + 1).alias("width"))
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).select(
+        "lo",
+        (F.expr(f"(hi - lo) div {HIST_BUCKETS}") + 1).alias("width"),
+    )
     bkt = F.expr("(c - lo) div width")
     return (
         cents.crossJoin(F.broadcast(bounds))

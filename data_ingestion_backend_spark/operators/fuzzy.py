@@ -73,19 +73,32 @@ def _char_qgrams(name_col: str, q: int = FUZZY_QGRAM):
 
 
 def _self_pairs(keyed: DataFrame) -> DataFrame:
-    """All (name_a < name_b) pairs sharing a blocking key, from a
-    (name, key) frame.  Plain two-sided equi-join: posting lists are
-    df-capped upstream, AQE splits any residual skew, and no wide
-    collect_list row is ever built."""
+    """All (id_a < id_b) pairs sharing a blocking key, from an
+    (nid, key) frame.  Plain two-sided equi-join over 8-byte ids:
+    posting lists are df-capped upstream, AQE splits any residual skew,
+    and no wide collect_list row is ever built."""
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.name") < F.col("b.name")),
+            (F.col("a.key") == F.col("b.key")) & (F.col("a.nid") < F.col("b.nid")),
         )
-        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .select(F.col("a.nid").alias("id_a"), F.col("b.nid").alias("id_b"))
     )
+
+
+def _hot_keys(df_frame: DataFrame, pop: DataFrame, max_df: int | None) -> DataFrame:
+    """Keys whose document frequency exceeds the cap (absolute ``max_df``
+    or the auto ``greatest(floor, ceil(frac·|pop|))`` form, computed as
+    an in-plan broadcast scalar — no driver action)."""
+    if max_df is not None:
+        return df_frame.filter(F.col("df") > max_df).select("key")
+    n = pop.agg(F.count(F.lit(1)).alias("n_names"))
+    cap = F.greatest(
+        F.lit(FUZZY_MIN_DF_CAP),
+        F.ceil(F.lit(FUZZY_MAX_DF_FRAC) * F.col("n_names")),
+    )
+    return df_frame.crossJoin(F.broadcast(n)).filter(F.col("df") > cap).select("key")
 
 
 def _fuzzy_candidates(
@@ -93,26 +106,33 @@ def _fuzzy_candidates(
 ) -> DataFrame:
     """Blocked candidate pairs: rare-token join ∪ q-gram fallback for
     hot-token carriers.  Exposed separately so tests can pin the
-    candidate-count bound independently of the verify filter."""
-    base = names.select(F.col(col).alias("name")).distinct()
+    candidate-count bound independently of the verify filter.
+
+    Every posting join runs on ``nid = xxhash64(name)`` — shuffles move
+    8-byte ids, not name strings; names rejoin only for the final verify
+    (two bigint-keyed joins against the names-sized base).  A 64-bit
+    collision maps two distinct names to one id, which can only DROP
+    their mutual pair (same-id rows never satisfy ``id_a < id_b``) —
+    expected collisions N²/2⁶⁵ sit far below one for any real name
+    corpus (N=10⁸ → ~10⁻⁴), inside the operator's documented
+    approximate-completeness contract.
+    """
+    base = (
+        names.select(F.col(col).alias("name"))
+        .distinct()
+        .withColumn("nid", F.xxhash64("name"))
+    )
+    # distinct tokens PER NAME (array_distinct is map-side, no shuffle):
+    # df is true document frequency — a token repeated inside one name
+    # ("acme acme inc") counts once, so the hot cap means share-of-names.
     toks = base.select(
-        "name", F.explode(F.split(F.col("name"), " ")).alias("key")
+        "nid",
+        F.explode(F.array_distinct(F.split(F.col("name"), " "))).alias("key"),
     )
     tok_df = toks.groupBy("key").agg(F.count(F.lit(1)).alias("df"))
-    if max_df is None:
-        # in-plan scalar (no driver action): 1-row count, broadcast
-        n = base.agg(F.count(F.lit(1)).alias("n_names"))
-        cap = F.greatest(
-            F.lit(FUZZY_MIN_DF_CAP),
-            F.ceil(F.lit(FUZZY_MAX_DF_FRAC) * F.col("n_names")),
-        )
-        hot = (
-            tok_df.crossJoin(F.broadcast(n)).filter(F.col("df") > cap).select("key")
-        )
-    else:
-        hot = tok_df.filter(F.col("df") > max_df).select("key")
     # hot tokens are FEW by construction (each exceeds the cap, so their
     # count is at most Σdf/cap) — broadcast both prune joins
+    hot = _hot_keys(tok_df, base, max_df)
     rare_toks = toks.join(F.broadcast(hot), "key", "left_anti")
     cand_tok = _self_pairs(rare_toks)
 
@@ -120,27 +140,30 @@ def _fuzzy_candidates(
     # themselves df-capped by the same rule (computed over the fallback
     # subset — the population actually joining)
     carriers = (
-        toks.join(F.broadcast(hot), "key", "left_semi").select("name").distinct()
+        toks.join(F.broadcast(hot), "key", "left_semi")
+        .select("nid")
+        .distinct()
+        .join(base, "nid")
     )
-    qg = carriers.select(
-        "name", F.explode(_char_qgrams("name")).alias("key")
-    )
+    qg = carriers.select("nid", F.explode(_char_qgrams("name")).alias("key"))
     qg_df = qg.groupBy("key").agg(F.count(F.lit(1)).alias("df"))
-    if max_df is None:
-        nq = carriers.agg(F.count(F.lit(1)).alias("n_names"))
-        capq = F.greatest(
-            F.lit(FUZZY_MIN_DF_CAP),
-            F.ceil(F.lit(FUZZY_MAX_DF_FRAC) * F.col("n_names")),
-        )
-        hot_qg = (
-            qg_df.crossJoin(F.broadcast(nq)).filter(F.col("df") > capq).select("key")
-        )
-    else:
-        hot_qg = qg_df.filter(F.col("df") > max_df).select("key")
+    hot_qg = _hot_keys(qg_df, carriers, max_df)
     rare_qg = qg.join(F.broadcast(hot_qg), "key", "left_anti")
     cand_qg = _self_pairs(rare_qg)
 
-    return cand_tok.unionByName(cand_qg).distinct()
+    ids = cand_tok.unionByName(cand_qg).distinct()
+    # names rejoin on bigint keys; canonical (name_a < name_b) order is
+    # re-established here — id order and name order need not agree
+    na = base.select(F.col("nid").alias("id_a"), F.col("name").alias("_na"))
+    nb = base.select(F.col("nid").alias("id_b"), F.col("name").alias("_nb"))
+    return (
+        ids.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            F.least("_na", "_nb").alias("name_a"),
+            F.greatest("_na", "_nb").alias("name_b"),
+        )
+    )
 
 
 def fuzzy_self_join(

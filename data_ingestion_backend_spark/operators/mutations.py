@@ -134,17 +134,26 @@ def delete_job(wh: Warehouse, job_id: str, user_id: int) -> None:
         "issue_id"
     )
 
-    # children first (crash ⇒ re-runnable, never orphans)
-    wh.write(
-        "issue_items",
-        wh.read("issue_items").join(doomed_issues, "issue_id", "left_anti"),
-    )
-    wh.write(
-        "contacts",
-        wh.read("contacts").join(
-            doomed_keys, ["contact_id", "contacts_user_id"], "left_anti"
+    # stage all five, publish once: the cascade is all-or-nothing to
+    # readers, like the reference's single-transaction FK cascade
+    # (job_repository.py:202-226).  A crash mid-stage publishes nothing
+    # and the re-run converges (anti-joins are idempotent).
+    wh.publish({
+        "issue_items": wh.stage(
+            "issue_items",
+            wh.read("issue_items").join(doomed_issues, "issue_id", "left_anti"),
         ),
-    )
-    wh.write("issues", wh.read("issues").filter(F.col("issues_job_id") != job_id))
-    wh.write("staging", wh.read("staging").filter(F.col("staging_job_id") != job_id))
-    wh.write("jobs", wh.read("jobs").filter(F.col("job_id") != job_id))
+        "contacts": wh.stage(
+            "contacts",
+            wh.read("contacts").join(
+                doomed_keys, ["contact_id", "contacts_user_id"], "left_anti"
+            ),
+        ),
+        "issues": wh.stage(
+            "issues", wh.read("issues").filter(F.col("issues_job_id") != job_id)
+        ),
+        "staging": wh.stage(
+            "staging", wh.read("staging").filter(F.col("staging_job_id") != job_id)
+        ),
+        "jobs": wh.stage("jobs", wh.read("jobs").filter(F.col("job_id") != job_id)),
+    })

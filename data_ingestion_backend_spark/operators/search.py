@@ -425,8 +425,10 @@ def build_search_index(wh, docs: DataFrame) -> None:
     (n_docs, Σdl — exact, so incremental merges can never drift from a
     rebuild the way running float averages would)."""
     postings, stats_int = _postings_and_int_stats(docs)
-    wh.write(SEARCH_POSTINGS_TABLE, postings)
-    wh.write(SEARCH_STATS_TABLE, stats_int)
+    wh.publish({
+        SEARCH_POSTINGS_TABLE: wh.stage(SEARCH_POSTINGS_TABLE, postings),
+        SEARCH_STATS_TABLE: wh.stage(SEARCH_STATS_TABLE, stats_int),
+    })
 
 
 def append_to_search_index(wh, new_docs: DataFrame, batch_id: int | None = None) -> None:
@@ -459,10 +461,6 @@ def append_to_search_index(wh, new_docs: DataFrame, batch_id: int | None = None)
         )
         postings_base, stats_base = bases["postings"], bases["stats"]
     new_postings, new_stats = _postings_and_int_stats(new_docs)
-    wh.write(
-        SEARCH_POSTINGS_TABLE,
-        wh.read(SEARCH_POSTINGS_TABLE, postings_base).unionByName(new_postings),
-    )
     merged = (
         wh.read(SEARCH_STATS_TABLE, stats_base)
         .unionByName(new_stats)
@@ -471,7 +469,16 @@ def append_to_search_index(wh, new_docs: DataFrame, batch_id: int | None = None)
             F.sum("sum_dl").cast("bigint").alias("sum_dl"),
         )
     )
-    wh.write(SEARCH_STATS_TABLE, merged)
+    # stage both, publish once: a reader (bm25_topk_persisted) can never
+    # see postings that include the batch while n_docs/sum_dl exclude it
+    # (or vice versa) — idf/avgdl always derive from the same corpus
+    wh.publish({
+        SEARCH_POSTINGS_TABLE: wh.stage(
+            SEARCH_POSTINGS_TABLE,
+            wh.read(SEARCH_POSTINGS_TABLE, postings_base).unionByName(new_postings),
+        ),
+        SEARCH_STATS_TABLE: wh.stage(SEARCH_STATS_TABLE, merged),
+    })
     if batch_id is not None:
         txn.commit_batch(wh, SEARCH_POSTINGS_TABLE, batch_id)
 

@@ -495,14 +495,18 @@ def text_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 10
 
 
-def _apply_merge(symbols: F.Column, left: str, right: str) -> F.Column:
+def _apply_merge(symbols: F.Column, left, right) -> F.Column:
     """Greedy left-to-right merge of adjacent (left, right) inside a
     symbol array — the exact fold reference BPE uses ("aaa" + (a,a) →
     ["aa","a"]): an element joins the previous accumulator tail only
     when the tail equals `left` AND was not itself just produced by
     this merge at that position (the fold's tail check encodes that —
-    a freshly-merged tail equals left||right, not left)."""
-    l, r = F.lit(left), F.lit(right)
+    a freshly-merged tail equals left||right, not left).
+
+    ``left``/``right`` accept Python strings or Columns (the batched
+    learner parameterizes the merge by a candidate-table column)."""
+    l = left if isinstance(left, F.Column) else F.lit(left)
+    r = right if isinstance(right, F.Column) else F.lit(right)
     return F.aggregate(
         symbols,
         F.array().cast("array<string>"),
@@ -513,6 +517,29 @@ def _apply_merge(symbols: F.Column, left: str, right: str) -> F.Column:
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(l, r))),
         ).otherwise(F.concat(acc, F.array(s))),
     )
+
+
+def _word_vocab(docs: DataFrame) -> DataFrame:
+    """(word, n, symbols) state the merge loop iterates on — the corpus
+    is touched exactly once; everything after runs on this
+    vocabulary-sized table."""
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("symbols", F.expr("transform(split(word, ''), s -> s)"))
+        .localCheckpoint(eager=True)
+    )
+
+
+_PAIRS_EXPR = (
+    "CASE WHEN size(symbols) >= 2 THEN "
+    "transform(sequence(1, size(symbols) - 1),"
+    " i -> struct(element_at(symbols, i) AS l,"
+    "             element_at(symbols, i + 1) AS r)) "
+    "ELSE array() END"
+)
 
 
 def bpe_learn_merges(
@@ -529,30 +556,10 @@ def bpe_learn_merges(
     argmax is not expressible as one SQL query.
     """
     spark = docs.sparkSession
-    vocab = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .withColumn(
-            "symbols", F.expr("transform(split(word, ''), s -> s)")
-        )
-        .localCheckpoint(eager=True)
-    )
+    vocab = _word_vocab(docs)
     merges = []
     for rank in range(1, n_merges + 1):
-        pairs = vocab.select(
-            "n",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(symbols) >= 2 THEN "
-                    "transform(sequence(1, size(symbols) - 1),"
-                    " i -> struct(element_at(symbols, i) AS l,"
-                    "             element_at(symbols, i + 1) AS r)) "
-                    "ELSE array() END"
-                )
-            ).alias("p"),
-        )
+        pairs = vocab.select("n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         best = (
             pairs.groupBy("p")
             .agg(F.sum("n").alias("c"))
@@ -569,6 +576,148 @@ def bpe_learn_merges(
         )
         if rank % 3 == 0:
             vocab = vocab.localCheckpoint(eager=True)  # truncate lineage
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+    return merges_df, vocab
+
+
+BPE_BATCH_K = 16
+
+
+def bpe_learn_merges_batched(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    batch_k: int = BPE_BATCH_K,
+    stats: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn BPE merges with MULTIPLE merges per driver round-trip,
+    PROVABLY equal to the sequential greedy form (`bpe_learn_merges`).
+
+    The sequential learner pays one driver round-trip (one Spark job)
+    per merge — fine at 10 merges, ~30k sequential jobs at a production
+    tokenizer's merge count.  This variant accepts a BATCH of merges per
+    round, chosen so that sequential greedy would provably have picked
+    exactly the same merges in the same order (fast-BPE's
+    non-interacting-merge idea, with an exact guard instead of a
+    heuristic):
+
+    Take the ranked pair list p1 ≥ p2 ≥ … (count desc, then (l, r) asc —
+    the sequential tiebreak).  Accept a PREFIX p1..pk where each pj
+    (j ≥ 2) satisfies:
+
+    1. **symbol-disjointness**: {lj, rj, lj||rj} is disjoint from every
+       earlier accepted {li, ri, li||ri}.  Then applying earlier batch
+       merges neither destroys nor creates (lj, rj) adjacencies (a
+       destroyed/created adjacency would need a shared symbol), so pj's
+       count is still exact when sequential greedy reaches step j; and
+    2. **new-pair dominance**: count(pj) > max_{i<j} M_i, where M_i is
+       the EXACT maximum count over pairs created by applying merge i
+       (pairs touching the new symbol s_i = li||ri), measured by
+       simulating merge i alone on the pre-round vocab.  Any pair in
+       the combined post-batch state that involves batch symbols maps
+       site-by-site onto a solo-simulation pair (a neighbor that later
+       merged into s_j was r_j at solo-i time), so its count is ≤ some
+       M_i — strictly below count(pj), hence sequential greedy cannot
+       prefer it (strict >, so tiebreaks never arbitrate).
+
+    The batch stops at the first candidate violating either condition
+    (a SKIPPED candidate interacts with the batch, and its updated
+    count could outrank later candidates — prefix-only keeps the proof
+    airtight).  Each round costs 2 jobs (ranked top-k + the M_i
+    simulation, all candidates in one pass via a broadcast candidate
+    table); batch size adapts to the corpus — on redundant natural text
+    the top pairs are usually symbol-disjoint with small M_i, so rounds
+    absorb several merges (measured in tests/test_text_bpe.py).
+
+    Equality with the sequential form is also verified empirically by
+    differential test (fixture + pure-Python reference), and
+    ``stats`` (if given) receives {"rounds", "jobs", "merges"} for the
+    job-count claim.
+    """
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    vocab = _word_vocab(docs)
+    merges: list[tuple] = []
+    rounds = jobs = 0
+    rank_w = Window.orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
+    while len(merges) < n_merges:
+        # ONE job per round: ranked top-k pairs LEFT JOIN the per-candidate
+        # solo-simulation maxima, collected together.  The global window
+        # ranks a vocabulary-sized pair table (tiny relative to the
+        # corpus; the corpus was folded into `vocab` once, up front).
+        pairs = vocab.select("n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        # orderBy+limit compiles to TakeOrderedAndProject (distributed
+        # partial top-k, no global shuffle); the row_number window then
+        # runs over just the k surviving rows
+        topk = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
+            .limit(batch_k)
+            .withColumn("i", F.row_number().over(rank_w))
+        )
+        cand = topk.select(
+            "i",
+            F.col("p.l").alias("l"),
+            F.col("p.r").alias("r"),
+            F.concat("p.l", "p.r").alias("s"),
+        )
+        # NO word prefilter: a pair type touching s_i may combine newly
+        # created occurrences with PRE-EXISTING ones in words the merge
+        # never touches (s_i can already exist as a symbol) — sequential
+        # greedy compares against the TOTAL, so M_i must too
+        sim = (
+            vocab.crossJoin(F.broadcast(cand))
+            .select(
+                "i", "s", "n",
+                _apply_merge(F.col("symbols"), F.col("l"), F.col("r")).alias(
+                    "symbols"
+                ),
+            )
+            .select("i", "s", "n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .filter((F.col("p.l") == F.col("s")) | (F.col("p.r") == F.col("s")))
+            .groupBy("i", "p")
+            .agg(F.sum("n").alias("c"))
+            .groupBy("i")
+            .agg(F.max("c").alias("m"))
+        )
+        top = topk.join(sim, "i", "left").orderBy("i").collect()
+        rounds += 1
+        jobs += 1
+        top = [r for r in top if r["c"] is not None]
+        if not top:
+            break
+
+        accepted: list[tuple[str, str, int, int]] = []  # (l, r, c, M)
+        touched: set[str] = set()
+        for r in top:
+            if len(merges) + len(accepted) >= n_merges:
+                break
+            l, rr, c = r["p"]["l"], r["p"]["r"], int(r["c"])
+            m_i = int(r["m"]) if r["m"] is not None else 0
+            syms = {l, rr, l + rr}
+            if accepted and (
+                (syms & touched) or c <= max(a[3] for a in accepted)
+            ):
+                break
+            accepted.append((l, rr, c, m_i))
+            touched |= syms
+
+        col = F.col("symbols")
+        for l, rr, c, _m in accepted:
+            merges.append((len(merges) + 1, l, rr, l + rr, c))
+            col = _apply_merge(col, l, rr)
+        # lazy checkpoint: materializes inside the NEXT round's job (no
+        # standalone checkpoint job), still truncating the fold lineage
+        vocab = vocab.select("word", "n", col.alias("symbols")).localCheckpoint(
+            eager=False
+        )
+        if len(accepted) == 0:  # defensive: cannot happen (top non-empty)
+            break
+    if stats is not None:
+        stats.update({"rounds": rounds, "jobs": jobs, "merges": len(merges)})
     merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )

@@ -121,17 +121,30 @@ def ingest_file(
         wh.read("issues").filter(F.col("issues_job_id") == job_id).select("issue_id")
     )
     items_wo_job = wh.read("issue_items").join(old_issue_ids, "issue_id", "left_anti")
-    _replace_for_job(wh, "staging", "staging_job_id", job_id, result.staging)
-    _replace_for_job(wh, "issues", "issues_job_id", job_id, result.issues)
-    _replace_for_job(wh, "jobs", "job_id", job_id, job_row)
-    wh.write("issue_items", items_wo_job.unionByName(result.issue_items))
 
     # contacts: replace this job's prior promotions with the fresh set, and
     # never re-insert a contact another job already owns (replay-safe by id)
     new_contacts = result.contacts.join(
         contacts_base.select("contact_id"), "contact_id", "left_anti"
     ).dropDuplicates(["contact_id"])
-    wh.write("contacts", contacts_base.unionByName(new_contacts))
+
+    # ALL five tables stage first (materialized, invisible), then ONE
+    # manifest swap publishes them together — a concurrent reader never
+    # sees this job's issues joined against a contacts snapshot that
+    # predates it (the reference gets the same guarantee from one
+    # Postgres transaction, job_repository.py:202-226).  A crash before
+    # publish() leaves the warehouse exactly as it was; the re-run
+    # restages from the same inputs and converges (St3 idempotency).
+    versions = {
+        "staging": _stage_replace(wh, "staging", "staging_job_id", job_id, result.staging),
+        "issues": _stage_replace(wh, "issues", "issues_job_id", job_id, result.issues),
+        "jobs": _stage_replace(wh, "jobs", "job_id", job_id, job_row),
+        "issue_items": wh.stage(
+            "issue_items", items_wo_job.unionByName(result.issue_items)
+        ),
+        "contacts": wh.stage("contacts", contacts_base.unionByName(new_contacts)),
+    }
+    wh.publish(versions)
     return job_id
 
 
@@ -187,12 +200,14 @@ def _ledger_row(
     )
 
 
-def _replace_for_job(
+def _stage_replace(
     wh: Warehouse, table: str, job_col: str, job_id: str, new_rows: DataFrame
-) -> None:
-    """Replace a job's slice of a table (delete-then-insert as one snapshot)."""
+) -> int:
+    """Stage (materialize uncommitted) a snapshot replacing one job's
+    slice of a table; the caller publishes all staged tables in one
+    manifest swap."""
     cur = wh.read(table).filter(F.col(job_col) != job_id)
-    wh.write(table, cur.unionByName(new_rows))
+    return wh.stage(table, cur.unionByName(new_rows))
 
 
 def reprocess_job(spark: SparkSession, wh: Warehouse, path: str, user_id: int,

@@ -24,6 +24,8 @@ about the query texts changes.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_backend_spark.sources.fixtures import TABLES, load_table
@@ -35,27 +37,29 @@ from data_ingestion_backend_spark.sources.fixtures import TABLES, load_table
 #: so re-registration happens only when the session, directory, or the
 #: directory's contents change.  Same fingerprint discipline as the dedup
 #: persist memo: a rewritten source must never serve stale views.
-#: KEYED BY SESSION IDENTITY, not applicationId: temp views are
-#: per-SparkSession while applicationId is per-JVM, so a second session
-#: in the same app (``spark.newSession()``, parallel test sessions) must
-#: not hit the first session's memo and skip registration it never got.
-#: ``id()`` is disambiguated by applicationId to survive the (harmless)
-#: case of an id() being reused after a session is collected in one app
-#: while an identical id appears in another.
-_REGISTERED: dict[tuple[str, int], tuple[str, str]] = {}
+#: KEYED BY THE LIVE SESSION OBJECT via ``weakref.WeakKeyDictionary``:
+#: temp views are per-SparkSession while applicationId is per-JVM, so a
+#: second session in the same app (``spark.newSession()``, parallel test
+#: sessions) must not hit the first session's memo and skip registration
+#: it never got.  A weak key (rather than ``id(spark)``) also rules out
+#: the CPython address-reuse hazard — a new session allocated at a
+#: collected session's address can never false-hit the memo, because the
+#: collected session's entry died with it.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, tuple[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     """(Re-)register the ten fixture tables as session temp views."""
     from data_ingestion_backend_spark.operators.dedup import _source_fingerprint
 
-    key = (spark.sparkContext.applicationId, id(spark))
     state = (sf_dir, _source_fingerprint(sf_dir))
-    if _REGISTERED.get(key) == state:
+    if _REGISTERED.get(spark) == state:
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED[key] = state
+    _REGISTERED[spark] = state
 
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:

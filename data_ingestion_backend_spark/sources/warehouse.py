@@ -8,6 +8,15 @@ Delta/Iceberg, re-implemented here minimally with zero dependencies) is
 - every table lives at ``<root>/<table>/v=<N>/`` (parquet),
 - a write materializes ``v=N+1`` fully, then atomically renames a pointer
   file — readers never see a half-written version,
+- a **cross-table manifest** (``<root>/_MANIFEST``, one JSON file naming
+  every table's current version, swapped with one ``os.replace``) makes
+  MULTI-table commits all-or-nothing to readers: writers ``stage()``
+  each table's next version (materialize, no commit) and ``publish()``
+  the whole set in one swap — the snapshot-isolation analogue of the
+  reference's multi-statement Postgres transaction
+  (``job_repository.py:202-226`` commits jobs+staging+issues+items+
+  contacts atomically).  Readers needing cross-table consistency pin
+  ``snapshot()`` once and read every table at the pinned version,
 - UPDATE = read current → transform → write next (M1/M2),
 - DELETE CASCADE = anti-join children against deleted parent keys → write
   next (M3, reference FK ``ondelete=CASCADE``),
@@ -22,6 +31,7 @@ DataFrames.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -30,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_ingestion_backend_spark.models import SCHEMAS
 
 _POINTER = "_CURRENT"
+_MANIFEST = "_MANIFEST"
 
 
 #: default per-table write parallelism: control-plane ledgers are tiny and
@@ -76,22 +87,69 @@ class Warehouse:
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def current_version(self, table: str) -> int:
+    def _manifest(self) -> dict[str, int]:
+        p = os.path.join(self.root, _MANIFEST)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _pointer_version(self, table: str) -> int:
         ptr = os.path.join(self._table_dir(table), _POINTER)
         if not os.path.exists(ptr):
             return -1
         with open(ptr) as f:
             return int(f.read().strip())
 
+    def current_version(self, table: str) -> int:
+        """Manifest entry if present, else the legacy per-table pointer
+        (pre-manifest warehouses keep reading without migration)."""
+        m = self._manifest()
+        if table in m:
+            return m[table]
+        return self._pointer_version(table)
+
+    def snapshot(self) -> dict[str, int]:
+        """One consistent cross-table version pin: the manifest read ONCE
+        (single file → single atomic view), extended with pointer
+        fallbacks for tables the manifest has never published.  Pass the
+        pinned versions to :meth:`read` for multi-table reads that must
+        not straddle a concurrent publish."""
+        m = self._manifest()
+        for table in SCHEMAS:
+            if table not in m:
+                m[table] = self._pointer_version(table)
+        return m
+
     def _version_path(self, table: str, version: int) -> str:
         return os.path.join(self._table_dir(table), f"v={version}")
 
     def _commit(self, table: str, version: int) -> None:
-        tdir = self._table_dir(table)
-        tmp = os.path.join(tdir, _POINTER + ".tmp")
+        self.publish({table: version})
+
+    def publish(self, versions: dict[str, int]) -> None:
+        """Commit a set of table versions in ONE atomic manifest swap.
+
+        All tables in ``versions`` become visible together: a concurrent
+        reader sees either the full pre-publish state or the full
+        post-publish state, never a mix — the warehouse analogue of the
+        reference's multi-table Postgres commit.  Per-table pointer
+        files are refreshed after the swap purely as a human-readable
+        mirror; the manifest is the source of truth once a table appears
+        in it.
+        """
+        merged = {**self._manifest(), **versions}
+        tmp = os.path.join(self.root, _MANIFEST + ".tmp")
         with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, os.path.join(tdir, _POINTER))  # atomic pointer swap
+            f.write(json.dumps(merged, sort_keys=True))
+        os.replace(tmp, os.path.join(self.root, _MANIFEST))  # atomic swap
+        for table, version in versions.items():
+            tdir = self._table_dir(table)
+            os.makedirs(tdir, exist_ok=True)
+            ptmp = os.path.join(tdir, _POINTER + ".tmp")
+            with open(ptmp, "w") as f:
+                f.write(str(version))
+            os.replace(ptmp, os.path.join(tdir, _POINTER))
 
     # -- read / write --------------------------------------------------------
 
@@ -128,6 +186,18 @@ class Warehouse:
         high-cardinality partitioning creates the small-file problem
         `layout.compaction_plan` exists to undo.
         """
+        nxt = self.stage(table, df, partition_by)
+        self.publish({table: nxt})
+        return nxt
+
+    def stage(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Materialize the next version WITHOUT committing it — invisible
+        to readers until :meth:`publish` names it in the manifest.  A
+        crash between stage and publish leaves only an orphan ``v=N+1``
+        directory, which the next stage overwrites (mode=overwrite) and
+        vacuum eventually removes."""
         nxt = self.current_version(table) + 1
         path = self._version_path(table, nxt)
         parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
@@ -136,7 +206,6 @@ class Warehouse:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        self._commit(table, nxt)
         return nxt
 
     def append(self, table: str, df: DataFrame) -> int:

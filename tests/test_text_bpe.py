@@ -12,6 +12,7 @@ from conftest import SF_DIR_ORACLE
 from data_ingestion_backend_spark.operators.text import (
     BPE_MERGES,
     bpe_learn_merges,
+    bpe_learn_merges_batched,
 )
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
@@ -86,6 +87,70 @@ def test_bpe_greedy_left_to_right_fold(spark):
     df = spark.createDataFrame([(["a", "a", "a"],)], "symbols array<string>")
     [row] = df.select(_apply_merge(F.col("symbols"), "a", "a").alias("m")).collect()
     assert row["m"] == ["aa", "a"]
+
+
+def test_bpe_batched_equals_sequential_and_reference(spark):
+    """The batched learner must produce the EXACT sequential-greedy
+    merge sequence (the prefix/disjointness/dominance guard is proved in
+    the docstring; this differentials it) — against both the sequential
+    Spark form and the pure-Python reference, at a merge count deep
+    enough to cross many batch boundaries."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("text")
+    n = 40
+    stats: dict = {}
+    got_df, _ = bpe_learn_merges_batched(docs, n_merges=n, stats=stats)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in got_df.orderBy("rank").collect()
+    ]
+
+    words = Counter()
+    for r in docs.collect():
+        for w in r["text"].split(" "):
+            if w:
+                words[w] += 1
+    want = _reference_bpe(words, n)
+    assert got == want[: len(got)]
+    assert len(got) == min(n, len(want))
+
+    # the whole point: fewer driver round-trips than one-job-per-merge
+    assert stats["merges"] == len(got)
+    assert stats["rounds"] < len(got), stats
+    # sequential = 1 argmax job per merge + checkpoint every 3 merges
+    sequential_jobs = len(got) + len(got) // 3
+    assert stats["jobs"] < sequential_jobs, stats
+
+
+def test_bpe_batched_100_merge_job_drop(spark):
+    """Measured 100-merge run: the job count must drop vs the
+    one-job-per-merge sequential baseline (the production-merge-count
+    claim from SCALE.md — a 30k-merge tokenizer needs the loop constant,
+    not just the corpus-touched-once shape)."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("text")
+    n = 100
+    stats: dict = {}
+    got_df, _ = bpe_learn_merges_batched(docs, n_merges=n, stats=stats)
+    got = got_df.orderBy("rank").collect()
+
+    words = Counter()
+    for r in docs.collect():
+        for w in r["text"].split(" "):
+            if w:
+                words[w] += 1
+    want = _reference_bpe(words, n)
+    assert [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in got
+    ] == want[: len(got)]
+
+    sequential_jobs = stats["merges"] + stats["merges"] // 3
+    assert stats["jobs"] < sequential_jobs, stats
+    # record the measured ratio for SCALE.md (visible under pytest -s)
+    print(
+        f"bpe batched: {stats['merges']} merges in {stats['rounds']} rounds, "
+        f"{stats['jobs']} jobs vs {sequential_jobs} sequential "
+        f"({sequential_jobs / stats['jobs']:.1f}x fewer)"
+    )
 
 
 def test_bpe_deterministic_across_runs(spark):
