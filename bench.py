@@ -111,6 +111,8 @@ STANDALONE_HEADLINE = [
     "scale_salted_join_segments",
     "text_bpe_merges",
     "q52_recursive_ancestors",
+    # round-8: the at-scale PageRank arm gets its own regression row
+    "graph_pagerank_bucketed",
 ]
 
 

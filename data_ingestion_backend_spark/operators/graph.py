@@ -216,3 +216,24 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_ppb"), F.asc("node"))
         .limit(PR_TOPK)
     )
+
+
+@_register_standalone("graph_pagerank_bucketed", _PAGERANK_ORACLE)
+def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cert through the at-scale arm: :func:`pagerank_bucketed`
+    (bucketed-edges, no per-iteration edge exchange, no broadcast
+    build).  Registered so the production path has its own oracle row
+    AND its own bench regression entry — the broadcast form's numbers
+    must not stand in for the path a billion-node graph would run.
+    Timing includes the one-time bucketed edge build (amortized in
+    steady state; measured separately in tests/test_graph.py)."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_pr_edges_bucketed")
+    ranks = pagerank_bucketed(spark, trade_edges(spark, sf_dir), path=path)
+    return (
+        ranks.select("node", F.col("r").alias("rank_ppb"))
+        .orderBy(F.desc("rank_ppb"), F.asc("node"))
+        .limit(PR_TOPK)
+    )

@@ -98,21 +98,6 @@ def ingest_file(
 
     result = validate_staging(staging, contacts_base, user_id)
 
-    # --- ledger row ---------------------------------------------------------
-    counts = result.staging.agg(
-        F.count("*").alias("total"),
-        F.sum(
-            F.when(F.col("staging_status") == StagingStatus.SUCCESS, 0).otherwise(1)
-        ).alias("flagged"),
-    ).collect()[0]
-    n_issues = result.issues.count()
-    status = JobStatus.NEEDS_REVIEW if n_issues > 0 else JobStatus.COMPLETED
-    job_row = _ledger_row(
-        spark, job_id, user_id, filename, status,
-        total=int(counts["total"]), processed=int(counts["total"]),
-        issues=int(n_issues), error=None,
-    )
-
     # --- snapshot writes (replace-per-job → idempotent reprocess) -----------
     # issue_items carry no job column; capture the job's *old* issue ids
     # before the issues snapshot is replaced so stale links get dropped even
@@ -135,15 +120,37 @@ def ingest_file(
     # Postgres transaction, job_repository.py:202-226).  A crash before
     # publish() leaves the warehouse exactly as it was; the re-run
     # restages from the same inputs and converges (St3 idempotency).
+    #
+    # The ledger counters RIDE the staging/issues writes via
+    # Dataset.observe (plans/metrics.py) instead of running their own
+    # aggregation jobs — the control-plane cost of ingest is the write
+    # set itself, nothing extra.
+    from data_ingestion_backend_spark.plans.metrics import observed
+
+    staging_obs_df, staging_obs = observed(
+        result.staging, n_rows=F.count(F.lit(1))
+    )
+    issues_obs_df, issues_obs = observed(result.issues, n_rows=F.count(F.lit(1)))
     versions = {
-        "staging": _stage_replace(wh, "staging", "staging_job_id", job_id, result.staging),
-        "issues": _stage_replace(wh, "issues", "issues_job_id", job_id, result.issues),
-        "jobs": _stage_replace(wh, "jobs", "job_id", job_id, job_row),
-        "issue_items": wh.stage(
-            "issue_items", items_wo_job.unionByName(result.issue_items)
+        "staging": _stage_replace(
+            wh, "staging", "staging_job_id", job_id, staging_obs_df
         ),
-        "contacts": wh.stage("contacts", contacts_base.unionByName(new_contacts)),
+        "issues": _stage_replace(wh, "issues", "issues_job_id", job_id, issues_obs_df),
     }
+    total = int(staging_obs.get["n_rows"])
+    n_issues = int(issues_obs.get["n_rows"])
+    status = JobStatus.NEEDS_REVIEW if n_issues > 0 else JobStatus.COMPLETED
+    job_row = _ledger_row(
+        spark, job_id, user_id, filename, status,
+        total=total, processed=total, issues=n_issues, error=None,
+    )
+    versions["jobs"] = _stage_replace(wh, "jobs", "job_id", job_id, job_row)
+    versions["issue_items"] = wh.stage(
+        "issue_items", items_wo_job.unionByName(result.issue_items)
+    )
+    versions["contacts"] = wh.stage(
+        "contacts", contacts_base.unionByName(new_contacts)
+    )
     wh.publish(versions)
     return job_id
 

@@ -27,14 +27,19 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
-def observed(df: DataFrame, name: str, **metrics) -> tuple[DataFrame, Observation]:
+def observed(
+    df: DataFrame, name: str | None = None, **metrics
+) -> tuple[DataFrame, Observation]:
     """Attach named aggregate metrics to ``df``'s plan.
 
     Returns the observed frame (use it EXACTLY like df) and the
     Observation handle; read ``obs.get`` after any action has executed
-    the plan.  ``metrics``: name → aggregate Column.
+    the plan.  ``metrics``: name → aggregate Column.  ``name=None``
+    lets Spark generate a unique observation name — required when the
+    same logical step runs repeatedly in one session (reprocess loops),
+    since observation names must be unique per active action.
     """
-    obs = Observation(name)
+    obs = Observation(name) if name is not None else Observation()
     out = df.observe(obs, *[col.alias(k) for k, col in metrics.items()])
     return out, obs
 

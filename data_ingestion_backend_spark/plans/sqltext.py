@@ -58,11 +58,23 @@ NON_EXPRESSIBLE: dict[str, str] = {
         "band minhash arithmetic; the Spark-side form IS the builder"
     ),
     "dedup_clusters": "minhash band arithmetic + recursive closure CTE (DuckDB dialect)",
-    "dedup_ngram_jaccard": "md5-shingle inverted-index CTEs pinned to DuckDB list semantics",
-    "dedup_simhash_pairs": "64-bit simhash bit arithmetic written against DuckDB's hash/bit ops",
     "media_metadata": "DuckDB encode()/decode() byte builtins differ in signature and semantics",
     "media_features": "same codec-builtin divergence as media_metadata",
 }
+
+# Spark-dialect twin of operators/dedup._SHINGLES_SQL (DuckDB list_*
+# builtins → array_*/transform; 1-based [i] → element_at; exclusive
+# range → inclusive sequence)
+_SHINGLES_SPARK = """
+  CASE WHEN size(split(lower(text), ' ')) >= 3
+       THEN array_distinct(transform(
+              sequence(1, size(split(lower(text), ' ')) - 2),
+              i -> concat_ws(' ',
+                   element_at(split(lower(text), ' '), i),
+                   element_at(split(lower(text), ' '), i + 1),
+                   element_at(split(lower(text), ' '), i + 2))))
+       ELSE array(lower(text)) END
+"""
 
 # the PII suffix text_doc_stats appends to every document (kept identical
 # to the oracle's so the regex counts align)
@@ -433,6 +445,73 @@ SELECT doc_a, doc_b, cosine FROM (
   FROM scored) t
 WHERE rn <= 20
 ORDER BY cosine DESC, doc_a, doc_b
+""",
+    "dedup_simhash_pairs": f"""
+WITH tok AS (
+  SELECT doc_id, t FROM documents
+  LATERAL VIEW explode({_SHINGLES_SPARK}) x AS t
+),
+th AS (
+  SELECT doc_id, CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) AS h
+  FROM tok
+),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END) AS score
+  FROM th LATERAL VIEW explode(sequence(0, 59)) x AS i
+  GROUP BY doc_id, i
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN score > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c,
+         shiftrightunsigned(simhash, c * 15) & 32767 AS chunk
+  FROM sig LATERAL VIEW explode(sequence(0, 3)) x AS c
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM chunks x JOIN chunks y
+    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(ha ^ hb) <= 6
+ORDER BY doc_a, doc_b
+""",
+    "dedup_ngram_jaccard": f"""
+WITH sh AS (
+  SELECT doc_id, s FROM documents
+  LATERAL VIEW explode({_SHINGLES_SPARK}) x AS s
+),
+rare AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 5
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare r ON a.s = r.s
+  JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+ORDER BY i.doc_a, i.doc_b
 """,
     "emb_quantize_int8": """
 WITH s AS (

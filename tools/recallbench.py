@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""ANN recall-vs-brute-force at multiplied corpus scale (SCALE.md rows).
+
+The fixture recall tests (tests/test_similarity.py) certify the
+hyperplane-LSH and IVF arms at 500 vectors; recall of both shifts with
+corpus size and density, so this harness measures recall@k at N× the
+corpus under two planted-neighbor densities:
+
+- **clustered** (noise 0.15): each extra copy is a ±0.15/component
+  perturbation of the originals → planted neighbors at cosine ≈0.82,
+  the "web-scale near-dup cluster" profile where LSH bands collide
+  reliably and IVF cells align with the clusters.
+- **diffuse** (noise 0.45): perturbed copies land at cosine ≈0.5-0.6 of
+  their source, barely above the fixture's background similarity — the
+  hard case for both arms (LSH agreement probability per plane ≈0.68;
+  true neighbors sit right on IVF Voronoi boundaries).
+
+Perturbation is DETERMINISTIC (xxhash64(vec_id, dim) → uniform in
+[-s, s], Catalyst-native) so every run sees the same corpus; copy 0 is
+untouched so the original structure survives.  Queries are the first
+N_QUERIES copy-0 vectors; ground truth is exact brute-force cosine
+top-k over the full multiplied corpus (the same windowed-kNN plan the
+graded sim_multiquery_topk cert uses).  Recall@k = |exact ∩ approx| / k
+averaged over queries.
+
+Usage: python tools/recallbench.py [--copies 10 25] [--noise 0.15 0.45]
+Prints one JSON line per (copies, noise) combination plus a summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_backend_spark.operators.dedup import cosine_expr
+from data_ingestion_backend_spark.operators.similarity import (
+    TOPK,
+    _train_centroids_sample,
+    ann_topk,
+    ivf_topk,
+)
+from data_ingestion_backend_spark.plans.session import get_spark
+from data_ingestion_backend_spark.sources.fixtures import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+N_QUERIES = 10
+
+
+def multiplied_corpus(spark, copies: int, noise: float):
+    """N deterministic perturbed copies of the embeddings fixture.
+
+    Copy i offsets vec_id by i*base and adds per-(vec_id, dim) uniform
+    noise in [-s, s] derived from xxhash64 — no RNG state, same corpus
+    every run.  Copy 0 is the untouched original."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    base = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    out = emb
+    for i in range(1, copies):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * base))
+        c = c.withColumn(
+            "e",
+            F.transform(
+                "e",
+                lambda x, j: x
+                + (
+                    F.pmod(F.xxhash64(F.col("vec_id"), j), F.lit(20001))
+                    / 10000.0
+                    - 1.0
+                )
+                * F.lit(noise),
+            ),
+        )
+        out = out.unionByName(c)
+    return out
+
+
+def recall_of(approx_rows, exact_sets) -> float:
+    approx_sets: dict[int, set] = {}
+    for r in approx_rows:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(want & approx_sets.get(qid, set())) / len(want)
+        for qid, want in exact_sets.items()
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def run_tier(spark, copies: int, noise: float) -> dict:
+    corpus = multiplied_corpus(spark, copies, noise)
+    corpus.write.mode("overwrite").parquet("/tmp/recallbench_corpus")
+    corpus = spark.read.parquet("/tmp/recallbench_corpus")
+    n = corpus.count()
+
+    queries = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+
+    # ground truth: exact windowed kNN (same shape as sim_multiquery_topk)
+    t0 = time.monotonic()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .collect()
+    )
+    brute_sec = time.monotonic() - t0
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    t0 = time.monotonic()
+    lsh_rows = ann_topk(corpus, queries, TOPK).collect()
+    lsh_sec = time.monotonic() - t0
+    lsh_recall = recall_of(lsh_rows, exact_sets)
+
+    t0 = time.monotonic()
+    centroids = _train_centroids_sample(corpus)
+    ivf_rows = ivf_topk(corpus, queries, centroids, TOPK).collect()
+    ivf_sec = time.monotonic() - t0
+    ivf_recall = recall_of(ivf_rows, exact_sets)
+
+    return {
+        "copies": copies,
+        "noise": noise,
+        "n_vectors": n,
+        "brute_sec": round(brute_sec, 2),
+        "lsh": {"recall": round(lsh_recall, 3), "sec": round(lsh_sec, 2)},
+        "ivf": {"recall": round(ivf_recall, 3), "sec": round(ivf_sec, 2)},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, nargs="+", default=[10, 25])
+    ap.add_argument("--noise", type=float, nargs="+", default=[0.15, 0.45])
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="recallbench", master="local[32]")
+    rows = []
+    try:
+        for copies in args.copies:
+            for noise in args.noise:
+                row = run_tier(spark, copies, noise)
+                rows.append(row)
+                print(json.dumps(row), file=sys.stderr, flush=True)
+        print(json.dumps({"sf_dir": SF_DIR, "k": TOPK, "tiers": rows}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
+
+

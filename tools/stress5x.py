@@ -77,6 +77,12 @@ DEFAULT_OPS = [
     "dedup_incremental",
     "text_vocab_topn",
     "scale_bloom_pruned_join",
+    # round-7 operators (round-8 sweep): prefix-filtered Jaccard join on
+    # the planted-duplicate documents (adversarial: output is quadratic
+    # by construction, candidate generation must stay df_prefix-bounded),
+    # and the composed ER DAG on the token-tagged part corpus (linear)
+    "dedup_jaccard_prefix",
+    "er_canonical_parts",
 ]
 
 # (table, id columns to offset per copy) — offsets keep keys unique so
@@ -90,11 +96,17 @@ MULTIPLIED = {
     "orders": ["o_orderkey"],
     "lineitem": ["l_orderkey"],
     "embeddings": ["vec_id"],
+    # part: each copy gets a 3-char tag appended to EVERY p_name token, so
+    # the distinct-name corpus and its token vocabulary both grow ~N×
+    # (like a real name corpus) while cross-copy names stay ≥3 edits
+    # apart (5 tokens × ≥1 differing char each) — the fuzzy/ER family
+    # scales linearly instead of degenerating into cross-copy cliques
+    "part": ["p_partkey"],
 }
 _SHARED_OFFSET = {"l_orderkey": ("orders", "o_orderkey"), "o_orderkey": ("orders", "o_orderkey")}
 
 
-def build_corpus(spark, out_dir: str, copies: int) -> None:
+def build_corpus(spark, out_dir: str, copies: int, tag_documents: bool = False) -> None:
     shared: dict[tuple[str, str], int] = {}
     for table, col in set(_SHARED_OFFSET.values()):
         df = spark.read.parquet(os.path.join(SF_DIR, f"{table}.parquet"))
@@ -112,6 +124,20 @@ def build_corpus(spark, out_dir: str, copies: int) -> None:
                     else bounds[col] + 1
                 )
                 c = c.withColumn(col, F.col(col) + F.lit(i * base))
+            if table == "part" or (table == "documents" and tag_documents):
+                # per-copy token tag: vocabulary grows with the corpus
+                # (the realistic near-dup scale shape — cross-copy texts
+                # share no tokens, so similarity work scales linearly);
+                # without it every doc gains N-1 planted EXACT duplicates
+                # and pair output is quadratic by construction
+                tag = f"{chr(97 + i // 26)}{chr(97 + i % 26)}q"
+                col_name = "p_name" if table == "part" else "text"
+                c = c.withColumn(
+                    col_name,
+                    F.concat(
+                        F.regexp_replace(col_name, " ", tag + " "), F.lit(tag)
+                    ),
+                )
             out = c if out is None else out.unionByName(c)
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
     # remaining tables pass through untouched (keeps load_table paths valid)
@@ -198,13 +224,19 @@ def _persisted_bm25(spark, corpus_dir: str):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=5)
+    ap.add_argument(
+        "--tag-documents",
+        action="store_true",
+        help="token-tag each documents copy (disjoint vocab per copy → "
+        "linear similarity scaling instead of planted-duplicate cliques)",
+    )
     ap.add_argument("ops", nargs="*", default=DEFAULT_OPS)
     args = ap.parse_args()
     ops = args.ops or DEFAULT_OPS
     spark = get_spark(app_name=f"stress{args.copies}x", master="local[32]")
     tmp = tempfile.mkdtemp(prefix=f"stress{args.copies}x_", dir=os.path.dirname(__file__))
     try:
-        build_corpus(spark, tmp, args.copies)
+        build_corpus(spark, tmp, args.copies, tag_documents=args.tag_documents)
         out = {}
         for name in ops:
             cleanup = None
@@ -243,7 +275,16 @@ def main() -> None:
                 f"ratio={big/base:5.2f}",
                 file=sys.stderr,
             )
-        print(json.dumps({"sf_dir": SF_DIR, "copies": args.copies, "ops": out}))
+        print(
+            json.dumps(
+                {
+                    "sf_dir": SF_DIR,
+                    "copies": args.copies,
+                    "tag_documents": args.tag_documents,
+                    "ops": out,
+                }
+            )
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.stop()
