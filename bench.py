@@ -113,6 +113,8 @@ STANDALONE_HEADLINE = [
     "q52_recursive_ancestors",
     # round-8: the at-scale PageRank arm gets its own regression row
     "graph_pagerank_bucketed",
+    # round-8: exact substring span dedup (Lee et al. ACL'22, postings form)
+    "dedup_substring_spans",
 ]
 
 

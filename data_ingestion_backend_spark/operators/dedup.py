@@ -1453,3 +1453,119 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = _minhash_per_doc(spark, sf_dir).select("doc_id", "ss", "n")
     cand = prefix_filtered_candidates(sh, PREFIX_JACCARD_T)
     return _verify_jaccard(per_doc, cand, PREFIX_JACCARD_T)
+
+
+# --- cross-document exact substring spans -----------------------------------
+#
+# The exact-substring dedup pass of Lee et al., "Deduplicating Training Data
+# Makes Language Models Better" (ACL'22): find every maximal token run that
+# appears verbatim in ≥2 documents, so the pipeline can CUT the repeated
+# span instead of dropping whole documents.  The published implementation
+# builds a monolithic suffix array; the distributed re-expression is n-gram
+# fingerprint postings + a gaps-and-islands merge, which needs only uniform
+# hash shuffles:
+#
+#   1. every SPAN_NGRAM-token window → (doc_id, pos, gram-hash)   [map-only]
+#   2. gram df over distinct docs; keep grams in ≥2 docs          [1 shuffle]
+#   3. join hits back to postings                                 [1 shuffle]
+#   4. per-doc islands of consecutive positions → maximal spans   [1 shuffle]
+#
+# Correctness link to the suffix-array semantics: a substring of length
+# L ≥ SPAN_NGRAM shared by two docs makes ALL of its L-SPAN_NGRAM+1 gram
+# positions shared, so the island merge reconstructs exactly the maximal
+# shared runs (gram-hash collisions aside — 60-bit md5 prefix, the same
+# cross-engine hash the rest of the family pins).
+#
+# Reference behavior anchored: the reference dedups rows only by whole-row
+# hash (src/services/csv_validator.py staging_row_hash); passage-level
+# dedup is the corpus-scale extension of that contract.
+
+SPAN_NGRAM = 8      # gram width (tokens) — minimum detectable run
+SPAN_MIN_TOKENS = 12  # report only spans at least this many tokens long
+
+_SPAN_ORACLE = f"""
+  WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+  ),
+  g AS (
+    SELECT doc_id,
+           unnest(range(1, len(t) - {SPAN_NGRAM - 2})) AS pos1,
+           unnest(list_transform(
+             range(1, len(t) - {SPAN_NGRAM - 2}),
+             i -> CAST(('0x' || substr(md5(
+                    array_to_string(t[i:i+{SPAN_NGRAM - 1}], ' ')),
+                    1, 15)) AS BIGINT))) AS g
+    FROM toks WHERE len(t) >= {SPAN_NGRAM}
+  ),
+  shared AS (
+    SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+  ),
+  hits AS (SELECT doc_id, pos1 FROM g JOIN shared USING (g)),
+  isl AS (
+    SELECT doc_id, pos1,
+           pos1 - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos1)
+             AS grp
+    FROM hits
+  ),
+  spans AS (
+    SELECT doc_id, MIN(pos1) - 1 AS span_start,
+           MAX(pos1) - MIN(pos1) + {SPAN_NGRAM} AS span_len
+    FROM isl GROUP BY doc_id, grp
+  )
+  SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         CAST(span_len AS BIGINT) AS span_len
+  FROM spans WHERE span_len >= {SPAN_MIN_TOKENS}
+  ORDER BY doc_id, span_start
+"""
+
+
+@_register_standalone("dedup_substring_spans", _SPAN_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document exact substring spans:
+    (doc_id, span_start, span_len) for every maximal run of ≥
+    SPAN_MIN_TOKENS tokens that appears verbatim in at least one OTHER
+    document.  span_start is a 0-based token offset.
+
+    Scale shape: three uniform hash shuffles (gram df, hit join-back,
+    per-doc island window).  The df≥2 filter drops the unique-gram bulk
+    — the overwhelming majority of a real corpus — before the join-back,
+    and map-side combine compresses the df aggregation, so the heavy
+    stage moves O(shared grams), not O(corpus grams).  No suffix array,
+    no global sort over the corpus.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= SPAN_NGRAM)
+    gram = "concat_ws(' ', slice(t, i+1, " + str(SPAN_NGRAM) + "))"
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t)-{SPAN_NGRAM}),"
+                f" i -> struct(i as pos, cast(conv(substring(md5({gram}),"
+                f" 1, 15), 16, 10) as bigint) as g))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    hits = grams.join(shared, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") - F.min("pos") + F.lit(SPAN_NGRAM)).alias("span_len"),
+    )
+    return (
+        spans.filter(F.col("span_len") >= SPAN_MIN_TOKENS)
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_len").cast("bigint").alias("span_len"),
+        )
+        .orderBy("doc_id", "span_start")
+    )

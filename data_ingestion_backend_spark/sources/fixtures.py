@@ -101,7 +101,14 @@ def register_views(
     """
     from data_ingestion_backend_spark.plans import catalog
 
-    catalog._REGISTERED.pop(spark.sparkContext.applicationId, None)
+    # The memo is keyed by the live session object (WeakKeyDictionary) —
+    # popping by session both matches the key type (a string appId would
+    # raise: str is not weak-referenceable) and invalidates exactly the
+    # session whose views this call is about to rebind.
+    try:
+        catalog._REGISTERED.pop(spark, None)
+    except TypeError:  # mock/stub sessions that refuse weak references
+        pass
     tables = load_tables(spark, sf_dir, names)
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
