@@ -115,6 +115,8 @@ STANDALONE_HEADLINE = [
     "graph_pagerank_bucketed",
     # round-8: exact substring span dedup (Lee et al. ACL'22, postings form)
     "dedup_substring_spans",
+    # round-8: full-corpus distributed Lloyd (5 GEMM+combine iterations)
+    "sim_kmeans_train",
 ]
 
 

@@ -24,6 +24,7 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from data_ingestion_backend_spark.operators.dedup import cosine_expr
 from data_ingestion_backend_spark.operators.queries import (
@@ -745,3 +746,96 @@ def ivf_search_persisted(
         .filter(F.col("rn") <= k)
         .select("query_id", "vec_id", "cosine")
     )
+
+
+# --- distributed k-means training (full-corpus Lloyd) -----------------------
+#
+# The IVF quantizer above fits on a bounded driver-side sample — the right
+# call when a 1024-vector sample characterizes the distribution.  When it
+# does not (fine-grained cluster structure, heavy tails, k in the
+# thousands), the trainer itself must be distributed: every Lloyd
+# iteration is (1) the same Arrow GEMM assignment stage the IVF index
+# uses, over the WHOLE corpus, and (2) one groupBy(cluster, dim) partial
+# aggregation whose map-side combine reduces the shuffle to
+# n_partitions × k × d rows — the k×d sums that reach the driver are the
+# model, not the data.  Per-iteration driver traffic is O(k·d), corpus
+# traffic is one scan + one combine-compressed shuffle: the canonical
+# scalable k-means dataflow (same shape as MLlib's, re-expressed on the
+# public DataFrame API with spherical/cosine semantics to match the rest
+# of the similarity family).
+#
+# Determinism pins (so the numpy differential and re-runs are bit-stable):
+# init = first KMEANS_K vec_ids; centroids rounded to 9 dp after every
+# driver-side recompute, so sub-ulp float-summation-order differences
+# (Spark partial sums vs numpy) cannot leak into the next assignment.
+
+KMEANS_K, KMEANS_ITERS = 16, 5
+KMEANS_ROUND = 9
+
+
+def _normalized_emb(emb: DataFrame) -> DataFrame:
+    """vec_id + L2-normalized double vector (pure Catalyst)."""
+    norm = F.sqrt(
+        F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return emb.select(
+        "vec_id", F.transform("e", lambda x: x / norm).alias("e")
+    )
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+):
+    """Full-corpus spherical k-means: returns (centroids k×d ndarray,
+    counts length-k ndarray) after ``iters`` Lloyd iterations.
+
+    ``emb`` must have (vec_id, e: array<double>).  The corpus is scanned
+    once per iteration (persisted normalized form), assignment is the
+    Arrow-batched GEMM stage, and the recompute aggregation ships only
+    k·d partial sums per partition thanks to map-side combine.
+    """
+    import numpy as np
+
+    emb_n = _normalized_emb(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    init = (
+        emb_n.orderBy("vec_id").limit(k).select("e").toPandas()["e"].tolist()
+    )
+    C = np.round(np.asarray(init, dtype=np.float64), KMEANS_ROUND)
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        assigned = _assign_clusters(emb_n, "e", C, 1)
+        stats = (
+            assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )  # ≤ k·d rows — the model update, not the data
+        sums = np.zeros((k, C.shape[1]), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in stats:
+            sums[r["cluster"], r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        newC = C.copy()  # empty clusters keep their previous centroid
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        newC /= np.linalg.norm(newC, axis=1, keepdims=True)
+        C = np.round(newC, KMEANS_ROUND)
+    return C, counts
+
+
+@_register_standalone("sim_kmeans_train", None)  # iterative — rows-only cert
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained full-corpus quantizer as a table: (cluster, pos, centroid,
+    n_members), k·d rows.  Rows-only in the uniform gate (Lloyd is
+    iterative, not SQL-expressible); the numpy differential golden in
+    ``tests/test_kmeans.py`` certifies the values, and determinism is
+    pinned by the rounding discipline above."""
+    C, counts = kmeans_train(_emb(spark, sf_dir))
+    rows = [
+        (int(j), int(p), float(C[j, p]), int(counts[j]))
+        for j in range(C.shape[0])
+        for p in range(C.shape[1])
+    ]
+    return spark.createDataFrame(
+        rows, "cluster bigint, pos bigint, centroid double, n_members bigint"
+    ).orderBy("cluster", "pos")
