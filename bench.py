@@ -117,6 +117,8 @@ STANDALONE_HEADLINE = [
     "dedup_substring_spans",
     # round-8: full-corpus distributed Lloyd (5 GEMM+combine iterations)
     "sim_kmeans_train",
+    # round-8: deterministic sharded epoch shuffle
+    "prep_epoch_shuffle",
 ]
 
 

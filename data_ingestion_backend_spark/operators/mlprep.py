@@ -1013,3 +1013,75 @@ def prep_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "w", "n_draws")
         .orderBy("doc_id")
     )
+
+
+# --- deterministic epoch shuffle (sharded) ----------------------------------
+#
+# Training loaders need a DIFFERENT global permutation of the corpus each
+# epoch, reproducible from (seed, epoch) alone.  The scalable form is the
+# one production data loaders actually consume: a deterministic SHARD
+# assignment plus a deterministic order WITHIN each shard — the writer
+# emits one file set per shard, the loader reads shards in order.  A
+# single global ROW_NUMBER would funnel the corpus through one window
+# partition; sharding keeps every stage fully distributed (the window
+# partitions by shard), and the (shard, pos) pair still defines a total
+# order = one global permutation per epoch.
+#
+# Reference behavior anchored: the reference returns rows in whatever
+# order Postgres yields (src/repositories/*.py add ORDER BY id) — epoch
+# randomization is a training-pipeline extension with no reference
+# counterpart beyond "deterministic given the same inputs".
+
+EPOCH_SHARDS = 8
+EPOCH_SEED = "ep7"
+
+
+def _epoch_hash_sql(seed: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST(doc_id AS STRING)),"
+        " 1, 15)) AS BIGINT)"
+    )
+
+
+@_register_standalone(
+    "prep_epoch_shuffle",
+    f"""WITH h AS (
+         SELECT doc_id, {_epoch_hash_sql(EPOCH_SEED)} AS eh FROM documents
+       )
+       SELECT doc_id,
+              CAST(eh % {EPOCH_SHARDS} AS BIGINT) AS shard,
+              CAST(ROW_NUMBER() OVER (PARTITION BY eh % {EPOCH_SHARDS}
+                                      ORDER BY eh, doc_id) - 1
+                   AS BIGINT) AS pos
+       FROM h
+       ORDER BY shard, pos""",
+)
+def prep_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-``EPOCH_SEED`` permutation of the documents table — the
+    registry cert for :func:`epoch_shuffle`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, EPOCH_SEED).orderBy("shard", "pos")
+
+
+def epoch_shuffle(
+    docs: DataFrame, seed: str, shards: int = EPOCH_SHARDS
+) -> DataFrame:
+    """Deterministic epoch permutation as (doc_id, shard, pos): shard =
+    seeded md5 mod ``shards``, pos = hash order within the shard.
+
+    Changing the seed string reshuffles everything; the same seed always
+    reproduces the same permutation regardless of partitioning or run
+    order (content-derived hash, full doc_id tiebreak).  Scale shape:
+    one uniform hash shuffle onto shards + per-shard sort — no global
+    single-partition window; shard count scales with the cluster.
+    """
+    eh = F.expr(
+        f"cast(conv(substring(md5(concat('{seed}:',"
+        " cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy(F.col("eh") % shards).orderBy("eh", "doc_id")
+    return docs.select("doc_id", eh.alias("eh")).select(
+        "doc_id",
+        (F.col("eh") % shards).cast("bigint").alias("shard"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
