@@ -119,6 +119,8 @@ STANDALONE_HEADLINE = [
     "sim_kmeans_train",
     # round-8: deterministic sharded epoch shuffle
     "prep_epoch_shuffle",
+    # round-8: BPE corpus encoding (vocabulary-encode + join-back)
+    "text_bpe_encode",
 ]
 
 

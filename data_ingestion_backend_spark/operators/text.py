@@ -733,3 +733,74 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     merges, _ = bpe_learn_merges(docs)
     return merges.orderBy("rank")
+
+
+# --- BPE corpus encoding (apply learned merges) -----------------------------
+#
+# Completes the tokenizer story: learning produced the ranked merge
+# table; encoding applies it to every document.  The scale trick is the
+# same one learning used — encode the WORD VOCABULARY, not the corpus:
+# all merge folds run on the deduplicated (word → symbols) table, and a
+# single hash join maps each corpus word occurrence to its token array.
+# Encoding cost is O(|vocab| · merges); the corpus is touched twice
+# (explode to positions, join back), never per-merge.
+
+
+def bpe_encode(docs: DataFrame, merges_df: DataFrame) -> DataFrame:
+    """Encode ``docs.text`` with an ordered merge table → (doc_id,
+    n_tokens, tokens).  ``docs`` must have (doc_id, text); ``merges_df``
+    is the (rank, left, right, ...) output of either learner.
+
+    The merge list is a control-plane scalar table (the MODEL — ≤ vocab
+    size by construction, 30k rows for a production tokenizer) and is
+    collected driver-side to parameterize the vocabulary folds.
+    """
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    words = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .filter(F.length("word") > 0)
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .withColumn("symbols", F.expr("transform(split(word, ''), s -> s)"))
+    )
+    for i, (left, right) in enumerate(merges, start=1):
+        vocab = vocab.select(
+            "word", _apply_merge(F.col("symbols"), left, right).alias("symbols")
+        )
+        if i % 3 == 0:
+            vocab = vocab.localCheckpoint(eager=True)  # truncate lineage
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "symbols"))
+                ).getField("symbols")
+            ).alias("tokens")
+        )
+        .select(
+            "doc_id",
+            F.size("tokens").cast("bigint").alias("n_tokens"),
+            "tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register_standalone("text_bpe_encode", None)  # rows-only by design:
+# encoding applies the LEARNED merge table, whose training loop is not
+# one SQL query; the cert is the pure-Python end-to-end differential in
+# tests/test_text_bpe.py (learn + encode vs reference tokenizer)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents encoded with the fixture-learned BPE merges."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, _ = bpe_learn_merges_batched(docs.select("text"))
+    return bpe_encode(docs, merges)
