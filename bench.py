@@ -121,6 +121,9 @@ STANDALONE_HEADLINE = [
     "prep_epoch_shuffle",
     # round-8: BPE corpus encoding (vocabulary-encode + join-back)
     "text_bpe_encode",
+    # round-8: distributed PCA (mergeable Gram partials + GEMM projection)
+    "emb_gram_matrix",
+    "emb_pca_project",
 ]
 
 

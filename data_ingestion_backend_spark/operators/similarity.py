@@ -839,3 +839,153 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cluster bigint, pos bigint, centroid double, n_members bigint"
     ).orderBy("cluster", "pos")
+
+
+# --- distributed PCA over embeddings ----------------------------------------
+#
+# Dimensionality reduction for embedding analytics (cheaper ANN probes,
+# drift dashboards, visualization).  The covariance inputs — Gram matrix
+# Σ x·xᵀ, mean vector, count — are MERGEABLE per-partition partials: each
+# Arrow batch contributes one d×d GEMM (numpy, vectorized), and the
+# shuffle carries only n_batches · d(d+1)/2 rows.  The eigendecomposition
+# runs driver-side on the d×d covariance (the MODEL, 64×64 here), and the
+# projection is the same broadcast-GEMM map stage the rest of the family
+# uses.  Corpus traffic: exactly two scans (fit, project), zero explodes.
+#
+# emb_gram_matrix carries a full DuckDB oracle (the Gram entries are
+# plain SQL sums of products); the eigen step is certified by a numpy
+# differential (tests/test_pca.py) — the same oracle/differential split
+# as the IVF family.
+
+PCA_COMPONENTS = 8
+PCA_ROUND = 9  # eigenvector grid — sub-ulp solver noise cannot leak
+
+
+def _gram_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-batch upper-triangle Gram partials: (i, j, g) with j ≥ i."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            G = M.T @ M
+            iu = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int64"),
+                    "j": iu[1].astype("int64"),
+                    "g": G[iu],
+                }
+            )
+
+    return df.mapInPandas(gen, "i bigint, j bigint, g double")
+
+
+@_register_standalone(
+    "emb_gram_matrix",
+    f"""SELECT i - 1 AS i, j - 1 AS j,
+              round(SUM(CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[j] AS DOUBLE)), 6) AS g
+       FROM embeddings,
+            (SELECT unnest(range(1, {EMB_DIM + 1})) AS i),
+            (SELECT unnest(range(1, {EMB_DIM + 1})) AS j)
+       WHERE j >= i
+       GROUP BY i, j
+       ORDER BY i, j""",
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle corpus Gram matrix Σ x·xᵀ as (i, j, g) — the
+    mergeable sufficient statistic PCA/covariance analytics fit on.
+
+    The oracle is the naive SQL double-unnest (O(n·d²) rows in DuckDB);
+    the Spark side never explodes — each Arrow batch emits one GEMM's
+    d(d+1)/2 partials and the combine sums them.
+    """
+    emb = _emb(spark, sf_dir)
+    return (
+        _gram_partials(emb, "e")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("g"), 6).alias("g"))
+        .orderBy("i", "j")
+    )
+
+
+def pca_fit(emb: DataFrame, r: int = PCA_COMPONENTS):
+    """Fit PCA on the FULL corpus: returns (mu, components) — mean
+    vector (d,) and top-``r`` eigenvectors (d×r, descending eigenvalue,
+    deterministic sign).  One corpus scan: Gram partials, sum vector,
+    and count ride the same aggregation."""
+    import numpy as np
+
+    d = EMB_DIM
+    gram_rows = (
+        _gram_partials(emb, "e").groupBy("i", "j").agg(F.sum("g").alias("g"))
+    ).collect()
+    sums = emb.select(
+        F.posexplode("e").alias("pos", "v")
+    ).groupBy("pos").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    G = np.zeros((d, d))
+    for row in gram_rows:
+        G[row["i"], row["j"]] = row["g"]
+        G[row["j"], row["i"]] = row["g"]
+    s = np.zeros(d)
+    n = 0
+    for row in sums:
+        s[row["pos"]] = row["s"]
+        n = row["n"]
+    mu = s / n
+    C = G / n - np.outer(mu, mu)
+    w, V = np.linalg.eigh(C)  # ascending
+    order = np.argsort(w)[::-1][:r]
+    V = V[:, order]
+    # deterministic sign: the largest-|coefficient| entry is positive
+    for k in range(V.shape[1]):
+        jmax = int(np.argmax(np.abs(V[:, k])))
+        if V[jmax, k] < 0:
+            V[:, k] = -V[:, k]
+    return np.round(mu, PCA_ROUND), np.round(V, PCA_ROUND)
+
+
+def pca_project(df: DataFrame, vec_col: str, mu, V) -> DataFrame:
+    """(X - mu) @ V via the broadcast-GEMM map stage → adds ``pc``
+    (array<double>, length r) to ``df``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("pc", ArrayType(DoubleType()))]
+    )
+    mu_c, V_c = mu, V  # closure-captured model (d + d·r doubles)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            P = np.round((M - mu_c) @ V_c, 6)
+            pdf = pdf.copy()
+            pdf["pc"] = list(P)
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+@_register_standalone("emb_pca_project", None)  # eigen step — rows-only
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus projected onto its own top-PCA_COMPONENTS principal axes:
+    (vec_id, comp, value).  The Gram input is separately oracled
+    (emb_gram_matrix); the eigendecomposition and projection are
+    certified by the numpy differential in tests/test_pca.py."""
+    emb = _emb(spark, sf_dir)
+    mu, V = pca_fit(emb)
+    return (
+        pca_project(emb.select("vec_id", "e"), "e", mu, V)
+        .select("vec_id", F.posexplode("pc").alias("comp", "value"))
+        .select("vec_id", F.col("comp").cast("bigint").alias("comp"), "value")
+        .orderBy("vec_id", "comp")
+    )
