@@ -124,6 +124,8 @@ STANDALONE_HEADLINE = [
     # round-8: distributed PCA (mergeable Gram partials + GEMM projection)
     "emb_gram_matrix",
     "emb_pca_project",
+    # round-8: span-level remediation (cut repeated spans, keep the docs)
+    "dedup_substring_cut",
 ]
 
 

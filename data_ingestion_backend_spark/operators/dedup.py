@@ -1483,7 +1483,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_NGRAM = 8      # gram width (tokens) — minimum detectable run
 SPAN_MIN_TOKENS = 12  # report only spans at least this many tokens long
 
-_SPAN_ORACLE = f"""
+_SPAN_CTES = f"""
   WITH toks AS (
     SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
   ),
@@ -1512,11 +1512,17 @@ _SPAN_ORACLE = f"""
            MAX(pos1) - MIN(pos1) + {SPAN_NGRAM} AS span_len
     FROM isl GROUP BY doc_id, grp
   )
+"""
+
+_SPAN_ORACLE = (
+    _SPAN_CTES
+    + f"""
   SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
          CAST(span_len AS BIGINT) AS span_len
   FROM spans WHERE span_len >= {SPAN_MIN_TOKENS}
   ORDER BY doc_id, span_start
 """
+)
 
 
 @_register_standalone("dedup_substring_spans", _SPAN_ORACLE)
@@ -1568,4 +1574,84 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span_len").cast("bigint").alias("span_len"),
         )
         .orderBy("doc_id", "span_start")
+    )
+
+
+_CUT_ORACLE = (
+    _SPAN_CTES
+    + f""",
+  covered AS (
+    SELECT DISTINCT doc_id,
+           unnest(range(span_start + 1, span_start + span_len + 1)) AS pos1
+    FROM spans WHERE span_len >= {SPAN_MIN_TOKENS}
+  ),
+  pos AS (
+    SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos1, unnest(t) AS tok
+    FROM toks
+  ),
+  kept AS (
+    SELECT p.doc_id, p.pos1, p.tok
+    FROM pos p LEFT JOIN covered c
+      ON c.doc_id = p.doc_id AND c.pos1 = p.pos1
+    WHERE c.pos1 IS NULL
+  ),
+  agg AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY pos1) AS clean
+    FROM kept GROUP BY doc_id
+  )
+  SELECT t.doc_id,
+         CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+         md5(coalesce(a.clean, '')) AS clean_hash
+  FROM toks t LEFT JOIN agg a USING (doc_id)
+  ORDER BY t.doc_id
+"""
+)
+
+
+@_register_standalone("dedup_substring_cut", _CUT_ORACLE)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level remediation: every cross-document-repeated span (the
+    ``dedup_substring_spans`` output) is CUT from every document —
+    returns (doc_id, n_kept, n_removed, clean_hash) for the whole
+    corpus, untouched docs included.
+
+    This is the "remove the repeated substring, keep the document"
+    policy of exact-substring dedup (vs dropping whole near-dup docs) —
+    the right remediation when the repetition is boilerplate or
+    contamination rather than a duplicated document.  Scale shape: the
+    span table aggregates to one per-doc interval array (tiny — spans
+    are already maximal and disjoint per doc), one hash join back to the
+    corpus, and a pure Catalyst positional filter — no explode of the
+    corpus, no range join.
+    """
+    spans_per_doc = (
+        dedup_substring_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_len")).alias("sp")
+        )
+    )
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    kept = F.expr(
+        "filter(transform(t, (x, i) -> struct(x AS tok, i AS pos)),"
+        " p -> NOT exists(sp, s -> p.pos >= s.span_start"
+        " AND p.pos < s.span_start + s.span_len))"
+    )
+    return (
+        toks.join(spans_per_doc, "doc_id", "left")
+        .withColumn("sp", F.coalesce("sp", F.array()))
+        .select("doc_id", F.size("t").alias("n_total"), kept.alias("kept"))
+        .select(
+            "doc_id",
+            F.size("kept").cast("bigint").alias("n_kept"),
+            (F.col("n_total") - F.size("kept")).cast("bigint").alias(
+                "n_removed"
+            ),
+            F.md5(F.concat_ws(" ", F.col("kept.tok"))).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
     )

@@ -74,3 +74,22 @@ def test_whole_doc_duplicate_is_one_full_span(spark, tmp_path):
         for r in dedup_substring_spans(spark, str(tmp_path)).collect()
     )
     assert got == [(0, 0, 30), (1, 0, 30)]
+
+
+def test_cut_removes_exactly_the_long_spans(spark, planted):
+    from data_ingestion_backend_spark.operators.dedup import (
+        dedup_substring_cut,
+    )
+
+    got = {
+        r.doc_id: (r.n_kept, r.n_removed)
+        for r in dedup_substring_cut(spark, planted).collect()
+    }
+    passage_len = SPAN_MIN_TOKENS + 3
+    # docs 0/1 lose exactly the copied passage; the short shared run in
+    # docs 2/3 and doc 4's self-repetition survive untouched
+    assert got[0] == (5 + 6, passage_len)
+    assert got[1] == (2 + 9, passage_len)
+    assert got[2] == (4 + SPAN_NGRAM + 4, 0)
+    assert got[3] == (4 + SPAN_NGRAM + 4, 0)
+    assert got[4] == (2 * SPAN_NGRAM + 3, 0)
