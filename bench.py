@@ -126,6 +126,8 @@ STANDALONE_HEADLINE = [
     "emb_pca_project",
     # round-8: span-level remediation (cut repeated spans, keep the docs)
     "dedup_substring_cut",
+    # round-8: span-level train/test decontamination
+    "prep_decontaminate_spans",
 ]
 
 

@@ -1085,3 +1085,113 @@ def epoch_shuffle(
         (F.col("eh") % shards).cast("bigint").alias("shard"),
         (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
     )
+
+
+# --- span-level decontamination ---------------------------------------------
+#
+# ``prep_decontaminate`` (above) FLAGS train documents sharing any long
+# n-gram with the held-out split — the drop-the-doc policy.  This
+# operator locates the contaminated SPANS themselves (gaps-and-islands
+# over the positions of test-overlapping n-grams, the same maximal-run
+# reconstruction as dedup_substring_spans), so the pipeline can cut the
+# leaked benchmark passage and KEEP the document — the remediation
+# production pipelines actually apply when contamination is a quoted
+# snippet inside an otherwise-good document.
+#
+# Scale shape: the test split is a fixed small fraction (1%), so its
+# distinct-gram table is the small side of one hash semi-join against
+# the train gram stream; the island window partitions by doc.  Same
+# three uniform shuffles as the dedup span operator.
+
+DECON_SPAN_NGRAM = 8  # = DECON_NGRAM; repeated literally in both texts
+
+
+@_register_standalone(
+    "prep_decontaminate_spans",
+    f"""WITH toks AS (
+         SELECT doc_id, {_split_bucket_sql()} AS bucket,
+                string_split(lower(text), ' ') AS t
+         FROM documents
+       ),
+       g AS (
+         SELECT doc_id, bucket,
+                unnest(range(1, len(t) - {DECON_SPAN_NGRAM - 2})) AS pos1,
+                unnest(list_transform(
+                  range(1, len(t) - {DECON_SPAN_NGRAM - 2}),
+                  i -> CAST(('0x' || substr(md5(
+                         array_to_string(t[i:i+{DECON_SPAN_NGRAM - 1}], ' ')),
+                         1, 15)) AS BIGINT))) AS g
+         FROM toks WHERE len(t) >= {DECON_SPAN_NGRAM}
+       ),
+       testg AS (
+         SELECT DISTINCT g FROM g WHERE bucket >= {TRAIN_PCT + VAL_PCT}
+       ),
+       hits AS (
+         SELECT a.doc_id, a.pos1 FROM g a JOIN testg USING (g)
+         WHERE a.bucket < {TRAIN_PCT}
+       ),
+       isl AS (
+         SELECT doc_id, pos1,
+                pos1 - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos1)
+                  AS grp
+         FROM hits
+       )
+       SELECT doc_id, CAST(MIN(pos1) - 1 AS BIGINT) AS span_start,
+              CAST(MAX(pos1) - MIN(pos1) + {DECON_SPAN_NGRAM} AS BIGINT)
+                AS span_len
+       FROM isl GROUP BY doc_id, grp
+       ORDER BY doc_id, span_start""",
+)
+def prep_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal test-set-overlapping spans inside train documents:
+    (doc_id, span_start, span_len), 0-based token offsets — the
+    cut-instead-of-drop upgrade of ``prep_decontaminate``."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.split(F.lower(F.col("text")), " ").alias("t"),
+        )
+        .filter(F.size("t") >= DECON_SPAN_NGRAM)
+    )
+    gram = f"concat_ws(' ', slice(t, i+1, {DECON_SPAN_NGRAM}))"
+    grams = toks.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t)-{DECON_SPAN_NGRAM}),"
+                f" i -> struct(i as pos, cast(conv(substring(md5({gram}),"
+                f" 1, 15), 16, 10) as bigint) as g))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", "bucket", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    testg = (
+        grams.filter(F.col("bucket") >= TRAIN_PCT + VAL_PCT)
+        .select("g")
+        .distinct()
+    )
+    hits = (
+        grams.filter(F.col("bucket") < TRAIN_PCT)
+        .join(testg, "g")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(DECON_SPAN_NGRAM))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+        .orderBy("doc_id", "span_start")
+    )
