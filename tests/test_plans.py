@@ -81,6 +81,10 @@ SANCTIONED_PANDAS = {
     "dedup_semantic",
     "media_resize",
     "media_frame_sample",
+    # round-8: the PCA pair's Gram partials and projection are the same
+    # documented Arrow-batched GEMM surface as the IVF quantizer
+    "emb_gram_matrix",
+    "emb_pca_project",
 }
 
 
@@ -218,3 +222,23 @@ def test_bloom_pruned_join_probes_are_broadcast_semi(q):
     # build side may be re-derived per probe
     locs = re.findall(r"Location.*?(\w+)\.parquet", plan)
     assert locs.count("lineitem") == 1
+
+
+def test_gram_matrix_partial_aggregation(q):
+    """The Gram matrix's scale claim: per-batch GEMM partials are
+    map-side combined, so the exchange carries d²-bounded rows — the
+    plan must show the partial/final HashAggregate pair around one
+    exchange and NO corpus explode (the d²-per-row Generate shape)."""
+    plan = formatted_plan(q("emb_gram_matrix"))
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate" not in plan  # no posexplode of the corpus
+    assert "MapInPandas" in plan  # the sanctioned GEMM stage
+
+
+def test_epoch_shuffle_window_is_partitioned(q):
+    """The epoch shuffle must never fall into the single-partition
+    global-window shape: its exchange hash-partitions by the shard
+    expression, not SinglePartition."""
+    plan = formatted_plan(q("prep_epoch_shuffle"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
