@@ -185,6 +185,20 @@ SEARCH_STATS_SCHEMA = T.StructType(
     ]
 )
 
+#: persisted PCA sufficient-statistic table (operators/similarity.py):
+#: upper-triangle Gram entries as (i, j, g) rows, the per-dimension sum
+#: vector as (pos, -1, s) rows, and the corpus count as one (-1, -1, n)
+#: row — one table so the whole state publishes in ONE pointer swap.
+#: Registered so a state-never-built warehouse reads EMPTY (first append
+#: is the build) instead of raising KeyError('pca_state').
+PCA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("i", T.LongType(), True),
+        T.StructField("j", T.LongType(), True),
+        T.StructField("g", T.DoubleType(), True),
+    ]
+)
+
 PIPELINE_TABLES = ("jobs", "staging", "issues", "issue_items", "contacts")
 
 SCHEMAS = {
@@ -198,4 +212,5 @@ SCHEMAS = {
     "neardup_bands": NEARDUP_BANDS_SCHEMA,
     "search_postings": SEARCH_POSTINGS_SCHEMA,
     "search_stats": SEARCH_STATS_SCHEMA,
+    "pca_state": PCA_STATE_SCHEMA,
 }

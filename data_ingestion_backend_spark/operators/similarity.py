@@ -936,6 +936,14 @@ def pca_fit(emb: DataFrame, r: int = PCA_COMPONENTS):
     for row in sums:
         s[row["pos"]] = row["s"]
         n = row["n"]
+    return _eig_from_stats(G, s, n, r)
+
+
+def _eig_from_stats(G, s, n: int, r: int):
+    """Shared eigen step: covariance from (Gram, sum, count), top-``r``
+    eigenvectors with deterministic sign, rounded to the PCA grid."""
+    import numpy as np
+
     mu = s / n
     C = G / n - np.outer(mu, mu)
     w, V = np.linalg.eigh(C)  # ascending
@@ -989,3 +997,107 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("comp").cast("bigint").alias("comp"), "value")
         .orderBy("vec_id", "comp")
     )
+
+
+# --- incremental PCA state maintenance --------------------------------------
+#
+# The Gram matrix, sum vector, and count are MERGEABLE sufficient
+# statistics: state(corpus ∪ batch) = state(corpus) + state(batch).  So
+# PCA over a growing corpus is maintained, not rebuilt — the same
+# persisted-index contract as BM25 and IVF: per-batch cost is
+# O(|batch| · d) GEMM + a d²-row merge, the corpus is never rescanned.
+#
+# All three statistics live in ONE table (see models.PCA_STATE_SCHEMA's
+# row encoding) so the state publishes in a single atomic pointer swap —
+# a reader can never see a Gram that includes a batch whose count
+# excludes it.  Merge caveat (documented, tested): Gram entries are
+# float64 sums, so merge order can drift from a monolithic rebuild by
+# ~1 ulp per merge; the rebuild-equality golden asserts agreement to
+# 1e-9 (far below the PCA_ROUND grid downstream eigenvectors snap to),
+# not bit equality — the price of float statistics, vs the integer
+# stats BM25 chose.  A corpus needing bit-stable audits would scale the
+# embeddings onto an integer grid first (the emb_quantize_int8 path).
+
+PCA_STATE_TABLE = "pca_state"
+
+
+def _pca_state(emb: DataFrame) -> DataFrame:
+    """(i, j, g) encoded sufficient statistics of one corpus/batch."""
+    gram = (
+        _gram_partials(emb, "e")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+    sums = (
+        emb.select(F.posexplode("e").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    sum_rows = sums.select(
+        F.col("pos").cast("bigint").alias("i"),
+        F.lit(-1).cast("bigint").alias("j"),
+        F.col("s").alias("g"),
+    )
+    count_row = sums.agg(F.max("n").alias("n")).select(
+        F.lit(-1).cast("bigint").alias("i"),
+        F.lit(-1).cast("bigint").alias("j"),
+        F.col("n").cast("double").alias("g"),
+    )
+    return gram.unionByName(sum_rows).unionByName(count_row)
+
+
+def build_pca_state(wh, emb: DataFrame) -> None:
+    """Materialize the PCA sufficient statistics for a corpus."""
+    wh.publish({PCA_STATE_TABLE: wh.stage(PCA_STATE_TABLE, _pca_state(emb))})
+
+
+def append_to_pca_state(wh, batch: DataFrame, batch_id: int | None = None) -> None:
+    """Absorb an embedding batch into the persisted PCA state.
+
+    A state never built reads as EMPTY, so the first append IS the
+    build.  ``batch_id`` opts into the shared exactly-once protocol
+    (streaming/txn.py): re-delivered ids are rejected, and a crash
+    before the marker makes the re-run rebuild from the intent-pinned
+    base version instead of double-counting its own partial commit.
+    """
+    from data_ingestion_backend_spark.streaming import txn
+
+    base = wh.current_version(PCA_STATE_TABLE)
+    if batch_id is not None:
+        if batch_id <= txn.last_batch(wh, PCA_STATE_TABLE):
+            return
+        bases = txn.begin_batch(
+            wh, PCA_STATE_TABLE, batch_id, {"state": base}
+        )
+        base = bases["state"]
+    merged = (
+        wh.read(PCA_STATE_TABLE, base)
+        .unionByName(_pca_state(batch))
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+    wh.publish({PCA_STATE_TABLE: wh.stage(PCA_STATE_TABLE, merged)})
+    if batch_id is not None:
+        txn.commit_batch(wh, PCA_STATE_TABLE, batch_id)
+
+
+def pca_fit_from_state(wh, r: int = PCA_COMPONENTS):
+    """(mu, components) from the persisted state — same math, same
+    determinism pins as :func:`pca_fit`, zero corpus scans."""
+    import numpy as np
+
+    d = EMB_DIM
+    rows = wh.read(PCA_STATE_TABLE).collect()
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for row in rows:
+        i, j, g = row["i"], row["j"], row["g"]
+        if i == -1 and j == -1:
+            n = int(g)
+        elif j == -1:
+            s[i] = g
+        else:
+            G[i, j] = g
+            G[j, i] = g
+    return _eig_from_stats(G, s, n, r)
