@@ -128,6 +128,8 @@ STANDALONE_HEADLINE = [
     "dedup_substring_cut",
     # round-8: span-level train/test decontamination
     "prep_decontaminate_spans",
+    # round-8: bigram-LM surprisal quality scoring (CCNet-style, integer-exact)
+    "text_lm_surprisal",
 ]
 
 

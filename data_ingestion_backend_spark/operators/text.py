@@ -804,3 +804,126 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges, _ = bpe_learn_merges_batched(docs.select("text"))
     return bpe_encode(docs, merges)
+
+
+# --- Bigram language-model surprisal (CCNet-style quality signal) ------------
+#
+# The standard pre-training quality filter scores each document by how
+# "surprising" a corpus-level language model finds it (CCNet, Wenzek et
+# al. LREC 2020, filters by KenLM perplexity).  This is the distributed,
+# integer-exact form: a bigram model with add-one smoothing is trained on
+# the corpus itself in one pass, and each document's mean per-bigram
+# surprisal is reported in whole-bit quantization.
+#
+# Integer-exactness discipline: the per-bigram probability is the exact
+# rational (c12+1)/(c1+V).  Its surprisal is quantized to WHOLE BITS as
+# length(bin((c1+V) div (c12+1))) — floor(log2(den/num))+1, computed in
+# pure BIGINT arithmetic that both engines evaluate identically (bin()
+# and integer division probed cross-engine).  No ln()/log() float call
+# anywhere, so the cert carries no last-ulp libm risk; a production
+# deployment wanting fractional bits swaps the terminal for double
+# log2() on the same counts (the counts themselves stay exact).
+
+#: documents shorter than a bigram carry no signal and are excluded on
+#: both engines.
+_LM_MIN_TOKENS = 2
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram surprisal under a corpus-trained add-one
+    bigram LM → (doc_id, n_bigrams, sum_bits, surprisal_millibits).
+
+    Plan shape (all codegen, zero Python):
+      1. explode bigram positions → groupBy(doc_id, w1, w2) with COUNT —
+         one shuffle with map-side combine; downstream stages see the
+         per-doc DISTINCT bigram table (multiplicity k rides along), not
+         raw positions.
+      2. model tables by aggregation, not window: c12 = groupBy(w1,w2),
+         c1 = groupBy(w1).  Hot bigrams ("of the") make window partitions
+         unbounded at 100 TB — partial aggregation bounds them map-side,
+         and the join back is AQE-skew-splittable where a window is not.
+      3. V (distinct left contexts) stays in-plan as a broadcast 1-row
+         aggregate (no driver round-trip).
+      4. join keys stay the word STRINGS: unlike the fuzzy join's hashed
+         ids (collision merely creates a candidate that verification
+         rejects), a fingerprint collision here would silently merge two
+         bigrams' counts — exactness requires the real key.  Bigrams are
+         two words; the shuffled k-compressed table is vocabulary-shaped,
+         not corpus-shaped.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _LM_MIN_TOKENS
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    grams = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    c12 = grams.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = grams.groupBy("w1").agg(F.sum("k").alias("c1"))
+    vdf = grams.agg(F.count_distinct("w1").cast("bigint").alias("V"))
+    scored = (
+        grams.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vdf))
+        .withColumn(
+            "bits",
+            F.length(F.bin(F.expr("(c1 + V) div (c12 + 1)"))).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("bits")).cast("bigint").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_bits",
+            F.expr("(1000 * sum_bits) div n_bigrams").alias("surprisal_millibits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# the oracle mirrors every stage; bigram key = 'w1 w2' (words cannot
+# contain the separator — they came from splitting on it).
+_LM_SQL = f"""WITH grams0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_LM_MIN_TOKENS}
+),
+grams AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS k FROM grams0 GROUP BY doc_id, g
+),
+c12 AS (SELECT g, SUM(k) AS c12 FROM grams GROUP BY g),
+c1 AS (SELECT string_split(g, ' ')[1] AS w1, SUM(k) AS c1 FROM grams GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT string_split(g, ' ')[1]) AS BIGINT) AS V FROM grams),
+scored AS (
+  SELECT gr.doc_id, gr.k,
+         CAST(length(bin((c1.c1 + v.V) // (c12.c12 + 1))) AS BIGINT) AS bits
+  FROM grams gr
+  JOIN c12 ON c12.g = gr.g
+  JOIN c1 ON c1.w1 = string_split(gr.g, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       CAST(SUM(k * bits) AS BIGINT) AS sum_bits,
+       (1000 * CAST(SUM(k * bits) AS BIGINT)) // CAST(SUM(k) AS BIGINT)
+         AS surprisal_millibits
+FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+
+@_register_standalone("text_lm_surprisal", _LM_SQL)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM surprisal per document (quality signal)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_surprisal(docs)
