@@ -130,6 +130,8 @@ STANDALONE_HEADLINE = [
     "prep_decontaminate_spans",
     # round-8: bigram-LM surprisal quality scoring (CCNet-style, integer-exact)
     "text_lm_surprisal",
+    # round-8: fuzzy (MinHash) train-vs-held-out decontamination
+    "prep_decontaminate_fuzzy",
 ]
 
 

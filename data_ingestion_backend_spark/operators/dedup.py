@@ -298,9 +298,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _minhash_ctes() -> str:
-    """Shared CTE chain ending in ``pairs`` (the thresholded near-dup pairs);
-    reused by the pairs oracle and the cluster-closure oracle."""
+def _minhash_base_ctes() -> str:
+    """The shared sh → sig → bands CTE prefix (shingles, signatures, LSH
+    band keys); composed by every oracle in the minhash family."""
     hash_expr = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
     mins = ",\n            ".join(
         f"min(({a} * {hash_expr} + {b}) % {MINHASH_P}) AS m{j}"
@@ -323,7 +323,13 @@ def _minhash_ctes() -> str:
       ),
       bands AS (
         {band_selects}
-      ),
+      )"""
+
+
+def _minhash_ctes() -> str:
+    """Shared CTE chain ending in ``pairs`` (the thresholded near-dup pairs);
+    reused by the pairs oracle and the cluster-closure oracle."""
+    return f"""{_minhash_base_ctes()},
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y
@@ -1654,4 +1660,101 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.col("kept.tok"))).alias("clean_hash"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy benchmark decontamination (MinHash-LSH, cross-corpus)
+# --------------------------------------------------------------------------
+#
+# prep_decontaminate (mlprep.py) catches VERBATIM contamination via exact
+# 8-gram overlap; production decontamination also drops train documents
+# that are NEAR-duplicates of held-out/benchmark documents — lightly
+# edited copies share few long n-grams but keep high shingle Jaccard
+# (the fuzzy pass GPT-3 appendix C and the Llama reports describe).
+# This is that pass, built from the same certified MinHash machinery as
+# dedup_minhash_lsh, restricted to TRAIN × HELD-OUT candidates:
+# the two band tables come from disjoint splits, so no self-pair or
+# train×train work exists anywhere in the plan.
+
+
+def decontaminate_fuzzy_frame(docs: DataFrame) -> DataFrame:
+    """Train docs near-duplicate (Jaccard ≥ threshold) to any held-out
+    doc → (doc_train, doc_heldout, jaccard).
+
+    Split convention is prep_split_assign's deterministic md5 bucket:
+    train = bucket < TRAIN_PCT, held-out = the rest (val + test — train
+    must be clean against EVERYTHING that will ever be evaluated).
+
+    Scale shape: the held-out side is 2% of the corpus (benchmark-sized);
+    no static broadcast hint — at 100 TB that 2% is still 2 TB, AQE
+    broadcasts when the runtime size genuinely fits (same rationale as
+    prep_decontaminate).  Candidate volume is band-bounded exactly as in
+    dedup_minhash_lsh, and verification touches candidates only.
+    """
+    from data_ingestion_backend_spark.operators.mlprep import TRAIN_PCT
+
+    per_doc = minhash_per_doc_frame(docs)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    bands = _band_table(per_doc).withColumn("bucket", bucket)
+    train_b = bands.filter(F.col("bucket") < TRAIN_PCT).drop("bucket")
+    held_b = bands.filter(F.col("bucket") >= TRAIN_PCT).drop("bucket")
+    cand = (
+        train_b.alias("x")
+        .join(
+            held_b.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(per_doc, cand, JACCARD_THRESHOLD).select(
+        F.col("doc_a").alias("doc_train"),
+        F.col("doc_b").alias("doc_heldout"),
+        "jaccard",
+    )
+
+
+def _decon_fuzzy_oracle_sql() -> str:
+    from data_ingestion_backend_spark.operators.mlprep import TRAIN_PCT
+
+    split = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8)) AS BIGINT) % 100"
+    )
+    return f"""WITH {_minhash_base_ctes()},
+      split AS (SELECT doc_id, {split} AS bucket FROM documents),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_train, y.doc_id AS doc_heldout
+        FROM bands x
+        JOIN split sx ON sx.doc_id = x.doc_id AND sx.bucket < {TRAIN_PCT}
+        JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        JOIN split sy ON sy.doc_id = y.doc_id AND sy.bucket >= {TRAIN_PCT}
+      ),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_train, c.doc_heldout, COUNT(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_train
+        JOIN sh b ON b.doc_id = c.doc_heldout AND b.s = a.s
+        GROUP BY c.doc_train, c.doc_heldout
+      )
+      SELECT i.doc_train, i.doc_heldout,
+             round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_train
+      JOIN sizes sb ON sb.doc_id = i.doc_heldout
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+      ORDER BY doc_train, doc_heldout"""
+
+
+@_register_standalone("prep_decontaminate_fuzzy", _decon_fuzzy_oracle_sql())
+def prep_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) train-vs-held-out decontamination report."""
+    return decontaminate_fuzzy_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
