@@ -132,6 +132,8 @@ STANDALONE_HEADLINE = [
     "text_lm_surprisal",
     # round-8: fuzzy (MinHash) train-vs-held-out decontamination
     "prep_decontaminate_fuzzy",
+    # round-8: per-source n-gram diversity profile (integer-ppm terminal)
+    "text_ngram_diversity",
 ]
 
 

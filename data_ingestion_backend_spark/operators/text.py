@@ -927,3 +927,100 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM surprisal per document (quality signal)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_surprisal(docs)
+
+
+# --- Corpus diversity profiling (per-source n-gram type/token ratios) --------
+#
+# Curation dashboards track whether a source is template spam (few
+# distinct n-grams repeated) or genuinely diverse — the distinct/total
+# n-gram ratio ("self-repetition" inverse, the corpus-level cousin of
+# prep_repetition's per-doc top-bigram fraction).  Integer-exact: ratios
+# are reported in ppm via BIGINT division, so the cert has no float
+# terminal at all.
+
+
+def ngram_diversity(docs: DataFrame) -> DataFrame:
+    """Per-source diversity profile → (source, n_tokens, distinct_tokens,
+    ttr_ppm, n_trigrams, distinct_trigrams, trigram_diversity_ppm).
+
+    Scale shape: ``source`` alone is low-cardinality (a hot groupBy key),
+    so BOTH distinct counts run two-phase — groupBy(source, gram) first
+    (uniform keys, map-side combine), then the vocabulary-sized re-agg
+    per source.  No count_distinct over a skewed key anywhere.
+    """
+    toks = docs.select("source", F.split("text", " ").alias("t"))
+
+    def profile(exploded: DataFrame, prefix: str) -> DataFrame:
+        per_gram = exploded.groupBy("source", "g").agg(
+            F.count("*").cast("bigint").alias("k")
+        )
+        return per_gram.groupBy("source").agg(
+            F.sum("k").cast("bigint").alias(f"n_{prefix}"),
+            F.count("*").cast("bigint").alias(f"distinct_{prefix}"),
+        )
+
+    uni = profile(
+        toks.select("source", F.explode("t").alias("g")), "tokens"
+    )
+    tri = profile(
+        toks.filter(F.size("t") >= 3).select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("g"),
+        ),
+        "trigrams",
+    )
+    return (
+        uni.join(tri, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "distinct_tokens",
+            F.expr("(1000000 * distinct_tokens) div n_tokens").alias("ttr_ppm"),
+            "n_trigrams",
+            "distinct_trigrams",
+            F.expr("(1000000 * distinct_trigrams) div n_trigrams").alias(
+                "trigram_diversity_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_DIVERSITY_SQL = """WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+),
+uni AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_tokens
+  FROM (SELECT source, unnest(t) AS g FROM toks)
+  GROUP BY source
+),
+tri AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS distinct_trigrams
+  FROM (SELECT source,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks WHERE len(t) >= 3)
+  GROUP BY source
+)
+SELECT uni.source, n_tokens, distinct_tokens,
+       (1000000 * distinct_tokens) // n_tokens AS ttr_ppm,
+       n_trigrams, distinct_trigrams,
+       (1000000 * distinct_trigrams) // n_trigrams AS trigram_diversity_ppm
+FROM uni JOIN tri ON tri.source = uni.source
+ORDER BY uni.source"""
+
+
+@_register_standalone("text_ngram_diversity", _DIVERSITY_SQL)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity profile over the documents fixture."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return ngram_diversity(docs)
