@@ -1678,7 +1678,9 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train×train work exists anywhere in the plan.
 
 
-def decontaminate_fuzzy_frame(docs: DataFrame) -> DataFrame:
+def decontaminate_fuzzy_frame(
+    docs: DataFrame, per_doc: DataFrame | None = None
+) -> DataFrame:
     """Train docs near-duplicate (Jaccard ≥ threshold) to any held-out
     doc → (doc_train, doc_heldout, jaccard).
 
@@ -1690,11 +1692,14 @@ def decontaminate_fuzzy_frame(docs: DataFrame) -> DataFrame:
     no static broadcast hint — at 100 TB that 2% is still 2 TB, AQE
     broadcasts when the runtime size genuinely fits (same rationale as
     prep_decontaminate).  Candidate volume is band-bounded exactly as in
-    dedup_minhash_lsh, and verification touches candidates only.
+    dedup_minhash_lsh, and verification touches candidates only.  Pass
+    ``per_doc`` to reuse the family's session-memoized signature table
+    (the registered wrapper does — banding + two verify arms consume it).
     """
     from data_ingestion_backend_spark.operators.mlprep import TRAIN_PCT
 
-    per_doc = minhash_per_doc_frame(docs)
+    if per_doc is None:
+        per_doc = minhash_per_doc_frame(docs)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
@@ -1755,6 +1760,5 @@ def _decon_fuzzy_oracle_sql() -> str:
 @_register_standalone("prep_decontaminate_fuzzy", _decon_fuzzy_oracle_sql())
 def prep_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (near-duplicate) train-vs-held-out decontamination report."""
-    return decontaminate_fuzzy_frame(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate_fuzzy_frame(docs, per_doc=_minhash_per_doc(spark, sf_dir))

@@ -829,7 +829,24 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_MIN_TOKENS = 2
 
 
-def bigram_surprisal(docs: DataFrame) -> DataFrame:
+def bigram_grams_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct-bigram table (doc_id, w1, w2, k) — the one
+    corpus-sized pass; everything the LM needs derives from this."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _LM_MIN_TOKENS
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    return pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+
+
+def bigram_surprisal(docs: DataFrame, grams: DataFrame | None = None) -> DataFrame:
     """Per-document mean bigram surprisal under a corpus-trained add-one
     bigram LM → (doc_id, n_bigrams, sum_bits, surprisal_millibits).
 
@@ -837,7 +854,11 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
       1. explode bigram positions → groupBy(doc_id, w1, w2) with COUNT —
          one shuffle with map-side combine; downstream stages see the
          per-doc DISTINCT bigram table (multiplicity k rides along), not
-         raw positions.
+         raw positions.  FOUR plan arms consume that table (main, c12,
+         c1, V) and Spark re-executes common subplans per consumer, so
+         the registered wrapper persists it via the session memo — pass
+         ``grams`` to reuse a cached build (plan pin:
+         tests/test_plans.py asserts one parquet scan).
       2. model tables by aggregation, not window: c12 = groupBy(w1,w2),
          c1 = groupBy(w1).  Hot bigrams ("of the") make window partitions
          unbounded at 100 TB — partial aggregation bounds them map-side,
@@ -851,18 +872,8 @@ def bigram_surprisal(docs: DataFrame) -> DataFrame:
          two words; the shuffled k-compressed table is vocabulary-shaped,
          not corpus-shaped.
     """
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= _LM_MIN_TOKENS
-    )
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    grams = pairs.groupBy("doc_id", "w1", "w2").agg(
-        F.count("*").cast("bigint").alias("k")
-    )
+    if grams is None:
+        grams = bigram_grams_frame(docs)
     c12 = grams.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
     c1 = grams.groupBy("w1").agg(F.sum("k").alias("c1"))
     vdf = grams.agg(F.count_distinct("w1").cast("bigint").alias("V"))
@@ -925,8 +936,13 @@ FROM scored GROUP BY doc_id ORDER BY doc_id"""
 @_register_standalone("text_lm_surprisal", _LM_SQL)
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM surprisal per document (quality signal)."""
+    from data_ingestion_backend_spark.operators.dedup import _session_persisted
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return bigram_surprisal(docs)
+    grams = _session_persisted(
+        spark, sf_dir, "lm_bigram_grams", lambda: bigram_grams_frame(docs)
+    )
+    return bigram_surprisal(docs, grams=grams)
 
 
 # --- Corpus diversity profiling (per-source n-gram type/token ratios) --------

@@ -7,6 +7,8 @@ regression even when results stay correct.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from data_ingestion_backend_spark.plans.audit import (
@@ -242,3 +244,24 @@ def test_epoch_shuffle_window_is_partitioned(q):
     plan = formatted_plan(q("prep_epoch_shuffle"))
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_lm_surprisal_single_corpus_pass(q):
+    """The bigram LM's four consumers (per-doc arm, c12, c1, V) must all
+    read the persisted grams table, not re-run the tokenize+explode
+    pipeline: one DISTINCT parquet scan node (repeated renderings of the
+    same cached InMemoryRelation don't count), four InMemoryTableScans."""
+    plan = formatted_plan(q("text_lm_surprisal"))
+    scan_nodes = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_nodes) <= 1
+    assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_decon_fuzzy_reuses_memoized_signatures(q):
+    """Fuzzy decontamination shares the minhash family's session-memoized
+    per-doc signature table: every arm (train bands, held-out bands, both
+    verify sides) reads the cache, never a fresh corpus pipeline."""
+    plan = formatted_plan(q("prep_decontaminate_fuzzy"))
+    scan_nodes = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_nodes) <= 1
+    assert plan.count("InMemoryTableScan") >= 4
