@@ -134,6 +134,8 @@ STANDALONE_HEADLINE = [
     "prep_decontaminate_fuzzy",
     # round-8: per-source n-gram diversity profile (integer-ppm terminal)
     "text_ngram_diversity",
+    # round-8: temperature-scaled source mixing (T=0.5, exact isqrt weights)
+    "prep_mix_temperature",
 ]
 
 

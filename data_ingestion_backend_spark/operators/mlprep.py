@@ -1195,3 +1195,128 @@ def prep_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_len")
         .orderBy("doc_id", "span_start")
     )
+
+
+# --- temperature-scaled source mixing (T = 0.5) ------------------------------
+#
+# Multilingual / multi-domain pre-training rebalances sources by
+# count^T (XLM-R §3.1, mT5: T in [0.2, 0.7] upsamples rare sources and
+# downsamples head sources).  This is the T = 0.5 pass in fully integer
+# arithmetic: weights are EXACT integer square roots of the per-source
+# counts, so the cert has no float terminal and no pow() cross-engine
+# risk.  floor(sqrt(double)) alone can be off by one ulp near perfect
+# squares (probed: 999999999999999999 → 1000000000 instead of
+# 999999999), so both engines apply the ±1 correction that makes the
+# result exactly math.isqrt — the same belt-and-braces discipline as
+# the histogram module's integer edges.
+
+
+def _isqrt_sql(n: str) -> str:
+    """Exact integer sqrt of a BIGINT expression, portable to both
+    engines: float sqrt as a fast guess, then a ±1 integer correction
+    (error of floor(sqrt(double)) is at most 1 for n < 2^63)."""
+    base = f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({base} + (CASE WHEN ({base}+1)*({base}+1) <= {n} THEN 1 ELSE 0 END)"
+        f" - (CASE WHEN {base}*{base} > {n} THEN 1 ELSE 0 END))"
+    )
+
+
+def mix_temperature(docs: DataFrame) -> DataFrame:
+    """Resample to the T = 0.5 source mix → (doc_id, source, src_rank).
+
+    Integer plan: per-source weights w_s = isqrt(n_s); the achievable
+    total is T = min_s floor(n_s·W / w_s) (the most constrained source
+    binds — for T < 1 that is always the LARGEST source, the opposite
+    of mix_to_targets' fixed-dict case); each source keeps its
+    floor(w_s·T / W) md5-first-ranked docs (≤ n_s by construction).
+    Products stay in BIGINT range: n_s·W < 2^63 for any corpus where
+    n_s < 1e12 and Σ isqrt(n_s) < 1e6 — i.e. far past 100 TB of docs.
+
+    Distributed shape: counts/weights/quota are ≤|sources| rows (one
+    tiny aggregate + broadcast-back joins); the only data-sized work is
+    the per-source ranking window, identical to mix_to_targets.
+    """
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    weights = counts.withColumn("w", F.expr(_isqrt_sql("n")))
+    wsum = weights.agg(F.sum("w").cast("bigint").alias("w_total"))
+    t_bound = (
+        weights.crossJoin(F.broadcast(wsum))
+        .select(F.expr("(n * w_total) div w").alias("t_cap"))
+        .agg(F.min("t_cap").alias("t_all"))
+    )
+    quota = (
+        weights.crossJoin(F.broadcast(wsum))
+        .crossJoin(F.broadcast(t_bound))
+        .select("source", F.expr("(w * t_all) div w_total").alias("quota"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.join(quota, "source")
+        .select("doc_id", "source", rk.alias("src_rank"), "quota")
+        .filter(F.col("src_rank") <= F.col("quota"))
+        .select("doc_id", "source", F.col("src_rank").cast("bigint").alias("src_rank"))
+        .orderBy("doc_id")
+    )
+
+
+# The fixture's 20 sources are UNIFORM (the mix would be a no-op and the
+# cert trivial), so the registered form first derives a deterministically
+# SKEWED sub-corpus — per-source keep rate 5%·rank(source) via the usual
+# md5 bucket — and rebalances that.  Same planting technique as the PII
+# cert: both engines share the construction verbatim.
+_MIX_SKEW_SQL = """skewed AS (
+  SELECT d.doc_id, d.source
+  FROM documents d
+  JOIN (SELECT source,
+               ROW_NUMBER() OVER (ORDER BY source) AS si
+        FROM (SELECT DISTINCT source FROM documents)) s USING (source)
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < 5 * si
+)"""
+
+_MIX_TEMP_SQL = f"""WITH {_MIX_SKEW_SQL},
+counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM skewed GROUP BY source
+),
+weights AS (SELECT source, n, {_isqrt_sql('n')} AS w FROM counts),
+wsum AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM weights),
+bound AS (SELECT MIN((n * w_total) // w) AS t_all FROM weights CROSS JOIN wsum),
+quota AS (
+  SELECT source, (w * t_all) // w_total AS quota
+  FROM weights CROSS JOIN wsum CROSS JOIN bound
+),
+rk AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS src_rank
+  FROM skewed
+)
+SELECT r.doc_id, r.source, CAST(r.src_rank AS BIGINT) AS src_rank
+FROM rk r JOIN quota q USING (source)
+WHERE r.src_rank <= q.quota
+ORDER BY r.doc_id"""
+
+
+@_register_standalone("prep_mix_temperature", _MIX_TEMP_SQL)
+def prep_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T = 0.5 temperature-rebalanced corpus (the XLM-R mixing pass) over
+    the deterministically skewed fixture sub-corpus (see _MIX_SKEW_SQL —
+    the raw fixture's sources are uniform, which would certify nothing)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    si = F.row_number().over(Window.orderBy("source"))  # ≤20 distinct sources
+    srcs = docs.select("source").distinct().withColumn("si", si)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    skewed = docs.join(srcs, "source").filter(bucket < 5 * F.col("si")).select(
+        "doc_id", "source"
+    )
+    return mix_temperature(skewed)
