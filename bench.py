@@ -136,6 +136,8 @@ STANDALONE_HEADLINE = [
     "text_ngram_diversity",
     # round-8: temperature-scaled source mixing (T=0.5, exact isqrt weights)
     "prep_mix_temperature",
+    # round-8: product quantization ANN (ADC shortlist + exact re-rank)
+    "sim_pq_topk",
 ]
 
 
