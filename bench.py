@@ -138,6 +138,8 @@ STANDALONE_HEADLINE = [
     "prep_mix_temperature",
     # round-8: product quantization ANN (ADC shortlist + exact re-rank)
     "sim_pq_topk",
+    # round-8: DPR-style BM25 hard-negative mining
+    "search_hard_negatives",
 ]
 
 

@@ -503,3 +503,69 @@ def bm25_topk_persisted(
     return bm25_topk_from_index(
         postings, stats, queries, k=k, k1=k1, b=b, max_df_frac=max_df_frac
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for retrieval training (DPR-style)
+# --------------------------------------------------------------------------
+#
+# Training a dense retriever needs, per query, the top-ranked documents a
+# LEXICAL retriever surfaces that are NOT the relevant document — "hard
+# negatives" (Karpukhin et al., "Dense Passage Retrieval", EMNLP 2020
+# mines them from BM25).  The fixture's relevance labels are built in:
+# each probe query is derived from its document's leading tokens, so
+# doc_id == query_id IS the positive.  The miner therefore runs the
+# certified BM25 pipeline, drops the positive, and re-ranks — sharing
+# _BM25_CORE_CTES verbatim with the BM25/hybrid oracles so the three can
+# never drift.
+
+N_HARD_NEGATIVES = 5
+
+_HARD_NEG_ORACLE = f"""
+WITH {_BM25_CORE_CTES}
+SELECT query_id, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_i DESC, doc_id) AS BIGINT)
+         AS neg_rank,
+       ROUND(score_i / 10000.0, 4) AS score
+FROM lexr
+WHERE rnk <= {N_HARD_NEGATIVES + 1} AND doc_id <> query_id
+QUALIFY neg_rank <= {N_HARD_NEGATIVES}
+ORDER BY query_id, neg_rank
+"""
+
+
+def bm25_hard_negatives(
+    docs: DataFrame, queries: DataFrame, n_neg: int = N_HARD_NEGATIVES
+) -> DataFrame:
+    """(query_id, doc_id, neg_rank, score): per query, the ``n_neg``
+    highest-BM25 documents excluding the positive (doc_id == query_id).
+
+    Correct under exclusion-then-rerank: the top n_neg+1 overall always
+    contain the true top-n_neg negatives whether or not the positive is
+    among them, so one certified BM25 pass at k = n_neg+1 suffices — no
+    second scoring join, no corpus rescan.
+    """
+    ranked = bm25_topk(docs, queries, k=n_neg + 1)
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    return (
+        ranked.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select("query_id", "doc_id", "neg_rank", "score")
+        .orderBy("query_id", "neg_rank")
+    )
+
+
+@_register_standalone("search_hard_negatives", _HARD_NEG_ORACLE)
+def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard negatives for the fixture probe queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter((F.col("doc_id") % 100 == 3) & (F.col("doc_id") < 500))
+    queries = probes.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.slice(F.split(F.col("text"), " "), 1, QUERY_PREFIX_TOKENS)
+        ).alias("term"),
+    ).distinct()
+    return bm25_hard_negatives(docs, queries)

@@ -299,3 +299,33 @@ def test_append_with_batch_id_is_exactly_once(spark, tmp_path):
     append_to_search_index(wh2, batch, batch_id=0)  # re-delivery
     assert wh2.read(SEARCH_POSTINGS_TABLE).count() == n_postings
     assert wh2.read(SEARCH_STATS_TABLE).collect()[0] == stats
+
+
+def test_hard_negatives_exclude_positive_and_rerank(spark):
+    """The positive (query_id == doc_id, which ranks first for
+    prefix-derived queries) never appears; ranks are contiguous from 1
+    and each query yields exactly N_HARD_NEGATIVES rows; the negatives
+    are exactly the BM25 top list with the positive removed."""
+    from data_ingestion_backend_spark.operators.search import (
+        N_HARD_NEGATIVES,
+        search_bm25_topk,
+        search_hard_negatives,
+    )
+    from tests.conftest import SF_DIR_SMALL
+
+    neg = search_hard_negatives(spark, SF_DIR_SMALL).collect()
+    by_q = {}
+    for r in neg:
+        assert r["doc_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    top = search_bm25_topk(spark, SF_DIR_SMALL).collect()
+    top_by_q = {}
+    for r in top:
+        top_by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = [r["neg_rank"] for r in rows]
+        assert ranks == list(range(1, N_HARD_NEGATIVES + 1))
+        want = [
+            r["doc_id"] for r in top_by_q[q] if r["doc_id"] != q
+        ][:N_HARD_NEGATIVES]
+        assert [r["doc_id"] for r in rows] == want
