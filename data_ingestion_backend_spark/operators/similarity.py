@@ -1333,3 +1333,139 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     C, _ = pq_train(emb)
     return pq_topk(spark, emb, C)
+
+
+# --- persisted PQ index: maintained, not rebuilt ------------------------------
+#
+# The at-rest form of the PQ family, mirroring the IVF index above: the
+# codebooks and the 4-byte-per-vector code table are materialized once,
+# new batches are encoded with the FROZEN codebooks (one broadcast-join
+# pass over the batch only — daily cost independent of index size) and
+# appended, and compressed ADC search reads codes only, never a float
+# vector.  Frozen codebooks rot like frozen IVF quantizers do, so append
+# returns a reconstruction-error drift reading against the build-time
+# baseline; as with IVF, the monitor signals — it does not gate — and a
+# deployment calibrates the tolerance from its first known-good batches
+# (the baseline is in-index fit, which a same-distribution holdout batch
+# reads slightly worse than by the train/holdout gap).
+
+
+def _pq_recon_error(spark: SparkSession, subs_assigned: DataFrame, C) -> float:
+    """Mean squared reconstruction error: avg over (vec, sub) of the L2
+    distance to the assigned codebook entry — the scalar that says how
+    well the frozen codebooks still fit the data they encode."""
+    cb = _codebook_df(spark, C).withColumnRenamed("cid", "code")
+    return float(
+        subs_assigned.join(F.broadcast(cb), ["sub", "code"])
+        .agg(F.avg(_l2_expr(F.col("sv"), F.col("cv"))).alias("e"))
+        .collect()[0]["e"]
+    )
+
+
+def build_pq_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
+    """Train codebooks on the corpus and materialize (codebooks, codes,
+    stats) — compressed search needs nothing else at query time."""
+    import os
+
+    C, _ = pq_train(corpus)
+    _codebook_df(spark, C).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    assigned = _pq_assign(spark, _subvector_table(corpus), C).localCheckpoint(
+        eager=True
+    )
+    assigned.select("vec_id", "sub", "code").write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    spark.createDataFrame(
+        [(_pq_recon_error(spark, assigned, C),)], "baseline_recon double"
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def _read_codebooks(spark: SparkSession, path: str):
+    import os
+
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(os.path.join(path, "codebooks"))
+        .orderBy("sub", "cid")
+        .collect()
+    )
+    m = max(r["sub"] for r in rows) + 1
+    k = max(r["cid"] for r in rows) + 1
+    C = np.zeros((m, k, len(rows[0]["cv"])))
+    for r in rows:
+        C[r["sub"], r["cid"]] = r["cv"]
+    return C
+
+
+def append_to_pq_index(
+    spark: SparkSession, path: str, batch: DataFrame, drift_tol: float = 0.5
+) -> dict:
+    """Encode a new batch with the index's frozen codebooks and append its
+    codes — the PQ twin of ``append_to_ivf_index``.  Returns
+    ``{baseline_recon, batch_recon, drift, retrain}`` where drift is the
+    RELATIVE reconstruction-error increase over the build baseline."""
+    import os
+
+    C = _read_codebooks(spark, path)
+    assigned = _pq_assign(spark, _subvector_table(batch), C).localCheckpoint(
+        eager=True
+    )
+    batch_recon = _pq_recon_error(spark, assigned, C)
+    baseline = float(
+        spark.read.parquet(os.path.join(path, "stats")).collect()[0][
+            "baseline_recon"
+        ]
+    )
+    assigned.select("vec_id", "sub", "code").write.mode("append").parquet(
+        os.path.join(path, "codes")
+    )
+    drift = (batch_recon - baseline) / baseline if baseline > 0 else 0.0
+    return {
+        "baseline_recon": baseline,
+        "batch_recon": batch_recon,
+        "drift": drift,
+        "retrain": drift > drift_tol,
+    }
+
+
+def pq_search_persisted(
+    spark: SparkSession, path: str, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Compressed ADC search over the persisted code table:
+    (query_id, vec_id, adc), smallest first.  ``queries`` carries
+    (query_id, qe); the per-query distance tables are the usual
+    driver-side control-plane batch, and the scan reads ONLY the 4-byte
+    codes — the float vectors never leave the object store."""
+    import os
+
+    import numpy as np
+
+    C = _read_codebooks(spark, path)
+    dt_rows = []
+    for r in queries.select("query_id", "qe").collect():
+        q = np.asarray(r["qe"], dtype=np.float64)
+        for s in range(C.shape[0]):
+            qs = q[s * PQ_DSUB : (s + 1) * PQ_DSUB]
+            for c in range(C.shape[1]):
+                acc = 0.0
+                for x, y in zip(qs, C[s, c]):
+                    acc += (x - y) * (x - y)
+                dt_rows.append((int(r["query_id"]), int(s), int(c), float(acc)))
+    dtable = spark.createDataFrame(
+        dt_rows, "query_id bigint, sub bigint, code bigint, dt double"
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("dt"), 6).alias("adc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "adc")
+        .orderBy("query_id", "adc", "vec_id")
+    )
