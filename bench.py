@@ -140,6 +140,8 @@ STANDALONE_HEADLINE = [
     "sim_pq_topk",
     # round-8: DPR-style BM25 hard-negative mining
     "search_hard_negatives",
+    # round-8: degree-oriented exact triangle counting
+    "graph_triangles",
 ]
 
 

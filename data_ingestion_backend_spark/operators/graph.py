@@ -237,3 +237,119 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_ppb"), F.asc("node"))
         .limit(PR_TOPK)
     )
+
+
+# --- exact triangle counting (degree-oriented wedge join) ---------------------
+#
+# Third member of the graph family: the canonical clustering-structure
+# metric.  Graph = part co-occurrence (two parts connected iff they ever
+# appear in the same order; order sizes are bounded by the schema, so the
+# per-order C(items, 2) edge fan-out is a constant, not a skew risk).
+#
+# Spark plan is the Cohen / Suri–Vassilvitskii MapReduce algorithm: each
+# undirected edge is ORIENTED from its lower- to higher-(degree, id)
+# endpoint, wedges are enumerated only from each triangle's lowest-rank
+# apex (out-degrees under this orientation are O(√m)-bounded, which caps
+# the wedge join at O(m^1.5) — the published bound), and a final join
+# against the oriented edges closes the wedge.  Each triangle is found
+# EXACTLY once, so per-node counts are one union + groupBy.
+#
+# The DuckDB oracle deliberately uses the INDEPENDENT naive algorithm
+# (a < b < c three-way self-join): same triangle set, different
+# enumeration — an algorithm-level differential, not a transcription.
+
+GRAPH_TRI_TOPN = 20
+
+_TRIANGLE_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tri),
+pernode AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS x FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY x
+)
+SELECT x AS part, n_tri, t AS total_triangles
+FROM pernode CROSS JOIN total
+QUALIFY ROW_NUMBER() OVER (ORDER BY n_tri DESC, x) <= {GRAPH_TRI_TOPN}
+ORDER BY n_tri DESC, part"""
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, n_tri) for every triangle-participating node of an
+    undirected simple graph given as distinct (u, v) with u < v."""
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    ranked = (
+        edges.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedges = a.join(b, "src").filter(F.col("a.dst") != F.col("b.dst")).select(
+        "src", F.col("a.dst").alias("v"), F.col("b.dst").alias("w")
+    )
+    # exactly one of (v→w, w→v) is oriented, so each triangle closes once
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closer, ["v", "w"]).select(
+        F.col("src").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+    )
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+
+
+@_register_standalone("graph_triangles", _TRIANGLE_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{GRAPH_TRI_TOPN} triangle-participating parts of the
+    co-occurrence graph, with the global triangle total riding along
+    (Σ per-node counts = 3 × total — asserted by the golden)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        .distinct()
+    )
+    per_node = triangle_counts(edges)
+    total = per_node.agg(
+        (F.sum("n_tri") / 3).cast("bigint").alias("total_triangles")
+    )
+    # global top-k via orderBy+limit (TakeOrderedAndProject — distributed
+    # per-partition top-k + driver merge), never a SinglePartition window
+    return (
+        per_node.orderBy(F.desc("n_tri"), F.asc("node"))
+        .limit(GRAPH_TRI_TOPN)
+        .crossJoin(F.broadcast(total))
+        .select(F.col("node").alias("part"), "n_tri", "total_triangles")
+        .orderBy(F.desc("n_tri"), "part")
+    )

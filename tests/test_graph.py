@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from conftest import SF_DIR_ORACLE
+from conftest import SF_DIR_ORACLE, SF_DIR_SMALL
 from data_ingestion_backend_spark.operators.graph import (
     pagerank,
     pagerank_bucketed,
@@ -81,3 +81,30 @@ def test_bucketed_pagerank_plan_never_shuffles_edges(spark, tmp_path):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+
+def test_triangle_counts_on_planted_graphs(spark):
+    """K4 has 4 triangles with every node in 3; adding a pendant edge and
+    a disjoint path (no triangles) changes nothing."""
+    from data_ingestion_backend_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 10), (20, 21), (21, 22)]  # pendant + triangle-free path
+    edges = spark.createDataFrame(k4 + extra, ["u", "v"])
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_total_consistency(spark):
+    """Registry form: every node's count ≤ total, Σ top-counts ≤ 3·total,
+    and the riding total equals the independent recount."""
+    from data_ingestion_backend_spark.operators.graph import graph_triangles
+
+    rows = graph_triangles(spark, SF_DIR_SMALL).collect()
+    assert len(rows) > 0
+    total = rows[0]["total_triangles"]
+    assert all(r["total_triangles"] == total for r in rows)
+    assert all(0 < r["n_tri"] <= total for r in rows)
+    # descending with id tie-break
+    keys = [(-r["n_tri"], r["part"]) for r in rows]
+    assert keys == sorted(keys)
