@@ -306,12 +306,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
+    # three plan arms consume the oriented edges (both wedge sides + the
+    # closing probe); materialize once instead of re-running the edge
+    # build + degree joins per arm
+    oriented = oriented.localCheckpoint(eager=False)
     a, b = oriented.alias("a"), oriented.alias("b")
-    wedges = a.join(b, "src").filter(F.col("a.dst") != F.col("b.dst")).select(
+    # enumerate each unordered out-neighbor pair ONCE (v < w) and close
+    # against id-normalized edges — half the wedge volume of the naive
+    # (v, w)+(w, v) enumeration, same triangle set
+    wedges = a.join(b, "src").filter(F.col("a.dst") < F.col("b.dst")).select(
         "src", F.col("a.dst").alias("v"), F.col("b.dst").alias("w")
     )
-    # exactly one of (v→w, w→v) is oriented, so each triangle closes once
-    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    closer = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    )
     tri = wedges.join(closer, ["v", "w"]).select(
         F.col("src").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
     )
