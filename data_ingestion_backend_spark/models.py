@@ -201,6 +201,33 @@ PCA_STATE_SCHEMA = T.StructType(
 
 PIPELINE_TABLES = ("jobs", "staging", "issues", "issue_items", "contacts")
 
+#: streaming SEMANTIC admission gate tables (streaming/semgate.py): the
+#: cell-assigned embedding index, the verified cosine pair output, and
+#: the frozen coarse quantizer.  Registered so a never-seeded warehouse
+#: reads an EMPTY corpus (admit everything), same as the neardup tables.
+SEMDUP_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), True),
+        T.StructField("e", T.ArrayType(T.DoubleType()), True),
+        T.StructField("cluster", T.LongType(), True),
+    ]
+)
+
+SEMDUP_PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("new_id", T.LongType(), True),
+        T.StructField("old_id", T.LongType(), True),
+        T.StructField("cosine", T.DoubleType(), True),
+    ]
+)
+
+SEMDUP_CENTROIDS_SCHEMA = T.StructType(
+    [
+        T.StructField("cluster", T.LongType(), True),
+        T.StructField("centroid", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
 SCHEMAS = {
     "jobs": JOBS_SCHEMA,
     "staging": STAGING_SCHEMA,
@@ -213,4 +240,7 @@ SCHEMAS = {
     "search_postings": SEARCH_POSTINGS_SCHEMA,
     "search_stats": SEARCH_STATS_SCHEMA,
     "pca_state": PCA_STATE_SCHEMA,
+    "semdup_index": SEMDUP_INDEX_SCHEMA,
+    "semdup_pairs": SEMDUP_PAIRS_SCHEMA,
+    "semdup_centroids": SEMDUP_CENTROIDS_SCHEMA,
 }

@@ -1,0 +1,193 @@
+"""Streaming SEMANTIC admission gate: micro-batches of embeddings probe
+the persisted IVF-cell index for near-duplicates by cosine.
+
+The embedding-modality twin of :mod:`streaming.neardup` (which answers
+"is this a textual near-duplicate"): each arriving micro-batch of
+vectors is (a) cell-assigned with the index's FROZEN coarse quantizer
+(one Arrow GEMM pass over the batch only), (b) probed against the
+same-cell corpus slice for pairs with cosine ≥ the semantic threshold
+(batch×corpus ∪ batch×batch, never corpus×corpus), and (c) absorbed
+into the index so the next batch sees it.  This is the continuous form
+of ``similarity.semantic_dedup``'s candidate structure, with the
+incremental-index discipline of ``similarity.append_to_ivf_index``.
+
+Exactly-once reuses the shared three-guard commit (``streaming/txn.py``):
+stream checkpoint, last-admitted batch marker, and a pre-write intent
+pinning the pre-batch snapshot versions — a re-delivered batch after any
+crash point rebuilds from the pinned bases, never from a half-advanced
+pointer.  The quantizer table is written once at seed and never mutated
+by the gate, so it needs no base pinning.
+
+Scale notes: per-batch cost is one |batch|-sized GEMM + a cell-equi join
+whose corpus side is cell-pruned (the cell column is the join key; the
+persisted form at 100 TB is hive-partitioned by cell exactly like
+``build_ivf_index``).  The corpus is never re-assigned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.dedup import cosine_expr
+from data_ingestion_backend_spark.operators.similarity import (
+    _assign_clusters,
+    _train_centroids_sample,
+)
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+from data_ingestion_backend_spark.streaming import txn
+
+SEM_INDEX_TABLE = "semdup_index"
+SEM_PAIRS_TABLE = "semdup_pairs"
+SEM_CENTROIDS_TABLE = "semdup_centroids"
+
+#: admission threshold: same-cell pairs at or above this cosine are
+#: reported as semantic duplicates.
+SEM_THRESHOLD = 0.95
+
+
+def last_admitted_batch(wh: Warehouse) -> int:
+    return txn.last_batch(wh, SEM_PAIRS_TABLE)
+
+
+def _read_centroids(wh: Warehouse):
+    import numpy as np
+
+    rows = wh.read(SEM_CENTROIDS_TABLE).orderBy("cluster").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def seed_semantic_index(wh: Warehouse, corpus_emb: DataFrame) -> None:
+    """Build the initial index from a static (vec_id, e) frame: train the
+    coarse quantizer on the deterministic sample, assign every corpus
+    vector once, persist (index, centroids)."""
+    spark = corpus_emb.sparkSession
+    C = _train_centroids_sample(corpus_emb)
+    assigned = _assign_clusters(corpus_emb.select("vec_id", "e"), "e", C, 1)
+    wh.write(SEM_INDEX_TABLE, assigned)
+    wh.write(
+        SEM_CENTROIDS_TABLE,
+        spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(C)],
+            "cluster long, centroid array<double>",
+        ),
+    )
+
+
+def semantic_pairs_for_batch(
+    batch_assigned: DataFrame,
+    corpus: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """Pure pair computation (no warehouse I/O — the unit the goldens
+    replay): same-cell candidates new×corpus plus new×new (once, by
+    id order), cosine-verified at ``threshold``."""
+    pool = corpus.select("vec_id", "e", "cluster").withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(
+        batch_assigned.select("vec_id", "e", "cluster").withColumn(
+            "is_new", F.lit(True)
+        )
+    )
+    n = batch_assigned.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("new_id"),
+        F.col("e").alias("ne"),
+    )
+    o = pool.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("old_id"),
+        F.col("e").alias("oe"),
+        "is_new",
+    )
+    cos = cosine_expr(F.col("ne"), F.col("oe"))
+    return (
+        n.join(o, "cluster")
+        .filter(
+            (F.col("old_id") != F.col("new_id"))
+            & (~F.col("is_new") | (F.col("old_id") < F.col("new_id")))
+        )
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", "old_id", "cosine")
+    )
+
+
+def semantic_gate_batch(
+    wh: Warehouse,
+    batch_emb: DataFrame,
+    batch_id: int,
+    threshold: float = SEM_THRESHOLD,
+) -> bool:
+    """Process one micro-batch exactly once: emit its semantic-dup pairs
+    and absorb it into the index.  Returns False on a re-delivered
+    ``batch_id`` that already committed; a crash between table writes is
+    healed by the intent's pinned base versions (same protocol as the
+    near-dup gate, ``streaming/neardup.py``)."""
+    if batch_id <= last_admitted_batch(wh):
+        return False
+    bases = txn.begin_batch(
+        wh,
+        SEM_PAIRS_TABLE,
+        batch_id,
+        {
+            "pairs": wh.current_version(SEM_PAIRS_TABLE),
+            "index": wh.current_version(SEM_INDEX_TABLE),
+        },
+    )
+    pairs_base, index_base = bases["pairs"], bases["index"]
+    corpus = wh.read(SEM_INDEX_TABLE, index_base)
+    C = _read_centroids(wh)
+    if len(C) == 0:
+        # never-seeded warehouse: train the quantizer from the first
+        # batch itself (deterministic sample → deterministic centroids,
+        # so a crash between this write and the marker is harmless — the
+        # re-run reads back the identical table)
+        C = _train_centroids_sample(batch_emb)
+        wh.write(
+            SEM_CENTROIDS_TABLE,
+            batch_emb.sparkSession.createDataFrame(
+                [(i, row.tolist()) for i, row in enumerate(C)],
+                "cluster long, centroid array<double>",
+            ),
+        )
+    batch_assigned = _assign_clusters(
+        batch_emb.select("vec_id", "e"), "e", C, 1
+    ).localCheckpoint(eager=True)
+    pairs = semantic_pairs_for_batch(batch_assigned, corpus, threshold)
+    if pairs_base < 0:
+        wh.write(SEM_PAIRS_TABLE, pairs)
+    else:
+        wh.write(
+            SEM_PAIRS_TABLE, wh.read(SEM_PAIRS_TABLE, pairs_base).unionByName(pairs)
+        )
+    wh.write(SEM_INDEX_TABLE, corpus.unionByName(batch_assigned))
+    txn.commit_batch(wh, SEM_PAIRS_TABLE, batch_id)
+    return True
+
+
+def maintain_semantic_pairs(
+    spark: SparkSession,
+    wh: Warehouse,
+    vec_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+) -> None:
+    """Drain the arriving-vectors directory through the semantic gate
+    (availableNow semantics — same code path as continuous operation)."""
+    if schema is None:
+        schema = spark.read.parquet(vec_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vec_dir)
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda batch_df, batch_id: semantic_gate_batch(wh, batch_df, batch_id)
+        )
+        .start()
+    )
+    q.awaitTermination()
