@@ -142,6 +142,35 @@ def main() -> None:
         lat2 = _drain(spark, ev_dir, ev, mv_handle, n, os.path.join(tmp, "ck2"))
         out["materialized_view"] = _summarize(lat2)
         out["materialized_view"]["state_rows"] = wh2.read("user_totals").count()
+        print(json.dumps({"materialized_view": out["materialized_view"]}), file=sys.stderr)
+
+        # ----- semantic admission gate over embeddings --------------------
+        from data_ingestion_backend_spark.streaming.semgate import (
+            SEM_INDEX_TABLE,
+            SEM_PAIRS_TABLE,
+            semantic_gate_batch,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        emb_dir = os.path.join(tmp, "emb")
+        emb.repartition(n).write.parquet(emb_dir)
+        wh3 = Warehouse(spark, os.path.join(tmp, "wh_sem"))
+        # unseeded on purpose: the first batch trains the frozen quantizer
+        # (deterministic), every later batch probes + absorbs — the
+        # bounded-growth claim is the same as the near-dup gate's
+
+        def sem_handle(batch_df, batch_id):
+            semantic_gate_batch(wh3, batch_df, batch_id)
+            if batch_id and batch_id % VACUUM_EVERY == 0:
+                for t in (SEM_PAIRS_TABLE, SEM_INDEX_TABLE):
+                    wh3.vacuum(t)
+
+        lat3 = _drain(spark, emb_dir, emb, sem_handle, n, os.path.join(tmp, "ck3"))
+        out["semantic_gate"] = _summarize(lat3)
+        out["semantic_gate"]["index_vecs"] = wh3.read(SEM_INDEX_TABLE).count()
+        out["semantic_gate"]["pairs"] = wh3.read(SEM_PAIRS_TABLE).count()
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
