@@ -142,6 +142,8 @@ STANDALONE_HEADLINE = [
     "search_hard_negatives",
     # round-8: degree-oriented exact triangle counting
     "graph_triangles",
+    # round-8: per-document TF-IDF keyword extraction (integer-exact)
+    "text_tfidf_keywords",
 ]
 
 

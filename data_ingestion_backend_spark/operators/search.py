@@ -569,3 +569,83 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     ).distinct()
     return bm25_hard_negatives(docs, queries)
+
+
+# --------------------------------------------------------------------------
+# Per-document keyword extraction (TF-IDF top-k)
+# --------------------------------------------------------------------------
+#
+# The tagging/routing primitive (salient terms per document — corpus
+# labeling, index-time keyword fields, cluster naming).  Classic TF-IDF
+# with the family's exact-integer discipline: tf and df are exact
+# counts, idf = ln(N/df) snapped to the same 1e-4 FLOOR grid BM25 uses
+# (identical doubles on both engines; floor is exact on them), and the
+# per-term score is the BIGINT product tf · idf_i — so ranking and
+# tie-breaks certify bit-for-bit.
+
+KEYWORDS_PER_DOC = 3
+
+
+def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_PER_DOC) -> DataFrame:
+    """(doc_id, term, rnk, score_i): each document's top-``k`` terms by
+    exact-integer TF-IDF.
+
+    Plan shape: one tokenize+groupBy builds the postings (map-side
+    combined), df aggregates the SAME postings (distinct (doc, term)
+    rows → count per term is df), N rides as a broadcast 1-row
+    aggregate, and the top-k window partitions by doc_id — uniform keys,
+    no hot partition.  The df join's skew (stopwords) is
+    AQE-splittable.
+    """
+    postings, stats = bm25_postings(docs)
+    df_tbl = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf_i = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("df")) * 10000.0
+    ).cast("bigint")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_i"), F.asc("term")
+    )
+    return (
+        postings.join(df_tbl, "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * idf_i).alias("score_i"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "rnk", "score_i")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_KEYWORDS_ORACLE = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+postings AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, term
+),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM base),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.doc_id, p.term,
+         p.tf * CAST(FLOOR(ln(CAST(s.n_docs AS DOUBLE) / d.df) * 10000.0)
+                     AS BIGINT) AS score_i
+  FROM postings p JOIN dfreq d ON d.term = p.term CROSS JOIN stats s
+)
+SELECT doc_id, term,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_i DESC, term) AS BIGINT) AS rnk,
+       score_i
+FROM scored
+QUALIFY rnk <= {KEYWORDS_PER_DOC}
+ORDER BY doc_id, rnk"""
+
+
+@_register_standalone("text_tfidf_keywords", _KEYWORDS_ORACLE)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KEYWORDS_PER_DOC} TF-IDF keywords per fixture document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs)

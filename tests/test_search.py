@@ -329,3 +329,30 @@ def test_hard_negatives_exclude_positive_and_rerank(spark):
             r["doc_id"] for r in top_by_q[q] if r["doc_id"] != q
         ][:N_HARD_NEGATIVES]
         assert [r["doc_id"] for r in rows] == want
+
+
+def test_tfidf_keywords_semantics(spark):
+    """Planted corpus: a term unique to one doc out-scores corpus-wide
+    terms; ubiquitous terms (df == N -> idf exactly 0) never rank above
+    a rarer term; each doc yields at most k rows with contiguous ranks."""
+    from data_ingestion_backend_spark.operators.search import (
+        KEYWORDS_PER_DOC,
+        tfidf_keywords,
+    )
+
+    rows = [(i, f"common filler words unique{i} extra{i % 2}") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_keywords(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= KEYWORDS_PER_DOC
+        # the doc-unique term (df=1) is always the top keyword
+        assert rs[0]["term"] == f"unique{d}"
+        # df == N terms score exactly 0 and can never beat extra{d%2} (df=5)
+        zero_terms = {"common", "filler", "words"}
+        scores = {r["term"]: r["score_i"] for r in rs}
+        for t in zero_terms & set(scores):
+            assert scores[t] == 0
