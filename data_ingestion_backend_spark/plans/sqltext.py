@@ -49,15 +49,25 @@ Dialect-mapping notes (applied throughout):
 
 from __future__ import annotations
 
+from data_ingestion_backend_spark.operators.dedup import (
+    BAND_ROWS,
+    JACCARD_THRESHOLD,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    N_BANDS,
+)
+
 #: graded certs with NO faithful Spark SQL text, and why.  These remain
 #: builder-certified (DuckDB differential) — the text surface simply has
 #: no third form to offer.
 NON_EXPRESSIBLE: dict[str, str] = {
-    "dedup_minhash_lsh": (
-        "oracle text is a DuckDB-specific CTE translation of the md5-"
-        "band minhash arithmetic; the Spark-side form IS the builder"
+    "dedup_clusters": (
+        "the closure CTE is recursive-UNION-distinct over a cyclic "
+        "symmetric edge list; Spark 4.1 rejects UNION inside WITH "
+        "RECURSIVE (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) and UNION ALL "
+        "never terminates on cycles — verified by running the dialect-"
+        "mapped text this round"
     ),
-    "dedup_clusters": "minhash band arithmetic + recursive closure CTE (DuckDB dialect)",
     "media_metadata": "DuckDB encode()/decode() byte builtins differ in signature and semantics",
     "media_features": "same codec-builtin divergence as media_metadata",
 }
@@ -84,6 +94,72 @@ _PII_SUFFIX = (
     "' site https://ex.org/d/' || CAST(doc_id AS STRING)"
 )
 
+# Spark-dialect twin of operators/dedup._minhash_ctes(): the same CTE
+# chain (shingles → 16-min signature → banded keys → candidates → exact
+# Jaccard) with the three dialect swaps — unnest → LATERAL VIEW explode,
+# CAST('0x'||hex AS BIGINT) → conv(hex, 16, 10), and explicit
+# CAST(mN AS STRING) inside the band concat (Spark concat_ws wants
+# strings; DuckDB casts implicitly — both print BIGINTs identically).
+# Built from the SAME coefficient/band constants the builder uses, so
+# the twin can never drift from the DataFrame plan.
+_MINHASH_HASH_SPARK = "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _minhash_ctes_spark() -> str:
+    mins = ",\n            ".join(
+        f"min(({a} * {_MINHASH_HASH_SPARK} + {b}) % {MINHASH_P}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {c} AS band_idx, md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{c * BAND_ROWS + r} AS STRING)" for r in range(BAND_ROWS)
+        )
+        + ")) AS band_key FROM sig"
+        for c in range(N_BANDS)
+    )
+    return f"""
+      sh AS (
+        SELECT doc_id, s FROM documents
+        LATERAL VIEW explode({_SHINGLES_SPARK}) x AS s
+      ),
+      sig AS (
+        SELECT doc_id,
+            {mins}
+        FROM sh GROUP BY doc_id
+      ),
+      bands AS (
+        {band_selects}
+      ),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         AND x.doc_id < y.doc_id
+      ),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b
+      ),
+      pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+      )"""
+
+
+_MINHASH_LSH_SPARK = (
+    f"WITH {_minhash_ctes_spark()} "
+    "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
+)
+
 _URL_RE = r"'https?://[^ ]+'"
 _EMAIL_RE = r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
 _PHONE_RE = r"'\\d{3}-\\d{3}-\\d{4}'"
@@ -107,6 +183,7 @@ _AD = "CAST({v} AS ARRAY<DOUBLE>)"
 
 
 SPARK_TEXT: dict[str, str] = {
+    "dedup_minhash_lsh": _MINHASH_LSH_SPARK,
     "q13_string_normalize": """
 SELECT c_custkey, LOWER(TRIM(c_name)) AS norm_name,
        CAST(LENGTH(c_name) AS BIGINT) AS name_len,
