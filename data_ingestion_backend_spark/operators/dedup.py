@@ -1627,10 +1627,12 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy of exact-substring dedup (vs dropping whole near-dup docs) —
     the right remediation when the repetition is boilerplate or
     contamination rather than a duplicated document.  Scale shape: the
-    span table aggregates to one per-doc interval array (tiny — spans
-    are already maximal and disjoint per doc), one hash join back to the
-    corpus, and a pure Catalyst positional filter — no explode of the
-    corpus, no range join.
+    span table aggregates to one per-doc interval array (tiny — a
+    handful of spans per affected doc; spans are maximal in GRAM space
+    but may overlap in token space when two islands sit closer than the
+    n-gram width, and the exists-filter takes their union either way),
+    one hash join back to the corpus, and a pure Catalyst positional
+    filter — no explode of the corpus, no range join.
     """
     spans_per_doc = (
         dedup_substring_spans(spark, sf_dir)

@@ -797,30 +797,37 @@ def kmeans_train(
     import numpy as np
 
     emb_n = _normalized_emb(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    init = (
-        emb_n.orderBy("vec_id").limit(k).select("e").toPandas()["e"].tolist()
-    )
-    C = np.round(np.asarray(init, dtype=np.float64), KMEANS_ROUND)
-    counts = np.zeros(k, dtype=np.int64)
-    for _ in range(iters):
-        assigned = _assign_clusters(emb_n, "e", C, 1)
-        stats = (
-            assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )  # ≤ k·d rows — the model update, not the data
-        sums = np.zeros((k, C.shape[1]), dtype=np.float64)
+    try:
+        init = (
+            emb_n.orderBy("vec_id").limit(k).select("e").toPandas()["e"].tolist()
+        )
+        C = np.round(np.asarray(init, dtype=np.float64), KMEANS_ROUND)
         counts = np.zeros(k, dtype=np.int64)
-        for r in stats:
-            sums[r["cluster"], r["pos"]] = r["s"]
-            counts[r["cluster"]] = r["n"]
-        newC = C.copy()  # empty clusters keep their previous centroid
-        nz = counts > 0
-        newC[nz] = sums[nz] / counts[nz, None]
-        newC /= np.linalg.norm(newC, axis=1, keepdims=True)
-        C = np.round(newC, KMEANS_ROUND)
-    return C, counts
+        for _ in range(iters):
+            assigned = _assign_clusters(emb_n, "e", C, 1)
+            stats = (
+                assigned.select(
+                    "cluster", F.posexplode("e").alias("pos", "val")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )  # ≤ k·d rows — the model update, not the data
+            sums = np.zeros((k, C.shape[1]), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for r in stats:
+                sums[r["cluster"], r["pos"]] = r["s"]
+                counts[r["cluster"]] = r["n"]
+            newC = C.copy()  # empty clusters keep their previous centroid
+            nz = counts > 0
+            newC[nz] = sums[nz] / counts[nz, None]
+            newC /= np.linalg.norm(newC, axis=1, keepdims=True)
+            C = np.round(newC, KMEANS_ROUND)
+        return C, counts
+    finally:
+        # bench loops / soaks call this repeatedly in one session —
+        # cached Lloyd inputs must not accumulate across invocations
+        emb_n.unpersist()
 
 
 @_register_standalone("sim_kmeans_train", None)  # iterative — rows-only cert
@@ -913,29 +920,67 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-Arrow-batch PCA sufficient-statistic partials in the
+    (i, j, g) row encoding of ``models.PCA_STATE_SCHEMA``: upper-
+    triangle Gram entries (j ≥ i), per-dimension sums (i=pos, j=-1),
+    and the row count (i=-1, j=-1) — all three emitted by the SAME
+    GEMM pass, so a fit or state build reads the corpus exactly once."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            G = M.T @ M
+            iu = np.triu_indices(G.shape[0])
+            d = G.shape[0]
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu[0], np.arange(d), [-1]]
+                    ).astype("int64"),
+                    "j": np.concatenate(
+                        [iu[1], np.full(d, -1), [-1]]
+                    ).astype("int64"),
+                    "g": np.concatenate(
+                        [G[iu], M.sum(axis=0), [float(len(M))]]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(gen, "i bigint, j bigint, g double")
+
+
+def _decode_state_rows(rows, d: int):
+    """(G, s, n) from collected (i, j, g) state rows."""
+    import numpy as np
+
+    G = np.zeros((d, d))
+    s = np.zeros(d)
+    n = 0
+    for row in rows:
+        i, j, g = row["i"], row["j"], row["g"]
+        if i == -1 and j == -1:
+            n = int(g)
+        elif j == -1:
+            s[i] = g
+        else:
+            G[i, j] = g
+            G[j, i] = g
+    return G, s, n
+
+
 def pca_fit(emb: DataFrame, r: int = PCA_COMPONENTS):
     """Fit PCA on the FULL corpus: returns (mu, components) — mean
     vector (d,) and top-``r`` eigenvectors (d×r, descending eigenvalue,
     deterministic sign).  One corpus scan: Gram partials, sum vector,
-    and count ride the same aggregation."""
-    import numpy as np
-
-    d = EMB_DIM
-    gram_rows = (
-        _gram_partials(emb, "e").groupBy("i", "j").agg(F.sum("g").alias("g"))
-    ).collect()
-    sums = emb.select(
-        F.posexplode("e").alias("pos", "v")
-    ).groupBy("pos").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
-    G = np.zeros((d, d))
-    for row in gram_rows:
-        G[row["i"], row["j"]] = row["g"]
-        G[row["j"], row["i"]] = row["g"]
-    s = np.zeros(d)
-    n = 0
-    for row in sums:
-        s[row["pos"]] = row["s"]
-        n = row["n"]
+    and count all ride ``_pca_partials``'s single GEMM pass (the per-
+    batch numpy sums land on the same float64 grid as the previous
+    Catalyst column sums to well under the PCA_ROUND snap)."""
+    G, s, n = _decode_state_rows(_pca_state(emb).collect(), EMB_DIM)
     return _eig_from_stats(G, s, n, r)
 
 
@@ -1022,28 +1067,14 @@ PCA_STATE_TABLE = "pca_state"
 
 
 def _pca_state(emb: DataFrame) -> DataFrame:
-    """(i, j, g) encoded sufficient statistics of one corpus/batch."""
-    gram = (
-        _gram_partials(emb, "e")
+    """(i, j, g) encoded sufficient statistics of one corpus/batch —
+    one corpus scan: Gram, sums, and count are all rows of the same
+    ``_pca_partials`` output, merged by one uniform aggregation."""
+    return (
+        _pca_partials(emb, "e")
         .groupBy("i", "j")
         .agg(F.sum("g").alias("g"))
     )
-    sums = (
-        emb.select(F.posexplode("e").alias("pos", "v"))
-        .groupBy("pos")
-        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-    )
-    sum_rows = sums.select(
-        F.col("pos").cast("bigint").alias("i"),
-        F.lit(-1).cast("bigint").alias("j"),
-        F.col("s").alias("g"),
-    )
-    count_row = sums.agg(F.max("n").alias("n")).select(
-        F.lit(-1).cast("bigint").alias("i"),
-        F.lit(-1).cast("bigint").alias("j"),
-        F.col("n").cast("double").alias("g"),
-    )
-    return gram.unionByName(sum_rows).unionByName(count_row)
 
 
 def build_pca_state(wh, emb: DataFrame) -> None:
@@ -1084,22 +1115,7 @@ def append_to_pca_state(wh, batch: DataFrame, batch_id: int | None = None) -> No
 def pca_fit_from_state(wh, r: int = PCA_COMPONENTS):
     """(mu, components) from the persisted state — same math, same
     determinism pins as :func:`pca_fit`, zero corpus scans."""
-    import numpy as np
-
-    d = EMB_DIM
-    rows = wh.read(PCA_STATE_TABLE).collect()
-    G = np.zeros((d, d))
-    s = np.zeros(d)
-    n = 0
-    for row in rows:
-        i, j, g = row["i"], row["j"], row["g"]
-        if i == -1 and j == -1:
-            n = int(g)
-        elif j == -1:
-            s[i] = g
-        else:
-            G[i, j] = g
-            G[j, i] = g
+    G, s, n = _decode_state_rows(wh.read(PCA_STATE_TABLE).collect(), EMB_DIM)
     return _eig_from_stats(G, s, n, r)
 
 
@@ -1205,32 +1221,43 @@ def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_K, iters: int = 
     import numpy as np
 
     subs = _subvector_table(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    spark = emb.sparkSession
-    init = emb.orderBy("vec_id").limit(k).select("e").toPandas()["e"].tolist()
-    M0 = np.asarray(init, dtype=np.float64)
-    C = np.round(
-        np.stack([M0[:, s * PQ_DSUB : (s + 1) * PQ_DSUB] for s in range(m)]),
-        PQ_ROUND,
-    )
-    counts = np.zeros((m, k), dtype=np.int64)
-    for _ in range(iters):
-        assigned = _pq_assign(spark, subs, C)
-        stats = (
-            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )  # ≤ m·k·d_sub rows — the model, not the data
-        sums = np.zeros((m, k, PQ_DSUB), dtype=np.float64)
+    try:
+        spark = emb.sparkSession
+        init = (
+            emb.orderBy("vec_id").limit(k).select("e").toPandas()["e"].tolist()
+        )
+        M0 = np.asarray(init, dtype=np.float64)
+        C = np.round(
+            np.stack(
+                [M0[:, s * PQ_DSUB : (s + 1) * PQ_DSUB] for s in range(m)]
+            ),
+            PQ_ROUND,
+        )
         counts = np.zeros((m, k), dtype=np.int64)
-        for r in stats:
-            sums[r["sub"], r["code"], r["pos"]] = r["s"]
-            counts[r["sub"], r["code"]] = r["n"]
-        newC = C.copy()
-        nz = counts > 0
-        newC[nz] = sums[nz] / counts[nz][:, None]
-        C = np.round(newC, PQ_ROUND)
-    return C, counts
+        for _ in range(iters):
+            assigned = _pq_assign(spark, subs, C)
+            stats = (
+                assigned.select(
+                    "sub", "code", F.posexplode("sv").alias("pos", "val")
+                )
+                .groupBy("sub", "code", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )  # ≤ m·k·d_sub rows — the model, not the data
+            sums = np.zeros((m, k, PQ_DSUB), dtype=np.float64)
+            counts = np.zeros((m, k), dtype=np.int64)
+            for r in stats:
+                sums[r["sub"], r["code"], r["pos"]] = r["s"]
+                counts[r["sub"], r["code"]] = r["n"]
+            newC = C.copy()
+            nz = counts > 0
+            newC[nz] = sums[nz] / counts[nz][:, None]
+            C = np.round(newC, PQ_ROUND)
+        return C, counts
+    finally:
+        # repeated trainings in one session (bench loops) must not
+        # accumulate cached subvector tables
+        subs.unpersist()
 
 
 def pq_encode(spark: SparkSession, emb: DataFrame, C) -> DataFrame:
@@ -1374,7 +1401,12 @@ def build_pq_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
     assigned = _pq_assign(spark, _subvector_table(corpus), C).localCheckpoint(
         eager=True
     )
-    assigned.select("vec_id", "sub", "code").write.mode("overwrite").parquet(
+    # codes are laid out partitioned by batch_id (the build is batch 0)
+    # so appends can be made idempotent: each delivery owns one static
+    # partition — see append_to_pq_index.
+    assigned.select("vec_id", "sub", "code").withColumn(
+        "batch_id", F.lit(0)
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(
         os.path.join(path, "codes")
     )
     spark.createDataFrame(
@@ -1401,12 +1433,26 @@ def _read_codebooks(spark: SparkSession, path: str):
 
 
 def append_to_pq_index(
-    spark: SparkSession, path: str, batch: DataFrame, drift_tol: float = 0.5
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    drift_tol: float = 0.5,
+    batch_id: int | None = None,
 ) -> dict:
     """Encode a new batch with the index's frozen codebooks and append its
     codes — the PQ twin of ``append_to_ivf_index``.  Returns
     ``{baseline_recon, batch_recon, drift, retrain}`` where drift is the
-    RELATIVE reconstruction-error increase over the build baseline."""
+    RELATIVE reconstruction-error increase over the build baseline.
+
+    Exactly-once: pass ``batch_id`` (> 0; the build owns batch 0) and a
+    re-delivered or crash-retried batch OVERWRITES its own static
+    ``batch_id=`` partition instead of appending a second copy — PQ's
+    ADC sums every code row per (query, vec), so duplicate codes would
+    silently double a vector's distance (IVF tolerates duplicates via
+    distinct; PQ cannot).  Without ``batch_id`` the next free id is
+    auto-assigned — at-least-once only, since a crash retry gets a
+    fresh id (caller owns delivery dedup in that mode).
+    """
     import os
 
     C = _read_codebooks(spark, path)
@@ -1419,8 +1465,22 @@ def append_to_pq_index(
             "baseline_recon"
         ]
     )
-    assigned.select("vec_id", "sub", "code").write.mode("append").parquet(
-        os.path.join(path, "codes")
+    codes_path = os.path.join(path, "codes")
+    if batch_id is None:
+        # partition-directory listing only — no data files are read
+        batch_id = (
+            spark.read.parquet(codes_path)
+            .agg(F.max("batch_id").alias("b"))
+            .collect()[0]["b"]
+            + 1
+        )
+    (
+        assigned.select("vec_id", "sub", "code")
+        .withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(codes_path)
     )
     drift = (batch_recon - baseline) / baseline if baseline > 0 else 0.0
     return {

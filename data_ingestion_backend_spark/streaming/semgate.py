@@ -26,6 +26,8 @@ persisted form at 100 TB is hive-partitioned by cell exactly like
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,11 +52,29 @@ def last_admitted_batch(wh: Warehouse) -> int:
     return txn.last_batch(wh, SEM_PAIRS_TABLE)
 
 
+#: per-warehouse centroid memo keyed by the live Warehouse object (the
+#: catalog view-memo pattern): the quantizer is frozen after seeding, so
+#: a steady-state micro-batch pays one manifest version check instead of
+#: a collect action.  Invalidation is by table version — a re-seed (new
+#: version) refreshes the cache on the next batch.
+_CENTROID_MEMO: "weakref.WeakKeyDictionary[Warehouse, tuple[int, object]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _read_centroids(wh: Warehouse):
     import numpy as np
 
-    rows = wh.read(SEM_CENTROIDS_TABLE).orderBy("cluster").collect()
-    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    v = wh.current_version(SEM_CENTROIDS_TABLE)
+    hit = _CENTROID_MEMO.get(wh)
+    if hit is not None and hit[0] == v:
+        return hit[1]
+    if v < 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    rows = wh.read(SEM_CENTROIDS_TABLE, v).orderBy("cluster").collect()
+    C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    _CENTROID_MEMO[wh] = (v, C)
+    return C
 
 
 def seed_semantic_index(wh: Warehouse, corpus_emb: DataFrame) -> None:
@@ -64,13 +84,17 @@ def seed_semantic_index(wh: Warehouse, corpus_emb: DataFrame) -> None:
     spark = corpus_emb.sparkSession
     C = _train_centroids_sample(corpus_emb)
     assigned = _assign_clusters(corpus_emb.select("vec_id", "e"), "e", C, 1)
-    wh.write(SEM_INDEX_TABLE, assigned)
-    wh.write(
-        SEM_CENTROIDS_TABLE,
-        spark.createDataFrame(
-            [(i, row.tolist()) for i, row in enumerate(C)],
-            "cluster long, centroid array<double>",
-        ),
+    wh.publish(
+        {
+            SEM_INDEX_TABLE: wh.stage(SEM_INDEX_TABLE, assigned),
+            SEM_CENTROIDS_TABLE: wh.stage(
+                SEM_CENTROIDS_TABLE,
+                spark.createDataFrame(
+                    [(i, row.tolist()) for i, row in enumerate(C)],
+                    "cluster long, centroid array<double>",
+                ),
+            ),
+        }
     )
 
 
@@ -155,13 +179,17 @@ def semantic_gate_batch(
         batch_emb.select("vec_id", "e"), "e", C, 1
     ).localCheckpoint(eager=True)
     pairs = semantic_pairs_for_batch(batch_assigned, corpus, threshold)
-    if pairs_base < 0:
-        wh.write(SEM_PAIRS_TABLE, pairs)
-    else:
-        wh.write(
-            SEM_PAIRS_TABLE, wh.read(SEM_PAIRS_TABLE, pairs_base).unionByName(pairs)
-        )
-    wh.write(SEM_INDEX_TABLE, corpus.unionByName(batch_assigned))
+    # stage both tables, publish ONE manifest: a concurrent reader can
+    # never see pairs for a batch the index has not absorbed (the same
+    # cross-table atomicity ingest_file and cascade delete ride)
+    pairs_v = wh.stage(
+        SEM_PAIRS_TABLE,
+        pairs
+        if pairs_base < 0
+        else wh.read(SEM_PAIRS_TABLE, pairs_base).unionByName(pairs),
+    )
+    index_v = wh.stage(SEM_INDEX_TABLE, corpus.unionByName(batch_assigned))
+    wh.publish({SEM_PAIRS_TABLE: pairs_v, SEM_INDEX_TABLE: index_v})
     txn.commit_batch(wh, SEM_PAIRS_TABLE, batch_id)
     return True
 

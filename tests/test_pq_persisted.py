@@ -82,6 +82,44 @@ def test_append_equals_rebuild_encode(spark, emb, tmp_path):
     assert len(res) == 30
 
 
+def test_redelivered_batch_id_does_not_double_codes(spark, emb, tmp_path):
+    """Exactly-once append: a re-delivered (crash-retried) batch_id
+    overwrites its own partition instead of appending a second copy of
+    the codes — duplicated code rows would silently double that
+    vector's ADC distance in ``pq_search_persisted``'s sum."""
+    path = str(tmp_path / "pq_once")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    build_pq_index(spark, path, base)
+    append_to_pq_index(spark, path, batch, batch_id=1)
+    once = pq_search_persisted(spark, path, _queries(emb)).collect()
+    n_once = spark.read.parquet(path + "/codes").count()
+    append_to_pq_index(spark, path, batch, batch_id=1)  # re-delivery
+    again = pq_search_persisted(spark, path, _queries(emb)).collect()
+    assert spark.read.parquet(path + "/codes").count() == n_once
+    assert sorted(map(tuple, again)) == sorted(map(tuple, once))
+
+
+def test_append_without_id_gets_fresh_partition(spark, emb, tmp_path):
+    """Auto-assigned ids take the next free partition: two distinct
+    deliveries land side by side (at-least-once mode keeps its old
+    semantics — only EXPLICIT ids are idempotent)."""
+    path = str(tmp_path / "pq_auto")
+    build_pq_index(spark, path, emb.filter(F.col("vec_id") < 400))
+    a = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b = emb.filter(F.col("vec_id") >= 450)
+    append_to_pq_index(spark, path, a)
+    append_to_pq_index(spark, path, b)
+    got = set(
+        r["batch_id"]
+        for r in spark.read.parquet(path + "/codes")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    assert got == {0, 1, 2}
+
+
 def test_drift_monitor_fires_on_shifted_batch(spark, emb, tmp_path):
     path = str(tmp_path / "pq_drift")
     build_pq_index(spark, path, emb.filter(F.col("vec_id") < 400))
