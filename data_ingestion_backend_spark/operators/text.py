@@ -776,6 +776,13 @@ def bpe_encode(docs: DataFrame, merges_df: DataFrame) -> DataFrame:
         )
         if i % 3 == 0:
             vocab = vocab.localCheckpoint(eager=True)  # truncate lineage
+    return _assemble_tokens(words, vocab)
+
+
+def _assemble_tokens(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Join the encoded (word, symbols) vocabulary back onto the corpus
+    word occurrences and reassemble per-doc token arrays in position
+    order — the shared tail of both encode forms."""
     return (
         words.join(vocab, "word")
         .groupBy("doc_id")
@@ -795,15 +802,105 @@ def bpe_encode(docs: DataFrame, merges_df: DataFrame) -> DataFrame:
     )
 
 
+def bpe_encode_arrow(docs: DataFrame, merges_df: DataFrame) -> DataFrame:
+    """Production-scale BPE encode: same output as :func:`bpe_encode`,
+    O(1) Spark jobs at ANY merge count.
+
+    The fold form applies each merge as one Catalyst pass over the
+    vocabulary — ~10k sequential vocabulary-sized jobs for a production
+    30k-merge tokenizer.  Here every distinct word is greedy-encoded in
+    ONE Arrow stage against a broadcast merge-rank table (the repo's
+    sanctioned vectorized-pandas escape hatch, same rule as the GEMM
+    stages).
+
+    Bit-equality with the fold form is by construction, not heuristic:
+
+    - two adjacent symbols always occupy contiguous character ranges,
+      so a merge (l, r) can only ever fire inside a word that contains
+      l||r as a SUBSTRING — enumerating the word's O(L²) substrings
+      against a merged-string dict finds every merge that could apply;
+    - the applicable ranks are then applied in rank order with the
+      exact left-to-right non-overlapping pass `_apply_merge` encodes
+      (tests pin fold ≡ arrow ≡ pure-Python on the fixture).
+
+    Per-word cost is O(L² + applicable_merges · L) dict work —
+    independent of the total merge count, so a 30k-merge tokenizer
+    costs the same number of jobs as a 10-merge one (asserted by the
+    1000-merge job-count test).
+    """
+    import pandas as pd
+
+    merges = [
+        (int(r["rank"]), r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    by_merged: dict[str, list[tuple[int, str, str]]] = {}
+    for rank, left, right in merges:
+        by_merged.setdefault(left + right, []).append((rank, left, right))
+    bc = docs.sparkSession.sparkContext.broadcast(by_merged)
+
+    def encode_batches(batches):
+        table = bc.value
+
+        def encode_word(word: str) -> list[str]:
+            L = len(word)
+            cand: list[tuple[int, str, str]] = []
+            seen: set[int] = set()
+            for i in range(L - 1):
+                for j in range(i + 2, L + 1):
+                    hits = table.get(word[i:j])
+                    if hits:
+                        for entry in hits:
+                            if entry[0] not in seen:
+                                seen.add(entry[0])
+                                cand.append(entry)
+            cand.sort()
+            syms = list(word)
+            for _rank, left, right in cand:
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            return syms
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "symbols": pdf["word"].map(encode_word),
+                }
+            )
+
+    words = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+        )
+        .filter(F.length("word") > 0)
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .mapInPandas(encode_batches, "word string, symbols array<string>")
+    )
+    return _assemble_tokens(words, vocab)
+
+
 @_register_standalone("text_bpe_encode", None)  # rows-only by design:
 # encoding applies the LEARNED merge table, whose training loop is not
 # one SQL query; the cert is the pure-Python end-to-end differential in
 # tests/test_text_bpe.py (learn + encode vs reference tokenizer)
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents encoded with the fixture-learned BPE merges."""
+    """Documents encoded with the fixture-learned BPE merges (the
+    production Arrow encode path; the fold form stays as its
+    differential twin)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges, _ = bpe_learn_merges_batched(docs.select("text"))
-    return bpe_encode(docs, merges)
+    return bpe_encode_arrow(docs, merges)
 
 
 # --- Bigram language-model surprisal (CCNet-style quality signal) ------------

@@ -87,6 +87,12 @@ SANCTIONED_PANDAS = {
     # documented Arrow-batched GEMM surface as the IVF quantizer
     "emb_gram_matrix",
     "emb_pca_project",
+    # round-9: the production BPE encode greedy-encodes the distinct
+    # word vocabulary in one Arrow stage against a broadcast merge-rank
+    # dict (replacing ~merges/3 sequential Catalyst fold jobs) — the
+    # documented mapInPandas surface; bit-equality with the fold form
+    # is pinned in test_text_bpe.py
+    "text_bpe_encode",
 }
 
 

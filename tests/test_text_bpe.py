@@ -200,3 +200,101 @@ def test_bpe_encode_matches_pure_python(spark):
         assert got[r["doc_id"]] == ref_encode(r["text"]), r["doc_id"]
     # the learned merges actually fire somewhere (non-vacuous)
     assert any(len(t) > 1 for toks in got.values() for t in toks)
+
+
+def test_bpe_encode_arrow_equals_fold_and_reference(spark):
+    """The production Arrow encode must be BIT-EQUAL to the per-merge
+    Catalyst fold form and the pure-Python reference — same merges, a
+    depth (40) that exercises multi-character merges and duplicate
+    merged-string splits if any arise."""
+    from data_ingestion_backend_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_arrow,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    merges_df, _ = bpe_learn_merges_batched(docs.select("text"), n_merges=40)
+    fold = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(docs, merges_df).collect()
+    }
+    arrow = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_arrow(docs, merges_df).collect()
+    }
+    assert arrow == fold
+    # independent reference on a sample of docs (full corpus covered by
+    # the fold-form test above)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    for r in docs.limit(50).collect():
+        toks: list[str] = []
+        for w in r["text"].split(" "):
+            if not w:
+                continue
+            syms = list(w)
+            for left, right in merges:
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                syms = out
+            toks.extend(syms)
+        assert arrow[r["doc_id"]] == toks, r["doc_id"]
+
+
+def test_bpe_encode_arrow_1000_merges_constant_jobs(spark):
+    """The production-merge-count claim: encoding with a 1000-row merge
+    table costs the SAME bounded number of Spark jobs as a 10-row one
+    (the fold form would pay ~1 job per 3 merges just in checkpoints).
+    Padding merges use symbols outside the corpus alphabet, so the
+    result must equal the 40-real-merge encode exactly — skipped merges
+    are skipped by the substring dict, not by luck."""
+    from data_ingestion_backend_spark.operators.text import bpe_encode_arrow
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    real, _ = bpe_learn_merges_batched(docs.select("text"), n_merges=40)
+    rows = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in real.orderBy("rank").collect()
+    ]
+    pad = [
+        (len(rows) + i + 1, f"§{i}", "¤", f"§{i}¤", 1)
+        for i in range(1000 - len(rows))
+    ]
+    merges_1000 = spark.createDataFrame(
+        rows + pad,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe40", "arrow encode with 40 merges")
+    try:
+        want = {
+            r["doc_id"]: list(r["tokens"])
+            for r in bpe_encode_arrow(docs, real).collect()
+        }
+    finally:
+        sc.setJobGroup("", "")
+    sc.setJobGroup("bpe1000", "arrow encode with 1000 merges")
+    try:
+        got = {
+            r["doc_id"]: list(r["tokens"])
+            for r in bpe_encode_arrow(docs, merges_1000).collect()
+        }
+    finally:
+        sc.setJobGroup("", "")
+    jobs_40 = sc.statusTracker().getJobIdsForGroup("bpe40")
+    jobs_1000 = sc.statusTracker().getJobIdsForGroup("bpe1000")
+    assert got == want
+    # the claim: job count is CONSTANT in the merge count (AQE may cut
+    # the one action into a handful of jobs — identically for both).
+    # The fold form pays ~merges/3 checkpoint jobs on top.
+    assert len(jobs_1000) <= len(jobs_40) + 1, (jobs_40, jobs_1000)
+    assert len(jobs_1000) <= 12, jobs_1000
