@@ -229,9 +229,13 @@ def main() -> None:
     for name in names:
         samples: list[float] = []
         # ingest_e2e runs ~10 s dominated by fixed control-plane cost
-        # (25 snapshot/ledger jobs) — one warm + one timed run records
-        # the number without stretching the sweep by a minute
-        n_runs = 1 if name == "ingest_e2e" else RUNS
+        # (snapshot/ledger jobs).  3 timed runs, not the full RUNS: a
+        # single-run entry proved unattributable in round 8 (its 1.48×
+        # "regression" was one sample under a loadavg-12 sweep — the
+        # controlled A/B in SCALE.md §8 shows the steady constant), and
+        # 5 runs would stretch the sweep by ~a minute for a
+        # control-plane number.
+        n_runs = 3 if name == "ingest_e2e" else RUNS
         for i in range(n_runs + 1):
             t0 = time.perf_counter()
             if name == "ingest_e2e":

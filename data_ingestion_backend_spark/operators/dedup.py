@@ -704,6 +704,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register_standalone(
+    "dedup_canonical_quality",
+    f"""WITH RECURSIVE {_minhash_ctes()},
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+      ),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+      ),
+      labels AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+                 FROM reach GROUP BY id),
+      q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents)
+      SELECT l.doc_id, l.cluster_id,
+             CAST(q.n_tokens AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.n_tokens DESC, l.doc_id) = 1
+               AS keep
+      FROM labels l JOIN q USING (doc_id)
+      ORDER BY l.doc_id""",
+)
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within every near-dup cluster
+    keep the HIGHEST-QUALITY member, not the lowest id.
+
+    Production dedup pipelines keep the best version of a duplicated
+    document (the fullest crawl, the least-truncated copy); min-id keep
+    (``dedup_clusters``) answers "which cluster", this operator answers
+    "which copy survives".  Quality here is the integer token count
+    (longest copy wins, ties to the lower id) — swap in any integer
+    quality signal (`curate` scores, `text_lm_surprisal` bits) without
+    touching the shape.
+
+    Scale: rides the same CC labels as ``dedup_clusters`` (delta
+    propagation, session-memoized pair list); the keep decision is one
+    per-cluster window over cluster-sized groups (tiny — a cluster is a
+    near-dup clique), never a global sort.
+    """
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        labels.join(toks, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "n_tokens", "keep")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

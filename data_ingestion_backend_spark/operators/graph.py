@@ -313,14 +313,25 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     a, b = oriented.alias("a"), oriented.alias("b")
     # enumerate each unordered out-neighbor pair ONCE (v < w) and close
     # against id-normalized edges — half the wedge volume of the naive
-    # (v, w)+(w, v) enumeration, same triangle set
-    wedges = a.join(b, "src").filter(F.col("a.dst") < F.col("b.dst")).select(
-        "src", F.col("a.dst").alias("v"), F.col("b.dst").alias("w")
+    # (v, w)+(w, v) enumeration, same triangle set.  SHUFFLE_HASH here
+    # too: sort-merge would sort the m-row edge list TWICE (both join
+    # arms) — at 100× that sort was most of the remaining spill after
+    # the closer join stopped sorting wedges.
+    wedges = (
+        a.join(b.hint("shuffle_hash"), "src")
+        .filter(F.col("a.dst") < F.col("b.dst"))
+        .select("src", F.col("a.dst").alias("v"), F.col("b.dst").alias("w"))
     )
     closer = oriented.select(
         F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
     )
-    tri = wedges.join(closer, ["v", "w"]).select(
+    # SHUFFLE_HASH, build = the edge set: the wedge side is O(m^1.5)
+    # rows and the planner's default sort-merge join SORTS it — that
+    # sort was the entire 47.7 GB spill at 100× (SCALE.md §7).  A
+    # shuffled-hash join streams each wedge partition once against a
+    # per-partition hash map of the m-row edge set (m/shuffle_partitions
+    # rows per map), so the dominant side never buffers or sorts.
+    tri = wedges.join(closer.hint("shuffle_hash"), ["v", "w"]).select(
         F.col("src").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
     )
     return (

@@ -1320,3 +1320,153 @@ def prep_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source"
     )
     return mix_temperature(skewed)
+
+
+# --- DSIR: data selection via importance resampling ---------------------------
+#
+# The published pre-training data-selection recipe (Xie et al., "Data
+# Selection for Language Models via Importance Resampling", NeurIPS
+# 2023): score every raw document by the log-likelihood ratio of its
+# hashed n-gram features under a TARGET distribution (here: the corpus's
+# English slice — DSIR's canonical "formal text" target) vs the SOURCE
+# distribution (the whole corpus), then keep/resample toward positive
+# ratios.  Feature space is hashed word-bigram buckets, so both
+# distributions are one bounded histogram each regardless of corpus
+# size.
+#
+# Integer-exactness discipline (the text_lm_surprisal pattern): the
+# per-bucket log-ratio log2(p_t(b)/p_s(b)) with add-one smoothing is
+# quantized to WHOLE BITS in pure BIGINT arithmetic —
+# a = (ct+1)·(Ts+NB), c = (cs+1)·(Tt+NB), λ = ±(length(bin(max/min))−1)
+# — so both engines agree bit-for-bit with no libm risk.  A production
+# deployment wanting fractional bits swaps the terminal for double
+# log2() over the same exact counts.  Scale note: the BIGINT products
+# hold to ~10^9-gram corpora per side; past that, swap to the double
+# terminal (the counts pipeline is unchanged).
+
+#: hashed-bigram feature buckets (DSIR uses 10^4-10^5 at web scale; the
+#: fixture vocabulary saturates far below this)
+DSIR_BUCKETS = 1024
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+grams AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS g
+    FROM toks
+  )
+),
+doc_b AS (SELECT doc_id, b, COUNT(*) AS k FROM grams GROUP BY doc_id, b),
+src AS (SELECT b, COUNT(*) AS cs FROM grams GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS ct FROM grams WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM grams) AS ts,
+         (SELECT COUNT(*) FROM grams WHERE lang = 'en') AS tt
+),
+lam AS (
+  SELECT s.b,
+         CASE WHEN (COALESCE(ct, 0) + 1) * (ts + {DSIR_BUCKETS})
+                   >= (cs + 1) * (tt + {DSIR_BUCKETS})
+              THEN CAST(length(bin(
+                     ((COALESCE(ct, 0) + 1) * (ts + {DSIR_BUCKETS}))
+                     // ((cs + 1) * (tt + {DSIR_BUCKETS})))) AS BIGINT) - 1
+              ELSE 1 - CAST(length(bin(
+                     ((cs + 1) * (tt + {DSIR_BUCKETS}))
+                     // ((COALESCE(ct, 0) + 1) * (ts + {DSIR_BUCKETS})))) AS BIGINT)
+         END AS lam
+  FROM src s LEFT JOIN tgt USING (b) CROSS JOIN tot
+),
+scored AS (
+  SELECT d.doc_id, SUM(d.k) AS n_grams, SUM(d.k * l.lam) AS w_bits
+  FROM doc_b d JOIN lam l USING (b)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(w_bits AS BIGINT) AS w_bits,
+       CAST((1000 * w_bits) // n_grams AS BIGINT) AS rate_mbits,
+       (1000 * w_bits) // n_grams > 0 AS target_like
+FROM scored ORDER BY doc_id"""
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weights of ``docs`` (doc_id, text)
+    toward the n-gram distribution of ``target`` (text) — see the
+    module-block note for the method and the integer-bits terminal.
+
+    Scale shape: one corpus pass builds the per-doc bucket histogram
+    (map-side combined groupBy); source/target histograms and the
+    λ table are ≤ DSIR_BUCKETS rows (broadcast); the scoring join is
+    per-doc-bucket × broadcast λ.  No shuffle grows past the corpus's
+    own bucket rows.
+    """
+    def grams(d: DataFrame, *cols: str) -> DataFrame:
+        toks = d.select(*cols, F.split("text", " ").alias("t")).filter(
+            F.size("t") >= 2
+        )
+        g = toks.select(
+            *cols,
+            F.explode(
+                F.expr("transform(sequence(0, size(t)-2),"
+                       " i -> concat(t[i], ' ', t[i+1]))")
+            ).alias("g"),
+        )
+        b = (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        )
+        return g.select(*cols, b.alias("b"))
+
+    src_g = grams(docs, "doc_id")
+    tgt_g = grams(target)
+    doc_b = src_g.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
+    src = src_g.groupBy("b").agg(F.count("*").alias("cs"))
+    tgt = tgt_g.groupBy("b").agg(F.count("*").alias("ct"))
+    ts = src_g.count()
+    tt = tgt_g.count()
+    a = f"(coalesce(ct, CAST(0 AS BIGINT)) + 1) * ({ts} + {DSIR_BUCKETS})"
+    c = f"(cs + 1) * ({tt} + {DSIR_BUCKETS})"
+    lam = src.join(tgt, "b", "left").select(
+        "b",
+        F.expr(
+            f"CASE WHEN {a} >= {c}"
+            f" THEN CAST(length(bin(({a}) div ({c}))) AS BIGINT) - 1"
+            f" ELSE 1 - CAST(length(bin(({c}) div ({a}))) AS BIGINT) END"
+        ).alias("lam"),
+    )
+    scored = (
+        doc_b.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_grams"),
+            F.sum(F.col("k") * F.col("lam")).cast("bigint").alias("w_bits"),
+        )
+    )
+    rate = F.expr("(1000 * w_bits) div n_grams").cast("bigint")
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "w_bits",
+        rate.alias("rate_mbits"),
+        (rate > 0).alias("target_like"),
+    ).orderBy("doc_id")
+
+
+@_register_standalone("prep_dsir_weights", _DSIR_SQL)
+def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights of every document toward the corpus's
+    English slice (the target distribution)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return dsir_weights(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("lang") == "en").select("text"),
+    )

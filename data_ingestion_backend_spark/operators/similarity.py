@@ -334,6 +334,60 @@ def _lloyd_spherical(S: "np.ndarray") -> "np.ndarray":  # noqa: F821
     return C
 
 
+def _spread_sample_matrix(emb: DataFrame) -> "np.ndarray":  # noqa: F821
+    """Deterministic sample SPREAD across the whole id space (ordered by
+    xxhash64(vec_id), not by id) — the calibration sample.  The training
+    sample's first-N-ids convention is fine for fitting centroids, but
+    calibration must see corpus-representative NEIGHBOR PAIRS: on a
+    corpus grown by appends the low ids are the oldest slice and carry
+    none of the new arrivals' density."""
+    import numpy as np
+
+    order_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+    rows = (
+        emb.orderBy(F.xxhash64(F.col(order_col)))
+        .limit(IVF_SAMPLE)
+        .select("e")
+        .toPandas()["e"]
+    )
+    S = np.asarray(rows.tolist(), dtype=np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    return S
+
+
+def calibrate_nprobe(
+    S: "np.ndarray",  # noqa: F821
+    centroids: "np.ndarray",  # noqa: F821
+    target_recall: float = 0.95,
+) -> int:
+    """MEASURED probe count: the smallest p at which each calibration
+    vector's exact nearest neighbor (within the sample) lands in one of
+    the vector's top-p cells, at ``target_recall`` coverage.
+
+    This is the auto-tune for the static-nprobe gap: a diffuse corpus
+    (neighbors near Voronoi boundaries — low cos-to-centroid) yields a
+    flat cell-affinity profile and the curve crosses the target later,
+    so p rises by measurement instead of manual retuning; a clustered
+    corpus keeps the cheap default.  Pure driver-side numpy on
+    ≤ IVF_SAMPLE rows — O(n² + n·k), independent of corpus size.
+    Clamped to [IVF_NPROBE, n_cells].
+    """
+    import numpy as np
+
+    sims = S @ centroids.T  # (n, k_cells)
+    cell_rank = np.argsort(-sims, axis=1)
+    assign = cell_rank[:, 0]
+    G = S @ S.T
+    np.fill_diagonal(G, -np.inf)
+    nn_cell = assign[G.argmax(axis=1)]
+    pos = (cell_rank == nn_cell[:, None]).argmax(axis=1)  # 0-based rank
+    k_cells = centroids.shape[0]
+    for p in range(IVF_NPROBE, k_cells + 1):
+        if float((pos < p).mean()) >= target_recall:
+            return p
+    return k_cells
+
+
 def _cv_quantization_baseline(S: "np.ndarray") -> float:  # noqa: F821
     """Generalization-corrected quantization quality: fit a twin
     quantizer on the first half of the training sample, evaluate mean
@@ -385,6 +439,7 @@ def ivf_topk(
     queries: DataFrame,
     centroids,
     k: int = TOPK,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF ANN: probe the query's IVF_NPROBE nearest clusters, exact
     cosine re-rank inside them.
@@ -396,7 +451,7 @@ def ivf_topk(
     partition pruning does the candidate generation.
     """
     c_assigned = _assign_clusters(corpus, "e", centroids, 1)
-    q_probes = _assign_clusters(queries, "qe", centroids, IVF_NPROBE)
+    q_probes = _assign_clusters(queries, "qe", centroids, nprobe)
     cand = (
         c_assigned.join(F.broadcast(q_probes), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -613,15 +668,21 @@ def build_ivf_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
     in_index = _quantization_fit(
         spark.read.parquet(os.path.join(path, "corpus")), centroid_df
     ).collect()[0]
+    # adaptive-nprobe calibration: measured on a SPREAD sample so probe
+    # count tracks the corpus's actual neighbor geometry (diffuse →
+    # more probes, clustered → the cheap default)
+    rec_nprobe = calibrate_nprobe(_spread_sample_matrix(corpus), centroids)
     spark.createDataFrame(
         [
             (
                 _cv_quantization_baseline(S),
                 float(in_index["mean_cos"]),
                 int(in_index["n"]),
+                int(rec_nprobe),
             )
         ],
-        "baseline_mean_cos double, in_index_mean_cos double, n bigint",
+        "baseline_mean_cos double, in_index_mean_cos double, n bigint,"
+        " recommended_nprobe bigint",
     ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
 
 
@@ -705,15 +766,23 @@ def append_to_ivf_index(
 
 
 def ivf_search_persisted(
-    spark: SparkSession, path: str, queries: DataFrame, k: int = TOPK
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = TOPK,
+    nprobe: int | None = None,
 ) -> DataFrame:
-    """Search the persisted index: assign each query its IVF_NPROBE probe
-    cells, then scan ONLY those cells' directories (`cluster IN (...)` is
+    """Search the persisted index: assign each query its probe cells,
+    then scan ONLY those cells' directories (`cluster IN (...)` is
     a partition-column filter, so pruning happens at planning time —
     pinned by `test_ivf_persisted_prunes_partitions`) and exact-rerank.
 
+    ``nprobe`` defaults to the index's CALIBRATED ``recommended_nprobe``
+    (measured at build on the spread sample — see ``calibrate_nprobe``),
+    falling back to the static IVF_NPROBE for pre-calibration indexes.
+
     The probed-cell id list is a control-plane scalar set (≤ |query
-    batch|·NPROBE ints, same footing as the 1024-row centroid sample);
+    batch|·nprobe ints, same footing as the 1024-row centroid sample);
     the corpus never reaches the driver.
     """
     import os
@@ -726,7 +795,14 @@ def ivf_search_persisted(
         .collect()
     )
     C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
-    q_probes = _assign_clusters(queries, "qe", C, IVF_NPROBE)
+    if nprobe is None:
+        stats = spark.read.parquet(os.path.join(path, "stats"))
+        nprobe = (
+            int(stats.collect()[0]["recommended_nprobe"])
+            if "recommended_nprobe" in stats.columns
+            else IVF_NPROBE
+        )
+    q_probes = _assign_clusters(queries, "qe", C, nprobe)
     probe_ids = sorted(
         r["cluster"] for r in q_probes.select("cluster").distinct().collect()
     )
@@ -1491,32 +1567,71 @@ def append_to_pq_index(
     }
 
 
+def _pq_adc_tables(queries: DataFrame, C) -> DataFrame:
+    """Per-query ADC distance tables (query_id, sub, code, dt) built as
+    an Arrow stage KEYED BY QUERY — the data-plane form: a million-query
+    batch never loops on the driver.  The codebook is m·k·d_sub floats
+    and closure-ships with the task like every GEMM stage here.
+
+    Arithmetic note: the accumulation loops EXPLICITLY over the d_sub
+    axis (vectorized over queries × subspaces × codes) so each distance
+    sums its squared terms strictly left-to-right — numpy's ``.sum(-1)``
+    SIMD-reorders even 8-element reductions, which drifts a last ulp
+    from the scalar form.  The table is therefore bit-identical to the
+    driver-loop form it replaced (differential-pinned in
+    tests/test_pq_persisted.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, k, dsub = C.shape
+
+    def gen(batches):
+        subs = np.repeat(np.arange(m, dtype="int64"), k)
+        codes = np.tile(np.arange(k, dtype="int64"), m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.asarray(pdf["qe"].tolist(), dtype=np.float64).reshape(
+                len(pdf), m, dsub
+            )
+            dt = np.zeros((len(pdf), m, k), dtype=np.float64)
+            for d in range(dsub):  # left-to-right accumulation order
+                dt += (Q[:, :, None, d] - C[None, :, :, d]) ** 2
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(dtype="int64"), m * k
+                    ),
+                    "sub": np.tile(subs, len(pdf)),
+                    "code": np.tile(codes, len(pdf)),
+                    "dt": dt.ravel(),
+                }
+            )
+
+    return queries.select("query_id", "qe").mapInPandas(
+        gen, "query_id bigint, sub bigint, code bigint, dt double"
+    )
+
+
 def pq_search_persisted(
     spark: SparkSession, path: str, queries: DataFrame, k: int = TOPK
 ) -> DataFrame:
     """Compressed ADC search over the persisted code table:
     (query_id, vec_id, adc), smallest first.  ``queries`` carries
-    (query_id, qe); the per-query distance tables are the usual
-    driver-side control-plane batch, and the scan reads ONLY the 4-byte
-    codes — the float vectors never leave the object store."""
+    (query_id, qe); the per-query distance tables are built by the
+    ``_pq_adc_tables`` Arrow stage (no driver loop at any query count),
+    and the scan reads ONLY the 4-byte codes — the float vectors never
+    leave the object store.
+
+    The dt table (|queries|·m·k rows) is broadcast into the code join;
+    that holds to ~10⁵ queries per call.  Beyond that, block the query
+    set and loop calls — each block's work is independent, which is the
+    standard batched-ADC sharding."""
     import os
 
-    import numpy as np
-
     C = _read_codebooks(spark, path)
-    dt_rows = []
-    for r in queries.select("query_id", "qe").collect():
-        q = np.asarray(r["qe"], dtype=np.float64)
-        for s in range(C.shape[0]):
-            qs = q[s * PQ_DSUB : (s + 1) * PQ_DSUB]
-            for c in range(C.shape[1]):
-                acc = 0.0
-                for x, y in zip(qs, C[s, c]):
-                    acc += (x - y) * (x - y)
-                dt_rows.append((int(r["query_id"]), int(s), int(c), float(acc)))
-    dtable = spark.createDataFrame(
-        dt_rows, "query_id bigint, sub bigint, code bigint, dt double"
-    )
+    dtable = _pq_adc_tables(queries, C)
     codes = spark.read.parquet(os.path.join(path, "codes"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (

@@ -1,0 +1,72 @@
+"""DSIR importance weights: value cert is the DuckDB oracle (uniform
+gate, exact integers); these goldens pin the METHOD's direction and the
+weight algebra on planted inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.mlprep import (
+    dsir_weights,
+    prep_dsir_weights,
+)
+from data_ingestion_backend_spark.sources.fixtures import load_table
+from tests.conftest import SF_DIR_ORACLE
+
+
+def test_dsir_target_slice_scores_highest(spark):
+    """Direction: English docs (the target distribution) must average a
+    higher per-gram rate than every other language slice — the whole
+    point of importance resampling toward a target."""
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    got = prep_dsir_weights(spark, SF_DIR_ORACLE).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rates = {
+        r["lang"]: r["m"]
+        for r in got.groupBy("lang").agg(F.avg("rate_mbits").alias("m")).collect()
+    }
+    assert all(rates["en"] > v for k, v in rates.items() if k != "en"), rates
+
+
+def test_dsir_planted_vocabularies_separate_cleanly(spark):
+    """Disjoint vocabularies: docs in a vocabulary the target never uses
+    must score strictly negative, docs in the target's own vocabulary
+    non-negative, with clean separation between the groups.  (Strict
+    positivity for target docs needs per-bucket ratios ≥ 2; with
+    add-one smoothing over DSIR_BUCKETS ≫ corpus grams the target side
+    floors to λ = 0 at this toy size — the whole-bit quantization note
+    in the module block.  The disjoint side's ratio ≪ 1/2 survives the
+    floor, which is what makes the CONTAMINATION direction reliable.)"""
+    rows = []
+    for i in range(20):
+        rows.append((i, "tok%d tok%d tok%d tok%d" % (i % 5, (i + 1) % 5, i % 5, (i + 2) % 5)))
+    for i in range(20, 40):
+        rows.append((i, "oth%d oth%d oth%d oth%d" % (i % 5, (i + 1) % 5, i % 5, (i + 2) % 5)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter(F.col("doc_id") < 20).select("text")
+    got = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    t_rates = [got[i]["rate_mbits"] for i in range(20)]
+    o_rates = [got[i]["rate_mbits"] for i in range(20, 40)]
+    assert all(r >= 0 for r in t_rates), t_rates
+    assert all(r < 0 for r in o_rates), o_rates
+    assert min(t_rates) > max(o_rates)
+    assert not any(got[i]["target_like"] for i in range(20, 40))
+
+
+def test_dsir_weight_is_pure_bucket_dot_product(spark):
+    """Algebra: identical texts get identical rows (the weight is a pure
+    function of the doc's bucket counts against the shared λ table —
+    no per-doc state), doubling a doc's gram multiset doubles w_bits
+    exactly, and re-runs are deterministic."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, "a b c d e a b c d")],
+        "doc_id long, text string",
+    )
+    target = docs.select("text")
+    got = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    assert tuple(got[0]) [1:] == tuple(got[1])[1:]  # identical text, identical row
+    assert got[0]["n_grams"] == 3
+    assert got[2]["n_grams"] == 8
+    again = {r["doc_id"]: tuple(r) for r in dsir_weights(docs, target).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == again

@@ -82,6 +82,37 @@ def test_append_equals_rebuild_encode(spark, emb, tmp_path):
     assert len(res) == 30
 
 
+def test_adc_arrow_stage_matches_driver_loop(spark, emb, tmp_path):
+    """The Arrow ADC builder must be BIT-EQUAL to the driver-side
+    scalar triple loop it replaced (same subtraction/square/accumulate
+    order — d_sub is below numpy's pairwise-summation block)."""
+    import numpy as np
+
+    from data_ingestion_backend_spark.operators.similarity import (
+        PQ_DSUB,
+        _pq_adc_tables,
+        pq_train,
+    )
+
+    C, _ = pq_train(emb)
+    qdf = _queries(emb)
+    got = {
+        (r["query_id"], r["sub"], r["code"]): r["dt"]
+        for r in _pq_adc_tables(qdf, C).collect()
+    }
+    want = {}
+    for r in qdf.collect():
+        q = np.asarray(r["qe"], dtype=np.float64)
+        for s in range(C.shape[0]):
+            qs = q[s * PQ_DSUB : (s + 1) * PQ_DSUB]
+            for c in range(C.shape[1]):
+                acc = 0.0
+                for x, y in zip(qs, C[s, c]):
+                    acc += (x - y) * (x - y)
+                want[(r["query_id"], s, c)] = acc
+    assert got == want  # exact float equality, not approx
+
+
 def test_redelivered_batch_id_does_not_double_codes(spark, emb, tmp_path):
     """Exactly-once append: a re-delivered (crash-retried) batch_id
     overwrites its own partition instead of appending a second copy of

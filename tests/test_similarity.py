@@ -197,7 +197,10 @@ def test_ivf_persisted_matches_inmemory_and_prunes_partitions(spark, tmp_path):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    got = ivf_search_persisted(spark, idx, queries)
+    # pinned to the static probe count: this test certifies persisted ≡
+    # in-memory MACHINERY at equal nprobe (the calibrated default is
+    # covered by test_ivf_adaptive_nprobe_* below)
+    got = ivf_search_persisted(spark, idx, queries, nprobe=IVF_NPROBE)
     want = ivf_topk_fixture(spark, SF_DIR_ORACLE)
     as_set = lambda df: {(r.query_id, r.vec_id, r.cosine) for r in df.collect()}
     assert as_set(got) == as_set(want)
@@ -264,14 +267,19 @@ def test_ivf_append_matches_inmemory_and_drift_monitor(spark, tmp_path):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    got = ivf_search_persisted(spark, idx, queries)
+    got = ivf_search_persisted(spark, idx, queries)  # calibrated default
     crows = (
         spark.read.parquet(os.path.join(idx, "centroids"))
         .orderBy("cluster")
         .collect()
     )
     C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
-    want = ivf_topk(base.unionByName(batch), queries, C)
+    rec = int(
+        spark.read.parquet(os.path.join(idx, "stats")).collect()[0][
+            "recommended_nprobe"
+        ]
+    )
+    want = ivf_topk(base.unionByName(batch), queries, C, nprobe=rec)
     as_set = lambda df: {(r.query_id, r.vec_id, r.cosine) for r in df.collect()}
     assert as_set(got) == as_set(want)
     assert as_set(got), "no results — vacuous"
@@ -306,3 +314,115 @@ def test_ivf_drift_trigger_fires_on_shifted_batch(spark, tmp_path):
     res = append_to_ivf_index(spark, idx, shifted)
     assert res["retrain"] is True, f"planted shift not detected: {res}"
     assert res["drift"] > 0.05
+
+
+# ---------------------------------------------------------------------------
+# adaptive nprobe (calibrated at index build)
+# ---------------------------------------------------------------------------
+
+
+def test_calibrate_nprobe_diffuse_exceeds_clustered():
+    """The measured probe count must rise with neighbor diffuseness:
+    well-separated blobs keep the cheap static default; a uniform cloud
+    (neighbors on Voronoi boundaries) calibrates higher."""
+    import numpy as np
+
+    from data_ingestion_backend_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        IVF_NPROBE,
+        _lloyd_spherical,
+        calibrate_nprobe,
+    )
+
+    rng = np.random.RandomState(7)
+    d = 64
+    # clustered: 16 far-apart anchors, tiny within-blob noise — every
+    # vector and its NN share a blob, so top-1 cell already suffices
+    anchors = rng.randn(IVF_CLUSTERS, d) * 10
+    blob = np.repeat(anchors, 64, axis=0) + rng.randn(IVF_CLUSTERS * 64, d) * 0.01
+    blob /= np.linalg.norm(blob, axis=1, keepdims=True)
+    C_blob = _lloyd_spherical(blob)
+    p_clustered = calibrate_nprobe(blob, C_blob)
+
+    # diffuse: uniform gaussian cloud — NNs sit across cell boundaries
+    cloud = rng.randn(1024, d)
+    cloud /= np.linalg.norm(cloud, axis=1, keepdims=True)
+    C_cloud = _lloyd_spherical(cloud)
+    p_diffuse = calibrate_nprobe(cloud, C_cloud)
+
+    assert p_clustered == IVF_NPROBE, p_clustered
+    assert p_diffuse > p_clustered, (p_clustered, p_diffuse)
+
+
+def test_ivf_adaptive_nprobe_persisted_and_used(spark, tmp_path):
+    """build_ivf_index persists the calibrated probe count; the default
+    search uses it (results equal the explicit-nprobe call), and a
+    pre-calibration index (stats without the column) falls back to the
+    static IVF_NPROBE."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_backend_spark.operators.similarity import (
+        IVF_NPROBE,
+        _emb,
+        build_ivf_index,
+        ivf_search_persisted,
+    )
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = _emb(spark, SF_DIR_ORACLE).select("vec_id", "e")
+    idx = str(tmp_path / "ivf_adaptive")
+    build_ivf_index(spark, idx, emb)
+
+    stats = spark.read.parquet(os.path.join(idx, "stats")).collect()[0]
+    rec = int(stats["recommended_nprobe"])
+    assert rec >= IVF_NPROBE
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    as_set = lambda df: {(r.query_id, r.vec_id, r.cosine) for r in df.collect()}
+    assert as_set(ivf_search_persisted(spark, idx, queries)) == as_set(
+        ivf_search_persisted(spark, idx, queries, nprobe=rec)
+    )
+
+    # legacy index: rewrite stats without the recommended_nprobe column
+    legacy = spark.createDataFrame(
+        [(float(stats["baseline_mean_cos"]), float(stats["in_index_mean_cos"]), int(stats["n"]))],
+        "baseline_mean_cos double, in_index_mean_cos double, n bigint",
+    )
+    legacy.write.mode("overwrite").parquet(os.path.join(idx, "stats"))
+    assert as_set(ivf_search_persisted(spark, idx, queries)) == as_set(
+        ivf_search_persisted(spark, idx, queries, nprobe=IVF_NPROBE)
+    )
+
+
+def test_canonical_quality_keeps_longest_per_cluster(spark):
+    """dedup_canonical_quality: exactly one keep per cluster, and the
+    kept member has the cluster's max token count (ties to lower id) —
+    the 'best copy survives' contract, against dedup_clusters' labels."""
+    from collections import defaultdict
+
+    from data_ingestion_backend_spark.operators.dedup import (
+        dedup_canonical_quality,
+    )
+
+    rows = dedup_canonical_quality(spark, SF_DIR_ORACLE).collect()
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    assert any(len(m) > 1 for m in clusters.values()), "no non-trivial cluster"
+    for cid, members in clusters.items():
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1, cid
+        best = max(members, key=lambda m: (m["n_tokens"], -m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"], cid
+    # labels agree with dedup_clusters (same closure)
+    from data_ingestion_backend_spark.registry import QUERIES
+
+    lbl = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_clusters"](spark, SF_DIR_ORACLE).collect()
+    }
+    assert {r["doc_id"]: r["cluster_id"] for r in rows} == lbl

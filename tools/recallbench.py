@@ -42,9 +42,12 @@ from pyspark.sql.window import Window
 
 from data_ingestion_backend_spark.operators.dedup import cosine_expr
 from data_ingestion_backend_spark.operators.similarity import (
+    IVF_NPROBE,
     TOPK,
+    _spread_sample_matrix,
     _train_centroids_sample,
     ann_topk,
+    calibrate_nprobe,
     ivf_topk,
 )
 from data_ingestion_backend_spark.plans.session import get_spark
@@ -137,13 +140,30 @@ def run_tier(spark, copies: int, noise: float) -> dict:
     ivf_sec = time.monotonic() - t0
     ivf_recall = recall_of(ivf_rows, exact_sets)
 
+    # adaptive arm: probe count calibrated on the spread sample (the
+    # auto-retune for the static-nprobe recall decay at high density)
+    t0 = time.monotonic()
+    nprobe = calibrate_nprobe(_spread_sample_matrix(corpus), centroids)
+    adp_rows = ivf_topk(corpus, queries, centroids, TOPK, nprobe=nprobe).collect()
+    adp_sec = time.monotonic() - t0
+    adp_recall = recall_of(adp_rows, exact_sets)
+
     return {
         "copies": copies,
         "noise": noise,
         "n_vectors": n,
         "brute_sec": round(brute_sec, 2),
         "lsh": {"recall": round(lsh_recall, 3), "sec": round(lsh_sec, 2)},
-        "ivf": {"recall": round(ivf_recall, 3), "sec": round(ivf_sec, 2)},
+        "ivf": {
+            "recall": round(ivf_recall, 3),
+            "sec": round(ivf_sec, 2),
+            "nprobe": IVF_NPROBE,
+        },
+        "ivf_adaptive": {
+            "recall": round(adp_recall, 3),
+            "sec": round(adp_sec, 2),
+            "nprobe": int(nprobe),
+        },
     }
 
 
