@@ -144,6 +144,16 @@ STANDALONE_HEADLINE = [
     "graph_triangles",
     # round-8: per-document TF-IDF keyword extraction (integer-exact)
     "text_tfidf_keywords",
+    # round-9: DSIR importance weights toward the English slice
+    "prep_dsir_weights",
+    # round-9: quality-aware canonical keep per near-dup cluster
+    "dedup_canonical_quality",
+    # round-9: composed IVFADC (coarse cells + residual PQ ADC)
+    "sim_ivfadc_topk",
+    # round-9: retrieval evaluation (integer-exact nDCG@10 / MRR)
+    "search_eval_ndcg",
+    # round-9: greedy token-budget corpus cut (histogram-decomposed prefix)
+    "prep_token_budget_select",
 ]
 
 

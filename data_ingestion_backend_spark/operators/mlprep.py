@@ -1470,3 +1470,112 @@ def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"),
         docs.filter(F.col("lang") == "en").select("text"),
     )
+
+
+# --- token-budget selection ---------------------------------------------------
+#
+# The curation end-game: given a per-document integer quality score and
+# a corpus token budget, keep the greedy quality-ranked prefix — docs in
+# (score DESC, doc_id ASC) order while cumulative tokens fit.  This is
+# how a fixed-size pre-training mix is actually cut from a scored pool
+# (C4/FineWeb-style: score, sort, take until the budget).
+#
+# Scale shape — NO global ordered window over the corpus (the classic
+# single-partition trap for running sums): the cumulative structure is
+# decomposed into (a) a SCORE-LEVEL histogram (≤ |distinct scores| rows —
+# the only unpartitioned window runs over this bounded table), and (b) a
+# per-score running sum (window PARTITIONED by score, ordered by doc_id)
+# that settles the boundary score exactly.  selected(d) =
+# tokens_before_score(d) + running_tokens_within_score(d) ≤ budget —
+# pure BIGINT, the exact greedy prefix, engine-identical.
+#
+# Prefix semantics (documented, certified): a doc that would overflow
+# the budget is excluded AND blocks later docs in the order — no
+# best-fit skipping (skipping reorders quality, which curation does not
+# want).
+
+#: budget as a percentage of total corpus tokens
+BUDGET_PCT = 60
+
+_BUDGET_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS score
+  FROM documents
+),
+tot AS (SELECT SUM(n_tokens) * {BUDGET_PCT} // 100 AS budget FROM d),
+hist AS (SELECT score, SUM(n_tokens) AS st FROM d GROUP BY score),
+cum AS (
+  SELECT score,
+         SUM(st) OVER (ORDER BY score DESC
+                       ROWS UNBOUNDED PRECEDING) - st AS before_tokens
+  FROM hist
+),
+within AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY score ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_in_score
+  FROM d
+)
+SELECT w.doc_id,
+       CAST(w.score AS BIGINT) AS score,
+       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+       c.before_tokens + w.cum_in_score <= t.budget AS selected
+FROM within w JOIN cum c USING (score) CROSS JOIN tot t
+ORDER BY w.doc_id"""
+
+
+def token_budget_select(
+    scored: DataFrame, budget_tokens: int
+) -> DataFrame:
+    """Greedy quality-prefix selection: ``scored`` carries (doc_id,
+    score BIGINT, n_tokens BIGINT); returns the same rows plus
+    ``selected`` — true for the (score DESC, doc_id ASC)-ordered prefix
+    whose cumulative token count fits ``budget_tokens``."""
+    hist = scored.groupBy("score").agg(F.sum("n_tokens").alias("st"))
+    # score-level table: ≤ |distinct scores| rows — the unpartitioned
+    # window is bounded by the score domain, never the corpus
+    w_scores = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "score", (F.sum("st").over(w_scores) - F.col("st")).alias("before_tokens")
+    )
+    w_in = (
+        Window.partitionBy("score")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_in_score", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(cum), "score")
+        .select(
+            "doc_id",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.col("before_tokens") + F.col("cum_in_score")
+                <= F.lit(int(budget_tokens))
+            ).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register_standalone("prep_token_budget_select", _BUDGET_SQL)
+def prep_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BUDGET_PCT}%-of-corpus token-budget cut, quality = distinct-token
+    richness (swap in any integer score — DSIR rate, LM bits, curate
+    verdicts — without touching the shape)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("score"),
+    )
+    budget = d.agg(
+        F.expr(f"sum(n_tokens) * {BUDGET_PCT} div 100")
+    ).collect()[0][0]
+    return token_budget_select(d, int(budget))

@@ -649,3 +649,177 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{KEYWORDS_PER_DOC} TF-IDF keywords per fixture document."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_keywords(docs)
+
+
+# --- retrieval evaluation: nDCG@k / MRR, integer-exact -----------------------
+#
+# Closes the retrieval loop: the engine that RANKS (BM25/RRF above) also
+# MEASURES ranking quality.  Graded relevance is derived deterministically
+# from the fixture (rel(q, d) = |query's distinct prefix terms present in
+# d|, capped at 3 — the standard term-overlap pseudo-judgment), the query
+# doc itself is excluded from both the ranking and the ideal, and every
+# metric is PURE BIGINT:
+#
+# - position discounts are the MILLI-UNIT table round(1000/log2(i+1))
+#   injected as identical integer literals into both engines (no libm
+#   call at eval time — the same quantization discipline as the
+#   whole-bit LM surprisal),
+# - DCG@k  = Σ rel_i · D_i            (BIGINT),
+# - IDCG@k = the same sum over the corpus-wide ideal ordering,
+# - nDCG   = (10^6 · DCG) div IDCG    (ppm, 0 when no relevant doc),
+# - MRR    = 1000 div first-relevant-position (milli, 0 when none).
+
+#: milli-unit position discounts for ranks 1..TOPK
+NDCG_DISCOUNTS = [1000, 631, 500, 431, 387, 356, 333, 315, 301, 289]
+
+_D_CASE_POS = "CASE pos " + " ".join(
+    f"WHEN {i + 1} THEN {d}" for i, d in enumerate(NDCG_DISCOUNTS)
+) + " ELSE 0 END"
+
+_EVAL_ORACLE = f"""
+WITH {{core}},
+ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rnk) AS pos
+  FROM lexr WHERE rnk <= {TOPK} + 1 AND doc_id <> query_id
+),
+rel AS (
+  SELECT q.query_id, p.doc_id,
+         LEAST(COUNT(DISTINCT q.term), 3) AS rel
+  FROM qterms q JOIN postings p ON p.term = q.term
+  WHERE p.doc_id <> q.query_id
+  GROUP BY q.query_id, p.doc_id
+),
+dcg AS (
+  SELECT r.query_id,
+         SUM(COALESCE(l.rel, 0) * ({_D_CASE_POS})) AS dcg_milli
+  FROM ranked r LEFT JOIN rel l USING (query_id, doc_id)
+  WHERE r.pos <= {TOPK}
+  GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, doc_id) AS pos
+  FROM rel
+),
+idcg AS (
+  SELECT query_id, SUM(rel * ({_D_CASE_POS})) AS idcg_milli
+  FROM ideal WHERE pos <= {TOPK} GROUP BY query_id
+),
+firstrel AS (
+  SELECT r.query_id, MIN(r.pos) AS fp
+  FROM ranked r JOIN rel l USING (query_id, doc_id)
+  WHERE r.pos <= {TOPK} AND l.rel >= 1
+  GROUP BY r.query_id
+)
+SELECT d.query_id,
+       CAST(d.dcg_milli AS BIGINT) AS dcg_milli,
+       CAST(COALESCE(i.idcg_milli, 0) AS BIGINT) AS idcg_milli,
+       CAST(CASE WHEN COALESCE(i.idcg_milli, 0) = 0 THEN 0
+            ELSE (1000000 * d.dcg_milli) // i.idcg_milli END AS BIGINT)
+         AS ndcg_ppm,
+       CAST(COALESCE(1000 // f.fp, 0) AS BIGINT) AS mrr_milli
+FROM dcg d
+LEFT JOIN idcg i USING (query_id)
+LEFT JOIN firstrel f USING (query_id)
+ORDER BY d.query_id"""
+
+
+def eval_ndcg(
+    docs: DataFrame, queries: DataFrame, ranked: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """(query_id, dcg_milli, idcg_milli, ndcg_ppm, mrr_milli) for a
+    ranked result list against term-overlap graded relevance.
+
+    ``queries``: (query_id, term); ``ranked``: (query_id, doc_id, rank)
+    — any ranker's output (BM25, RRF, dense).  The query doc itself is
+    excluded from position numbering and from the ideal.
+
+    Scale: relevance is a postings ⋈ broadcast-query-terms join (the
+    same candidate bound as BM25 itself); the ideal ordering is a
+    per-query window over those candidates; every terminal is BIGINT.
+    """
+    postings, _ = bm25_postings(docs)
+    d_case = F.expr(_D_CASE_POS)
+    ranked_pos = (
+        ranked.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rank")
+            ),
+        )
+        .filter(F.col("pos") <= k)
+    )
+    rel = (
+        queries.select("query_id", "term")
+        .distinct()
+        .join(postings.select("doc_id", "term"), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.least(F.countDistinct("term"), F.lit(3)).alias("rel"))
+    )
+    dcg = (
+        ranked_pos.join(rel, ["query_id", "doc_id"], "left")
+        .withColumn("rel", F.coalesce("rel", F.lit(0)))
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") * d_case).cast("bigint").alias("dcg_milli"))
+    )
+    ideal = rel.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("rel"), F.asc("doc_id")
+            )
+        ),
+    ).filter(F.col("pos") <= k)
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(F.col("rel") * d_case).cast("bigint").alias("idcg_milli")
+    )
+    firstrel = (
+        ranked_pos.join(rel, ["query_id", "doc_id"])
+        .filter(F.col("rel") >= 1)
+        .groupBy("query_id")
+        .agg(F.min("pos").alias("fp"))
+    )
+    return (
+        dcg.join(idcg, "query_id", "left")
+        .join(firstrel, "query_id", "left")
+        .select(
+            "query_id",
+            "dcg_milli",
+            F.coalesce("idcg_milli", F.lit(0)).cast("bigint").alias(
+                "idcg_milli"
+            ),
+            F.when(F.coalesce("idcg_milli", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("(1000000 * dcg_milli) div idcg_milli")
+            )
+            .cast("bigint")
+            .alias("ndcg_ppm"),
+            F.coalesce(F.expr("1000 div fp"), F.lit(0))
+            .cast("bigint")
+            .alias("mrr_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@_register_standalone(
+    "search_eval_ndcg", _EVAL_ORACLE.format(core=_BM25_CORE_CTES)
+)
+def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{TOPK}/MRR of the certified BM25 sweep against term-overlap
+    graded relevance — the retrieval family's evaluation row."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter((F.col("doc_id") % 100 == 3) & (F.col("doc_id") < 500))
+    queries = probes.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(
+            F.slice(F.split(F.col("text"), " "), 1, QUERY_PREFIX_TOKENS)
+        ).alias("term"),
+    ).distinct()
+    ranked = bm25_topk(docs, queries, k=TOPK + 1)
+    return eval_ndcg(docs, queries, ranked)

@@ -1567,14 +1567,17 @@ def append_to_pq_index(
     }
 
 
-def _pq_adc_tables(queries: DataFrame, C) -> DataFrame:
-    """Per-query ADC distance tables (query_id, sub, code, dt) built as
-    an Arrow stage KEYED BY QUERY — the data-plane form: a million-query
-    batch never loops on the driver.  The codebook is m·k·d_sub floats
-    and closure-ships with the task like every GEMM stage here.
+def _pq_adc_tables_keyed(
+    frame: DataFrame, C, key_cols: list[str], vec_col: str
+) -> DataFrame:
+    """ADC distance tables (``*key_cols``, sub, code, dt) built as an
+    Arrow stage keyed by arbitrary BIGINT key columns — the data-plane
+    form: a million-query batch never loops on the driver.  The
+    codebook is m·k·d_sub floats and closure-ships with the task like
+    every GEMM stage here.
 
     Arithmetic note: the accumulation loops EXPLICITLY over the d_sub
-    axis (vectorized over queries × subspaces × codes) so each distance
+    axis (vectorized over rows × subspaces × codes) so each distance
     sums its squared terms strictly left-to-right — numpy's ``.sum(-1)``
     SIMD-reorders even 8-element reductions, which drifts a last ulp
     from the scalar form.  The table is therefore bit-identical to the
@@ -1592,26 +1595,32 @@ def _pq_adc_tables(queries: DataFrame, C) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            Q = np.asarray(pdf["qe"].tolist(), dtype=np.float64).reshape(
+            Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64).reshape(
                 len(pdf), m, dsub
             )
             dt = np.zeros((len(pdf), m, k), dtype=np.float64)
             for d in range(dsub):  # left-to-right accumulation order
                 dt += (Q[:, :, None, d] - C[None, :, :, d]) ** 2
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(
-                        pdf["query_id"].to_numpy(dtype="int64"), m * k
-                    ),
-                    "sub": np.tile(subs, len(pdf)),
-                    "code": np.tile(codes, len(pdf)),
-                    "dt": dt.ravel(),
-                }
-            )
+            out = {
+                kc: np.repeat(pdf[kc].to_numpy(dtype="int64"), m * k)
+                for kc in key_cols
+            }
+            out["sub"] = np.tile(subs, len(pdf))
+            out["code"] = np.tile(codes, len(pdf))
+            out["dt"] = dt.ravel()
+            yield pd.DataFrame(out)
 
-    return queries.select("query_id", "qe").mapInPandas(
-        gen, "query_id bigint, sub bigint, code bigint, dt double"
+    schema = (
+        ", ".join(f"{kc} bigint" for kc in key_cols)
+        + ", sub bigint, code bigint, dt double"
     )
+    return frame.select(*key_cols, vec_col).mapInPandas(gen, schema)
+
+
+def _pq_adc_tables(queries: DataFrame, C) -> DataFrame:
+    """Per-query ADC distance tables (query_id, sub, code, dt) — see
+    ``_pq_adc_tables_keyed``."""
+    return _pq_adc_tables_keyed(queries, C, ["query_id"], "qe")
 
 
 def pq_search_persisted(
@@ -1644,3 +1653,194 @@ def pq_search_persisted(
         .select("query_id", "vec_id", "adc")
         .orderBy("query_id", "adc", "vec_id")
     )
+
+
+# --- IVFADC: coarse cells + residual PQ (Jégou et al. TPAMI 2011, §V) --------
+#
+# The production composition of the two ANN halves this module already
+# carries: a coarse IVF quantizer partitions the corpus into cells
+# (partition pruning = candidate generation, exactly ``build_ivf_index``),
+# and each vector's RESIDUAL to its cell centroid is PQ-encoded (4-byte
+# codes, exactly ``build_pq_index``).  Search probes nprobe cells and
+# runs ADC per (query, probed cell) on the residual codebooks — the
+# compressed scan reads only the probed cells' code files, so the cost
+# is ~nprobe/k_cells of a full ADC scan AND never touches a float
+# vector.  Residual encoding is what makes the composition better than
+# either half: residuals are small and centered, so the same 4-bit
+# codebooks quantize them far more finely than raw vectors.
+#
+# Determinism pins are inherited wholesale: sample-fit coarse centroids
+# (first IVF_SAMPLE ids, Lloyd on numpy), PQ init = first PQ_K residuals
+# by vec_id, PQ_ROUND grid, round(adc, 6) terminal, ties to lower
+# vec_id.  Certification: numpy end-to-end differential + persisted ≡
+# in-memory + partition-pruning plan pin + recall floor
+# (tests/test_ivfadc.py); rows-only in the uniform gate like the other
+# iterative ANN forms.
+
+
+def _residualize(
+    df: DataFrame, cent_df: DataFrame, vec_col: str
+) -> DataFrame:
+    """Subtract each row's assigned/probed cell centroid from its
+    (already normalized) vector — pure Catalyst zip_with against the
+    broadcast k_cells×d centroid table."""
+    return df.join(F.broadcast(cent_df), "cluster").withColumn(
+        vec_col,
+        F.zip_with(vec_col, "centroid", lambda x, c: x - c),
+    ).drop("centroid")
+
+
+def _centroid_df(spark: SparkSession, C) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        "cluster long, centroid array<double>",
+    )
+
+
+def _ivfadc_encode(
+    spark: SparkSession, corpus: DataFrame, C
+) -> tuple[DataFrame, "np.ndarray"]:  # noqa: F821
+    """(codes, Cpq): residual-PQ code table (vec_id, cluster, sub, code)
+    and the trained residual codebooks, for a coarse quantizer ``C``."""
+    cent = _centroid_df(spark, C)
+    assigned = _assign_clusters(_normalized_emb(corpus), "e", C, 1)
+    # consumed by PQ train (iterative) + encode: materialize the
+    # residuals once (at warehouse scale this is a staged table, not a
+    # local checkpoint)
+    resid = _residualize(assigned, cent, "e").localCheckpoint(eager=True)
+    Cpq, _ = pq_train(resid.select("vec_id", "e"))
+    codes = (
+        _pq_assign(spark, _subvector_table(resid.select("vec_id", "e")), Cpq)
+        .select("vec_id", "sub", "code")
+        .join(resid.select("vec_id", "cluster"), "vec_id")
+    )
+    return codes, Cpq
+
+
+def _ivfadc_scan(
+    codes: DataFrame, dtable: DataFrame, k: int
+) -> DataFrame:
+    """The shared terminal: probed-cell code rows × broadcast per-
+    (query, cell) ADC tables → (query_id, vec_id, adc) top-k."""
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        codes.join(F.broadcast(dtable), ["cluster", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("dt"), 6).alias("adc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "adc")
+        .orderBy("query_id", "adc", "vec_id")
+    )
+
+
+def _normalized_queries(queries: DataFrame) -> DataFrame:
+    norm = F.sqrt(F.aggregate("qe", F.lit(0.0), lambda acc, x: acc + x * x))
+    return queries.select(
+        "query_id", F.transform("qe", lambda x: x / norm).alias("qe")
+    )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """In-memory IVFADC: train coarse + residual quantizers on
+    ``corpus`` (vec_id, e), answer ``queries`` (query_id, qe) with
+    per-probed-cell residual ADC.  (query_id, vec_id, adc), smallest
+    first; distances are ||q̂ − x̂||² approximations, monotone with
+    cosine on the normalized vectors."""
+    spark = corpus.sparkSession
+    C = _lloyd_spherical(_sample_matrix(corpus))
+    codes, Cpq = _ivfadc_encode(spark, corpus, C)
+    cent = _centroid_df(spark, C)
+    q_probes = _assign_clusters(_normalized_queries(queries), "qe", C, nprobe)
+    q_resid = _residualize(q_probes, cent, "qe")
+    dtable = _pq_adc_tables_keyed(q_resid, Cpq, ["query_id", "cluster"], "qe")
+    return _ivfadc_scan(codes, dtable, k)
+
+
+def build_ivfadc_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
+    """Materialize the IVFADC index: residual-PQ codes hive-partitioned
+    by coarse cell (pruning = candidate generation), coarse centroids,
+    residual codebooks, and the calibrated probe count."""
+    import os
+
+    S = _sample_matrix(corpus)
+    C = _lloyd_spherical(S)
+    codes, Cpq = _ivfadc_encode(spark, corpus, C)
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "codes")
+    )
+    _centroid_df(spark, C).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    _codebook_df(spark, Cpq).write.mode("overwrite").parquet(
+        os.path.join(path, "codebooks")
+    )
+    rec = calibrate_nprobe(_spread_sample_matrix(corpus), C)
+    spark.createDataFrame(
+        [(int(rec),)], "recommended_nprobe bigint"
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def ivfadc_search_persisted(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = TOPK,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Search the persisted IVFADC index: probe each query's nprobe
+    cells (default: the index's calibrated ``recommended_nprobe``),
+    build per-(query, cell) residual ADC tables in the Arrow stage, and
+    scan ONLY the probed cells' code files — `cluster IN (...)` is a
+    partition filter, so pruning happens at planning time, and the scan
+    reads 4-byte codes, never a float vector."""
+    import os
+
+    import numpy as np
+
+    crows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    cent = _centroid_df(spark, C)
+    Cpq = _read_codebooks(spark, path)
+    if nprobe is None:
+        nprobe = int(
+            spark.read.parquet(os.path.join(path, "stats")).collect()[0][
+                "recommended_nprobe"
+            ]
+        )
+    q_probes = _assign_clusters(_normalized_queries(queries), "qe", C, nprobe)
+    q_resid = _residualize(q_probes, cent, "qe")
+    dtable = _pq_adc_tables_keyed(q_resid, Cpq, ["query_id", "cluster"], "qe")
+    probe_ids = sorted(
+        r["cluster"] for r in q_probes.select("cluster").distinct().collect()
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cluster").isin(probe_ids)
+    )
+    return _ivfadc_scan(codes, dtable, k)
+
+
+@_register_standalone("sim_ivfadc_topk", None)  # rows-only by design:
+# two nested Lloyd trainings (coarse + residual PQ) are iterative, not
+# one SQL query; the cert is the numpy end-to-end differential +
+# persisted≡in-memory + pruning plan pin + recall floor in
+# tests/test_ivfadc.py
+def sim_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-{TOPK} for the fixture probe set — the composed
+    production ANN form (coarse cells + residual PQ codes)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    queries = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    return ivfadc_topk(emb, queries)

@@ -1,0 +1,188 @@
+"""IVFADC (coarse cells + residual PQ): numpy end-to-end differential,
+persisted ≡ in-memory, physical partition pruning, recall floor,
+determinism.  Rows-only in the uniform gate (two nested Lloyd loops);
+these goldens are the value cert."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.similarity import (
+    IVF_NPROBE,
+    PQ_DSUB,
+    PQ_QUERIES,
+    PQ_SUBSPACES,
+    TOPK,
+    _emb,
+    _lloyd_spherical,
+    _sample_matrix,
+    build_ivfadc_index,
+    ivfadc_search_persisted,
+    ivfadc_topk,
+    pq_train,
+)
+from data_ingestion_backend_spark.registry import QUERIES
+from tests.conftest import SF_DIR_ORACLE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return _emb(spark, SF_DIR_ORACLE).select("vec_id", "e")
+
+
+def _queries(emb, n=PQ_QUERIES):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+
+def _numpy_ivfadc(emb_rows, C, Cpq, query_ids, nprobe, k):
+    """Independent numpy replication of the whole search: normalize →
+    assign → residualize → PQ-encode → per-(query, cell) ADC → top-k.
+    Distance terms accumulate left-to-right (the engine's pinned
+    order); adc rounds to 6 like the Spark terminal."""
+    ids = np.asarray([r["vec_id"] for r in emb_rows])
+    M = np.asarray([r["e"] for r in emb_rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    assign = np.argsort(-(M @ C.T), axis=1)[:, 0]
+    resid = M - C[assign]
+
+    def codes_of(R):
+        out = np.zeros((len(R), PQ_SUBSPACES), dtype=np.int64)
+        for s in range(PQ_SUBSPACES):
+            sv = R[:, s * PQ_DSUB : (s + 1) * PQ_DSUB]
+            d2 = ((sv[:, None, :] - Cpq[s][None]) ** 2).sum(-1)
+            out[:, s] = d2.argmin(axis=1)
+        return out
+
+    codes = codes_of(resid)
+    results = []
+    for qid in query_ids:
+        qi = int(np.where(ids == qid)[0][0])
+        q = M[qi]
+        probe = np.argsort(-(q @ C.T))[:nprobe]
+        cand = []
+        for cell in probe:
+            qr = q - C[cell]
+            # dt table: strict left-to-right accumulation over d_sub
+            dt = np.zeros((PQ_SUBSPACES, Cpq.shape[1]))
+            for d in range(PQ_DSUB):
+                for s in range(PQ_SUBSPACES):
+                    dt[s] += (
+                        qr[s * PQ_DSUB + d] - Cpq[s, :, d]
+                    ) ** 2
+            members = np.where(assign == cell)[0]
+            for m_i in members:
+                vid = int(ids[m_i])
+                if vid == qid:
+                    continue
+                acc = 0.0
+                for s in range(PQ_SUBSPACES):
+                    acc += dt[s, codes[m_i, s]]
+                cand.append((vid, round(acc, 6)))
+        cand.sort(key=lambda t: (t[1], t[0]))
+        results.extend((qid, vid, adc) for vid, adc in cand[:k])
+    return results
+
+
+def test_ivfadc_matches_numpy_end_to_end(spark, emb):
+    C = _lloyd_spherical(_sample_matrix(emb))
+    got = [
+        (r["query_id"], r["vec_id"], r["adc"])
+        for r in ivfadc_topk(emb, _queries(emb)).collect()
+    ]
+    # the trained quantizers are the engine's own (deterministic); the
+    # SEARCH pipeline is replicated independently in numpy
+    from data_ingestion_backend_spark.operators.similarity import (
+        _ivfadc_encode,
+    )
+
+    _, Cpq = _ivfadc_encode(spark, emb, C)
+    want = _numpy_ivfadc(
+        emb.collect(), C, Cpq, list(range(PQ_QUERIES)), IVF_NPROBE, TOPK
+    )
+    assert got == want
+
+
+def test_ivfadc_persisted_equals_inmemory_and_prunes(spark, emb, tmp_path):
+    path = str(tmp_path / "ivfadc")
+    build_ivfadc_index(spark, path, emb)
+    got = ivfadc_search_persisted(spark, path, _queries(emb), nprobe=IVF_NPROBE)
+    want = ivfadc_topk(emb, _queries(emb), nprobe=IVF_NPROBE)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # physical pruning: the probed scan touches only probed cluster dirs
+    crows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    C = np.asarray([r["centroid"] for r in crows])
+    from data_ingestion_backend_spark.operators.similarity import (
+        _assign_clusters,
+        _normalized_queries,
+    )
+
+    probes = _assign_clusters(
+        _normalized_queries(_queries(emb)), "qe", C, IVF_NPROBE
+    )
+    probe_ids = {r["cluster"] for r in probes.select("cluster").distinct().collect()}
+    touched = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("cluster").isin(sorted(probe_ids)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    clusters_touched = {
+        int(re.search(r"cluster=(\d+)", r["f"]).group(1)) for r in touched
+    }
+    assert clusters_touched <= probe_ids
+    assert len(clusters_touched) < len(crows), "no pruning happened"
+
+    # calibrated default is persisted and usable
+    rec = spark.read.parquet(os.path.join(path, "stats")).collect()[0][
+        "recommended_nprobe"
+    ]
+    assert rec >= IVF_NPROBE
+    assert ivfadc_search_persisted(spark, path, _queries(emb)).count() > 0
+
+
+def test_ivfadc_recall_floor_and_residual_beats_raw_pq(spark, emb):
+    """Raw residual-ADC recall@10 must clear the floor — and beat raw
+    (non-residual) PQ ADC at the same k, the reason IVFADC residualizes."""
+    exact = QUERIES["sim_multiquery_topk"](spark, SF_DIR_ORACLE).collect()
+    es: dict[int, set] = {}
+    for r in exact:
+        es.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    got = ivfadc_topk(emb, _queries(emb), k=10).collect()
+    gs: dict[int, set] = {}
+    for r in got:
+        gs.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = [len(es[k] & gs.get(k, set())) / len(es[k]) for k in es]
+    ivfadc_recall = sum(rec) / len(rec)
+    assert ivfadc_recall >= 0.45, rec
+
+    from data_ingestion_backend_spark.operators.similarity import pq_topk
+
+    Craw, _ = pq_train(emb)
+    raw = pq_topk(spark, emb, Craw, rerank=False, k=10).collect()
+    rs: dict[int, set] = {}
+    for r in raw:
+        rs.setdefault(r["query_id"], set()).add(r["vec_id"])
+    raw_rec = [len(es[k] & rs.get(k, set())) / len(es[k]) for k in es]
+    assert ivfadc_recall > sum(raw_rec) / len(raw_rec), (rec, raw_rec)
+
+
+def test_ivfadc_deterministic(spark, emb):
+    a = [tuple(r) for r in ivfadc_topk(emb, _queries(emb)).collect()]
+    b = [tuple(r) for r in ivfadc_topk(emb, _queries(emb)).collect()]
+    assert a == b
+    assert a, "vacuous"

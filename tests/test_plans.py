@@ -93,6 +93,10 @@ SANCTIONED_PANDAS = {
     # documented mapInPandas surface; bit-equality with the fold form
     # is pinned in test_text_bpe.py
     "text_bpe_encode",
+    # round-9: IVFADC composes the IVF quantizer's GEMM assignment and
+    # the keyed ADC-table builder — both already-sanctioned Arrow GEMM
+    # surfaces (numpy end-to-end differential in test_ivfadc.py)
+    "sim_ivfadc_topk",
 }
 
 
