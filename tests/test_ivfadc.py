@@ -103,7 +103,7 @@ def test_ivfadc_matches_numpy_end_to_end(spark, emb):
         _ivfadc_encode,
     )
 
-    _, Cpq = _ivfadc_encode(spark, emb, C)
+    _, Cpq = _ivfadc_encode(spark, emb, C)  # noqa: the engine's own quantizers
     want = _numpy_ivfadc(
         emb.collect(), C, Cpq, list(range(PQ_QUERIES)), IVF_NPROBE, TOPK
     )
@@ -186,3 +186,89 @@ def test_ivfadc_deterministic(spark, emb):
     b = [tuple(r) for r in ivfadc_topk(emb, _queries(emb)).collect()]
     assert a == b
     assert a, "vacuous"
+
+
+def test_ivfadc_append_frozen_equals_rebuild_encode(spark, emb, tmp_path):
+    """Frozen-quantizer append: appended codes must equal encoding the
+    batch directly with the index's coarse centroids + residual
+    codebooks, and the appended vectors become searchable."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _assign_clusters,
+        _centroid_df,
+        _normalized_emb,
+        _pq_assign,
+        _read_codebooks,
+        _residualize,
+        _subvector_table,
+        append_to_ivfadc_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivfadc_app")
+    build_ivfadc_index(spark, path, base)
+    report = append_to_ivfadc_index(spark, path, batch, batch_id=1)
+    assert report["retrain"] is False, report
+    # cross-fit baselines: a same-distribution batch reads ~0 on the
+    # coarse monitor and a small ratio on the residual one
+    assert abs(report["drift"]) < 0.05, report
+    assert abs(report["recon_drift"]) < 0.15, report
+
+    crows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cluster")
+        .collect()
+    )
+    C = np.asarray([r["centroid"] for r in crows], dtype=np.float64)
+    Cpq = _read_codebooks(spark, path)
+    resid = _residualize(
+        _assign_clusters(_normalized_emb(batch), "e", C, 1),
+        _centroid_df(spark, C),
+        "e",
+    )
+    want = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in _pq_assign(
+            spark, _subvector_table(resid.select("vec_id", "e")), Cpq
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in spark.read.parquet(os.path.join(path, "codes"))
+        .filter(F.col("vec_id") >= 400)
+        .collect()
+    }
+    assert got == want
+
+    # appended vectors are searchable and the batch partition is owned:
+    # a re-delivered batch_id changes nothing
+    once = [
+        tuple(r)
+        for r in ivfadc_search_persisted(spark, path, _queries(emb)).collect()
+    ]
+    n_once = spark.read.parquet(os.path.join(path, "codes")).count()
+    append_to_ivfadc_index(spark, path, batch, batch_id=1)  # re-delivery
+    assert spark.read.parquet(os.path.join(path, "codes")).count() == n_once
+    again = [
+        tuple(r)
+        for r in ivfadc_search_persisted(spark, path, _queries(emb)).collect()
+    ]
+    assert again == once
+
+
+def test_ivfadc_drift_fires_on_shifted_batch(spark, emb, tmp_path):
+    from data_ingestion_backend_spark.operators.similarity import (
+        append_to_ivfadc_index,
+    )
+
+    path = str(tmp_path / "ivfadc_drift")
+    build_ivfadc_index(spark, path, emb.filter(F.col("vec_id") < 400))
+    shifted = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("e", lambda x: x * 10.0 + 5.0).alias("e"),
+    )
+    report = append_to_ivfadc_index(spark, path, shifted)
+    assert report["drift"] > 0.05, report  # coarse monitor fires
+    assert report["retrain"] is True
+    # the residual tier degrades too, just less sharply (documented)
+    assert report["recon_drift"] > 0.1, report
