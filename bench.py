@@ -154,6 +154,8 @@ STANDALONE_HEADLINE = [
     "search_eval_ndcg",
     # round-9: greedy token-budget corpus cut (histogram-decomposed prefix)
     "prep_token_budget_select",
+    # round-9: cluster-keyed split (near-dups never straddle train/test)
+    "prep_split_leakage_free",
 ]
 
 

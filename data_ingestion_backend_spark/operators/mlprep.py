@@ -1579,3 +1579,76 @@ def prep_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sum(n_tokens) * {BUDGET_PCT} div 100")
     ).collect()[0][0]
     return token_budget_select(d, int(budget))
+
+
+# --- leakage-free split (near-dup clusters never straddle splits) ------------
+#
+# Hash-splitting DOCUMENTS leaks: a near-duplicate pair split across
+# train and test puts (effectively) test data in the training set, and
+# benchmark contamination studies trace exactly this path.  The fix is
+# to split by NEAR-DUP CLUSTER — the same md5-bucket assignment as
+# ``prep_split_assign``, keyed by the MinHash-CC cluster id instead of
+# the doc id, so every cluster lands whole on one side.  Singleton docs
+# (cluster_id = doc_id) get the identical assignment the doc-level
+# split would give them — the two splits differ ONLY where leakage
+# would have occurred (asserted by golden).
+
+
+def split_leakage_free(labels: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, bucket, split) from a (doc_id, cluster_id)
+    label frame — md5-bucket assignment on the CLUSTER id."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+def _leakfree_sql() -> str:
+    from data_ingestion_backend_spark.operators.dedup import _minhash_ctes
+
+    b = (
+        "CAST(('0x' || substr(md5(CAST(cluster_id AS STRING)), 1, 8))"
+        " AS BIGINT) % 100"
+    )
+    return f"""WITH RECURSIVE {_minhash_ctes()},
+      und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+      ),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+      ),
+      labels AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+                 FROM reach GROUP BY id)
+      SELECT doc_id, cluster_id,
+             {b} AS bucket,
+             CASE WHEN {b} < {TRAIN_PCT} THEN 'train'
+                  WHEN {b} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM labels ORDER BY doc_id"""
+
+
+@_register_standalone("prep_split_leakage_free", _leakfree_sql())
+def prep_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-keyed train/val/test assignment over the documents
+    fixture — near-dup clusters never straddle a split boundary."""
+    from data_ingestion_backend_spark.operators.dedup import dedup_clusters
+
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    return split_leakage_free(labels)

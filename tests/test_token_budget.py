@@ -59,3 +59,47 @@ def test_zero_and_full_budget(spark):
     assert not any(r["selected"] for r in none)
     full = token_budget_select(scored, 20).collect()
     assert all(r["selected"] for r in full)
+
+
+# ---------------------------------------------------------------------------
+# leakage-free split (cluster-keyed assignment)
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_free_split_never_straddles_clusters(spark):
+    """Every near-dup cluster lands whole on one side; singleton docs
+    get the IDENTICAL assignment the doc-level split gives them — the
+    two splits differ only where leakage would have occurred."""
+    from collections import defaultdict
+
+    from data_ingestion_backend_spark.operators.mlprep import (
+        prep_split_assign,
+        prep_split_leakage_free,
+    )
+
+    rows = prep_split_leakage_free(spark, SF_DIR_ORACLE).collect()
+    by_cluster = defaultdict(set)
+    singles = defaultdict(int)
+    for r in rows:
+        by_cluster[r["cluster_id"]].add(r["split"])
+        singles[r["cluster_id"]] += 1
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert any(n > 1 for n in singles.values()), "no non-trivial cluster"
+
+    doc_level = {
+        r["doc_id"]: r["split"]
+        for r in prep_split_assign(spark, SF_DIR_ORACLE).collect()
+    }
+    for r in rows:
+        if singles[r["cluster_id"]] == 1 and r["cluster_id"] == r["doc_id"]:
+            assert r["split"] == doc_level[r["doc_id"]], r["doc_id"]
+
+
+def test_leakage_free_split_deterministic(spark):
+    from data_ingestion_backend_spark.operators.mlprep import (
+        prep_split_leakage_free,
+    )
+
+    a = [tuple(r) for r in prep_split_leakage_free(spark, SF_DIR_ORACLE).collect()]
+    b = [tuple(r) for r in prep_split_leakage_free(spark, SF_DIR_ORACLE).collect()]
+    assert a == b
