@@ -298,3 +298,63 @@ def test_bpe_encode_arrow_1000_merges_constant_jobs(spark):
     # The fold form pays ~merges/3 checkpoint jobs on top.
     assert len(jobs_1000) <= len(jobs_40) + 1, (jobs_40, jobs_1000)
     assert len(jobs_1000) <= 12, jobs_1000
+
+
+def test_bpe_encode_arrow_randomized_adversarial_merges(spark):
+    """Seeded randomized differential: arrow ≡ fold for ARBITRARY merge
+    lists, not just learned ones — including merges whose left/right
+    are multi-character strings, merges that can never apply, duplicate
+    merged-strings from different splits, and chains where one merge's
+    output is another's input.  One Spark run over a 200-word corpus
+    per form (the substring-prefilter argument must hold for any list)."""
+    import random
+
+    from data_ingestion_backend_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_arrow,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 10)))
+        for _ in range(200)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 4 : i * 4 + 4])) for i in range(50)],
+        "doc_id long, text string",
+    )
+    # adversarial merge list: random splits of random substrings of the
+    # corpus (applicable) + junk (inapplicable) + chained merges
+    merges = []
+    for rank in range(1, 31):
+        if rank % 5 == 0:
+            left, right = "zz", "q"  # never applicable
+        else:
+            w = rng.choice(words)
+            if len(w) >= 2:
+                i = rng.randrange(len(w) - 1)
+                j = rng.randint(i + 2, len(w))
+                cut = rng.randint(i + 1, j - 1)
+                left, right = w[i:cut], w[cut:j]
+            else:
+                left, right = w, w
+        merges.append((rank, left, right, left + right, 1))
+    # chain: rank 31 consumes rank 1's output symbol
+    l1, r1 = merges[0][1], merges[0][2]
+    merges.append((31, l1 + r1, l1 + r1, (l1 + r1) * 2, 1))
+    merges_df = spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+    fold = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(docs, merges_df).collect()
+    }
+    arrow = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode_arrow(docs, merges_df).collect()
+    }
+    assert arrow == fold
+    # non-vacuous: some merges actually fired
+    assert any(len(t) > 1 for toks in fold.values() for t in toks)

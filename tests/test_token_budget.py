@@ -103,3 +103,34 @@ def test_leakage_free_split_deterministic(spark):
     a = [tuple(r) for r in prep_split_leakage_free(spark, SF_DIR_ORACLE).collect()]
     b = [tuple(r) for r in prep_split_leakage_free(spark, SF_DIR_ORACLE).collect()]
     assert a == b
+
+
+def test_token_budget_randomized_vs_naive_greedy(spark):
+    """Seeded randomized differential: 300 docs with colliding scores
+    and varied sizes, 7 budgets spanning empty → full — histogram
+    decomposition ≡ the naive sort-accumulate-stop loop at every
+    boundary."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randint(0, 6), rng.randint(1, 40)) for i in range(300)
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, score long, n_tokens long"
+    )
+    total = sum(r[2] for r in rows)
+    for budget in [0, 1, total // 10, total // 3, total // 2, total - 1, total]:
+        got = {
+            r["doc_id"]
+            for r in token_budget_select(scored, budget).collect()
+            if r["selected"]
+        }
+        want = set()
+        used = 0
+        for doc_id, score, n in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if used + n > budget:
+                break
+            want.add(doc_id)
+            used += n
+        assert got == want, budget
