@@ -199,6 +199,21 @@ PCA_STATE_SCHEMA = T.StructType(
     ]
 )
 
+#: persisted DSIR sufficient-statistic table (operators/mlprep.py):
+#: hashed-bigram bucket counts per distribution side ('src' = the whole
+#: corpus, 'tgt' = the target slice) — both histograms are mergeable, so
+#: DSIR over a growing corpus is maintained, never rebuilt (the
+#: pca_state pattern on integer counts: merges are EXACT, no float
+#: drift caveat at all).  Registered so a state-never-built warehouse
+#: reads EMPTY (first append is the build).
+DSIR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("side", T.StringType(), True),
+        T.StructField("b", T.LongType(), True),
+        T.StructField("k", T.LongType(), True),
+    ]
+)
+
 PIPELINE_TABLES = ("jobs", "staging", "issues", "issue_items", "contacts")
 
 #: streaming SEMANTIC admission gate tables (streaming/semgate.py): the
@@ -240,6 +255,7 @@ SCHEMAS = {
     "search_postings": SEARCH_POSTINGS_SCHEMA,
     "search_stats": SEARCH_STATS_SCHEMA,
     "pca_state": PCA_STATE_SCHEMA,
+    "dsir_state": DSIR_STATE_SCHEMA,
     "semdup_index": SEMDUP_INDEX_SCHEMA,
     "semdup_pairs": SEMDUP_PAIRS_SCHEMA,
     "semdup_centroids": SEMDUP_CENTROIDS_SCHEMA,

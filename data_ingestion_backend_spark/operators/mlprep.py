@@ -1396,44 +1396,32 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
 FROM scored ORDER BY doc_id"""
 
 
-def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
-    """Per-document DSIR importance weights of ``docs`` (doc_id, text)
-    toward the n-gram distribution of ``target`` (text) — see the
-    module-block note for the method and the integer-bits terminal.
+def _dsir_grams(d: DataFrame, *cols: str) -> DataFrame:
+    """(``*cols``, b): one row per word-bigram occurrence, hashed into
+    DSIR_BUCKETS md5 buckets (cross-engine arithmetic)."""
+    toks = d.select(*cols, F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    g = toks.select(
+        *cols,
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2),"
+                   " i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("g"),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    return g.select(*cols, b.alias("b"))
 
-    Scale shape: one corpus pass builds the per-doc bucket histogram
-    (map-side combined groupBy); source/target histograms and the
-    λ table are ≤ DSIR_BUCKETS rows (broadcast); the scoring join is
-    per-doc-bucket × broadcast λ.  No shuffle grows past the corpus's
-    own bucket rows.
-    """
-    def grams(d: DataFrame, *cols: str) -> DataFrame:
-        toks = d.select(*cols, F.split("text", " ").alias("t")).filter(
-            F.size("t") >= 2
-        )
-        g = toks.select(
-            *cols,
-            F.explode(
-                F.expr("transform(sequence(0, size(t)-2),"
-                       " i -> concat(t[i], ' ', t[i+1]))")
-            ).alias("g"),
-        )
-        b = (
-            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
-            % DSIR_BUCKETS
-        )
-        return g.select(*cols, b.alias("b"))
 
-    src_g = grams(docs, "doc_id")
-    tgt_g = grams(target)
-    doc_b = src_g.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
-    src = src_g.groupBy("b").agg(F.count("*").alias("cs"))
-    tgt = tgt_g.groupBy("b").agg(F.count("*").alias("ct"))
-    ts = src_g.count()
-    tt = tgt_g.count()
+def _dsir_lambda(src: DataFrame, tgt: DataFrame, ts: int, tt: int) -> DataFrame:
+    """(b, lam): whole-bit log2 likelihood ratio per bucket from the
+    (b, cs) / (b, ct) histograms and their totals — pure BIGINT."""
     a = f"(coalesce(ct, CAST(0 AS BIGINT)) + 1) * ({ts} + {DSIR_BUCKETS})"
     c = f"(cs + 1) * ({tt} + {DSIR_BUCKETS})"
-    lam = src.join(tgt, "b", "left").select(
+    return src.join(tgt, "b", "left").select(
         "b",
         F.expr(
             f"CASE WHEN {a} >= {c}"
@@ -1441,6 +1429,11 @@ def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
             f" ELSE 1 - CAST(length(bin(({c}) div ({a}))) AS BIGINT) END"
         ).alias("lam"),
     )
+
+
+def _dsir_score(doc_b: DataFrame, lam: DataFrame) -> DataFrame:
+    """Per-doc weight rows from the per-doc bucket histogram × the
+    broadcast λ table."""
     scored = (
         doc_b.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
@@ -1457,6 +1450,120 @@ def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
         rate.alias("rate_mbits"),
         (rate > 0).alias("target_like"),
     ).orderBy("doc_id")
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weights of ``docs`` (doc_id, text)
+    toward the n-gram distribution of ``target`` (text) — see the
+    module-block note for the method and the integer-bits terminal.
+
+    Scale shape: one corpus pass builds the per-doc bucket histogram
+    (map-side combined groupBy); source/target histograms and the
+    λ table are ≤ DSIR_BUCKETS rows (broadcast); the scoring join is
+    per-doc-bucket × broadcast λ.  No shuffle grows past the corpus's
+    own bucket rows.
+    """
+    src_g = _dsir_grams(docs, "doc_id")
+    tgt_g = _dsir_grams(target)
+    doc_b = src_g.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
+    src = src_g.groupBy("b").agg(F.count("*").alias("cs"))
+    tgt = tgt_g.groupBy("b").agg(F.count("*").alias("ct"))
+    lam = _dsir_lambda(src, tgt, src_g.count(), tgt_g.count())
+    return _dsir_score(doc_b, lam)
+
+
+# --- incremental DSIR state maintenance ---------------------------------------
+#
+# The source/target bucket histograms are MERGEABLE sufficient
+# statistics on INTEGER counts: state(corpus ∪ batch) = state(corpus) +
+# state(batch), exactly — unlike the float Gram partials of pca_state
+# there is no merge-order ulp caveat at all, so maintained ≡ rebuilt is
+# bit-equality, not tolerance.  Both histograms live in ONE table
+# ((side, b, k) rows) so the state publishes atomically, and appends
+# ride the shared exactly-once protocol (streaming/txn.py).
+
+DSIR_STATE_TABLE = "dsir_state"
+
+
+def _dsir_state(docs: DataFrame, target: DataFrame) -> DataFrame:
+    """(side, b, k) encoded histograms of one corpus/batch: 'src' = all
+    of ``docs``, 'tgt' = ``target``."""
+    src = (
+        _dsir_grams(docs.select("text"))
+        .groupBy("b")
+        .agg(F.count("*").alias("k"))
+        .select(F.lit("src").alias("side"), "b", "k")
+    )
+    tgt = (
+        _dsir_grams(target.select("text"))
+        .groupBy("b")
+        .agg(F.count("*").alias("k"))
+        .select(F.lit("tgt").alias("side"), "b", "k")
+    )
+    return src.unionByName(tgt)
+
+
+def build_dsir_state(wh, docs: DataFrame, target: DataFrame) -> None:
+    """Materialize the DSIR distributions for a corpus + target slice."""
+    wh.publish(
+        {DSIR_STATE_TABLE: wh.stage(DSIR_STATE_TABLE, _dsir_state(docs, target))}
+    )
+
+
+def append_to_dsir_state(
+    wh, docs_batch: DataFrame, target_batch: DataFrame, batch_id: int | None = None
+) -> None:
+    """Absorb a corpus batch (and its target-slice subset) into the
+    persisted DSIR distributions.  A state never built reads EMPTY, so
+    the first append IS the build.  ``batch_id`` opts into the shared
+    exactly-once protocol (re-delivered ids rejected; a crash before
+    the marker re-runs from the intent-pinned base version)."""
+    from data_ingestion_backend_spark.streaming import txn
+
+    base = wh.current_version(DSIR_STATE_TABLE)
+    if batch_id is not None:
+        if batch_id <= txn.last_batch(wh, DSIR_STATE_TABLE):
+            return
+        bases = txn.begin_batch(
+            wh, DSIR_STATE_TABLE, batch_id, {"state": base}
+        )
+        base = bases["state"]
+    merged = (
+        wh.read(DSIR_STATE_TABLE, base)
+        .unionByName(_dsir_state(docs_batch, target_batch))
+        .groupBy("side", "b")
+        .agg(F.sum("k").cast("bigint").alias("k"))
+    )
+    wh.publish({DSIR_STATE_TABLE: wh.stage(DSIR_STATE_TABLE, merged)})
+    if batch_id is not None:
+        txn.commit_batch(wh, DSIR_STATE_TABLE, batch_id)
+
+
+def dsir_weights_from_state(wh, docs: DataFrame) -> DataFrame:
+    """Score ANY (doc_id, text) frame against the MAINTAINED
+    distributions — zero scans of the historical corpus; bit-equal to
+    :func:`dsir_weights` over the same accumulated inputs (integer
+    histograms merge exactly)."""
+    state = wh.read(DSIR_STATE_TABLE)
+    src = state.filter(F.col("side") == "src").select(
+        "b", F.col("k").alias("cs")
+    )
+    tgt = state.filter(F.col("side") == "tgt").select(
+        "b", F.col("k").alias("ct")
+    )
+    totals = {
+        r["side"]: r["t"]
+        for r in state.groupBy("side").agg(F.sum("k").alias("t")).collect()
+    }
+    lam = _dsir_lambda(
+        src, tgt, int(totals.get("src", 0)), int(totals.get("tgt", 0))
+    )
+    doc_b = (
+        _dsir_grams(docs, "doc_id")
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("k"))
+    )
+    return _dsir_score(doc_b, lam)
 
 
 @_register_standalone("prep_dsir_weights", _DSIR_SQL)

@@ -70,3 +70,91 @@ def test_dsir_weight_is_pure_bucket_dot_product(spark):
     assert got[2]["n_grams"] == 8
     again = {r["doc_id"]: tuple(r) for r in dsir_weights(docs, target).collect()}
     assert {k: tuple(v) for k, v in got.items()} == again
+
+
+# ---------------------------------------------------------------------------
+# incremental DSIR state (mergeable integer histograms)
+# ---------------------------------------------------------------------------
+
+
+def _fixture_docs(spark):
+    d = load_table(spark, SF_DIR_ORACLE, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return d.select("doc_id", "text"), d.filter(F.col("lang") == "en").select(
+        "doc_id", "text"
+    )
+
+
+def test_dsir_from_state_equals_direct(spark, tmp_path):
+    """Scoring against the persisted distributions must be BIT-EQUAL to
+    the direct two-frame form — integer histograms, no tolerance."""
+    from data_ingestion_backend_spark.operators.mlprep import (
+        build_dsir_state,
+        dsir_weights_from_state,
+    )
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+    docs, target = _fixture_docs(spark)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_dsir_state(wh, docs, target.select("text"))
+    got = [tuple(r) for r in dsir_weights_from_state(wh, docs).collect()]
+    want = [tuple(r) for r in dsir_weights(docs, target.select("text")).collect()]
+    assert got == want
+
+
+def test_dsir_state_append_equals_rebuild_exactly(spark, tmp_path):
+    """Maintained ≡ rebuilt with NO tolerance (integer merge): build on
+    the first half, append the second, compare state content and scores
+    against the monolithic build."""
+    from data_ingestion_backend_spark.operators.mlprep import (
+        DSIR_STATE_TABLE,
+        append_to_dsir_state,
+        build_dsir_state,
+        dsir_weights_from_state,
+    )
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+    docs, target = _fixture_docs(spark)
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    t1 = target.filter(F.col("doc_id") % 2 == 0)
+    t2 = target.filter(F.col("doc_id") % 2 == 1)
+
+    inc = Warehouse(spark, str(tmp_path / "inc"))
+    build_dsir_state(inc, h1, t1.select("text"))
+    append_to_dsir_state(inc, h2, t2.select("text"))
+    mono = Warehouse(spark, str(tmp_path / "mono"))
+    build_dsir_state(mono, docs, target.select("text"))
+
+    as_dict = lambda wh: {
+        (r["side"], r["b"]): r["k"]
+        for r in wh.read(DSIR_STATE_TABLE).collect()
+    }
+    assert as_dict(inc) == as_dict(mono)
+    assert [tuple(r) for r in dsir_weights_from_state(inc, docs).collect()] == [
+        tuple(r) for r in dsir_weights_from_state(mono, docs).collect()
+    ]
+
+
+def test_dsir_state_redelivered_batch_is_rejected(spark, tmp_path):
+    from data_ingestion_backend_spark.operators.mlprep import (
+        DSIR_STATE_TABLE,
+        append_to_dsir_state,
+    )
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+    docs, target = _fixture_docs(spark)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # first append IS the build (state-never-built reads EMPTY)
+    append_to_dsir_state(wh, docs, target.select("text"), batch_id=1)
+    before = {
+        (r["side"], r["b"]): r["k"]
+        for r in wh.read(DSIR_STATE_TABLE).collect()
+    }
+    append_to_dsir_state(wh, docs, target.select("text"), batch_id=1)
+    after = {
+        (r["side"], r["b"]): r["k"]
+        for r in wh.read(DSIR_STATE_TABLE).collect()
+    }
+    assert after == before, "re-delivered batch double-counted"
