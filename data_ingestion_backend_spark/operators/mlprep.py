@@ -1462,13 +1462,28 @@ def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
     λ table are ≤ DSIR_BUCKETS rows (broadcast); the scoring join is
     per-doc-bucket × broadcast λ.  No shuffle grows past the corpus's
     own bucket rows.
+
+    The gram totals the λ table needs are ``sum(k)`` over the very
+    histograms it is built from, so ONE job materializes both sides'
+    (side, b, k) rows (≤ 2·DSIR_BUCKETS, control-plane-bounded — the
+    `_pca_partials` one-scan precedent) and the totals fall out in
+    Python; the r9 form paid two EXTRA full gram passes via standalone
+    ``.count()`` actions on src_g/tgt_g.
     """
-    src_g = _dsir_grams(docs, "doc_id")
-    tgt_g = _dsir_grams(target)
-    doc_b = src_g.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
-    src = src_g.groupBy("b").agg(F.count("*").alias("cs"))
-    tgt = tgt_g.groupBy("b").agg(F.count("*").alias("ct"))
-    lam = _dsir_lambda(src, tgt, src_g.count(), tgt_g.count())
+    spark = docs.sparkSession
+    rows = _dsir_state(docs, target).collect()
+    src_rows = [(r["b"], r["k"]) for r in rows if r["side"] == "src"]
+    tgt_rows = [(r["b"], r["k"]) for r in rows if r["side"] == "tgt"]
+    src = spark.createDataFrame(src_rows, "b bigint, cs bigint")
+    tgt = spark.createDataFrame(tgt_rows, "b bigint, ct bigint")
+    ts = sum(k for _, k in src_rows)
+    tt = sum(k for _, k in tgt_rows)
+    lam = _dsir_lambda(src, tgt, ts, tt)
+    doc_b = (
+        _dsir_grams(docs, "doc_id")
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("k"))
+    )
     return _dsir_score(doc_b, lam)
 
 
@@ -1639,7 +1654,18 @@ def token_budget_select(
     """Greedy quality-prefix selection: ``scored`` carries (doc_id,
     score BIGINT, n_tokens BIGINT); returns the same rows plus
     ``selected`` — true for the (score DESC, doc_id ASC)-ordered prefix
-    whose cumulative token count fits ``budget_tokens``."""
+    whose cumulative token count fits ``budget_tokens``.
+
+    PRECONDITION — score domain ≪ corpus: the unpartitioned window and
+    the ``broadcast(cum)`` below are bounded by |distinct scores|, NOT
+    the corpus, and that is the whole scale argument.  A fine-grained
+    score whose cardinality approaches the doc count (raw DSIR
+    rate_mbits, per-token LM bits) degrades this to a single-partition
+    sort plus an unbounded broadcast — coarsen such scores first
+    (e.g. ``F.expr("score div 10")``, or a quantile bucket) so the
+    level count stays in the thousands; the greedy cut then operates on
+    quality TIERS, which is how production mixes are actually specified.
+    """
     hist = scored.groupBy("score").agg(F.sum("n_tokens").alias("st"))
     # score-level table: ≤ |distinct scores| rows — the unpartitioned
     # window is bounded by the score domain, never the corpus

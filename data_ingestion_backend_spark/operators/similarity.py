@@ -1508,6 +1508,29 @@ def _read_codebooks(spark: SparkSession, path: str):
     return C
 
 
+def _next_batch_id(spark: SparkSession, codes_path: str) -> int:
+    """Next append batch id from the ``batch_id=`` PARTITION DIRECTORY
+    names via a Hadoop-FS glob — a pure namespace listing, never a
+    parquet scan.  (Spark's metadata-only aggregate rewrite is disabled
+    by default, so ``read.parquet().agg(max(batch_id))`` plans one task
+    per code FILE and per-append cost would grow with index size; the
+    glob touches only directory entries, constant per batch.)  Handles
+    both the flat PQ layout (``batch_id=N``) and the IVFADC layout
+    (``cluster=C/batch_id=N``)."""
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(codes_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    ids: list[int] = []
+    for pat in (codes_path + "/batch_id=*", codes_path + "/*/batch_id=*"):
+        statuses = fs.globStatus(HPath(pat))
+        if statuses is None:
+            continue
+        for st in statuses:
+            name = st.getPath().getName()
+            ids.append(int(name.split("=", 1)[1]))
+    return (max(ids) + 1) if ids else 0
+
+
 def append_to_pq_index(
     spark: SparkSession,
     path: str,
@@ -1543,13 +1566,7 @@ def append_to_pq_index(
     )
     codes_path = os.path.join(path, "codes")
     if batch_id is None:
-        # partition-directory listing only — no data files are read
-        batch_id = (
-            spark.read.parquet(codes_path)
-            .agg(F.max("batch_id").alias("b"))
-            .collect()[0]["b"]
-            + 1
-        )
+        batch_id = _next_batch_id(spark, codes_path)
     (
         assigned.select("vec_id", "sub", "code")
         .withColumn("batch_id", F.lit(int(batch_id)))
@@ -1923,12 +1940,7 @@ def append_to_ivfadc_index(
     baseline_cos = float(stats["baseline_mean_cos"])
     codes_path = os.path.join(path, "codes")
     if batch_id is None:
-        batch_id = (
-            spark.read.parquet(codes_path)
-            .agg(F.max("batch_id").alias("b"))
-            .collect()[0]["b"]
-            + 1
-        )
+        batch_id = _next_batch_id(spark, codes_path)
     (
         subs_assigned.select("vec_id", "sub", "code")
         .join(resid.select("vec_id", "cluster"), "vec_id")

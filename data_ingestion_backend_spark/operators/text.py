@@ -837,17 +837,22 @@ def bpe_encode_arrow(docs: DataFrame, merges_df: DataFrame) -> DataFrame:
     by_merged: dict[str, list[tuple[int, str, str]]] = {}
     for rank, left, right in merges:
         by_merged.setdefault(left + right, []).append((rank, left, right))
-    bc = docs.sparkSession.sparkContext.broadcast(by_merged)
+    # Longest merged symbol bounds the useful substring length: a window
+    # longer than every dict key can never hit, so capping the inner loop
+    # keeps one pathological unbroken token (URL / base64 blob) linear in
+    # its length instead of quadratic, with identical output.
+    max_merged_len = max((len(m) for m in by_merged), default=2)
+    bc = docs.sparkSession.sparkContext.broadcast((by_merged, max_merged_len))
 
     def encode_batches(batches):
-        table = bc.value
+        table, cap = bc.value
 
         def encode_word(word: str) -> list[str]:
             L = len(word)
             cand: list[tuple[int, str, str]] = []
             seen: set[int] = set()
             for i in range(L - 1):
-                for j in range(i + 2, L + 1):
+                for j in range(i + 2, min(L, i + cap) + 1):
                     hits = table.get(word[i:j])
                     if hits:
                         for entry in hits:

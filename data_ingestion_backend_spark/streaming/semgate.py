@@ -73,6 +73,10 @@ def _read_centroids(wh: Warehouse):
         return np.zeros((0, 0), dtype=np.float64)
     rows = wh.read(SEM_CENTROIDS_TABLE, v).orderBy("cluster").collect()
     C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    # The memo hands the SAME array to every micro-batch; freeze it so an
+    # in-place mutation by a caller raises instead of silently corrupting
+    # the quantizer for the rest of the stream.
+    C.flags.writeable = False
     _CENTROID_MEMO[wh] = (v, C)
     return C
 

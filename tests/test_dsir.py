@@ -158,3 +158,30 @@ def test_dsir_state_redelivered_batch_is_rejected(spark, tmp_path):
         for r in wh.read(DSIR_STATE_TABLE).collect()
     }
     assert after == before, "re-delivered batch double-counted"
+
+
+def test_dsir_lambda_build_is_one_job(spark):
+    """Plan shape (the r9 verdict item): the λ-table build inside
+    dsir_weights runs as ONE Spark job — the gram totals are sum(k)
+    over the same (side, b, k) histogram collect, not two standalone
+    .count() actions (each of which was a full extra gram pass)."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(50)], "doc_id long, text string"
+    )
+    target = docs.limit(25).select("text")
+    sc = spark.sparkContext
+    # AQE runs each shuffle stage as its own job, which would count the
+    # ONE query as several jobs; disable it so job count == action count.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("dsirlam", "dsir lambda build")
+    try:
+        df = dsir_weights(docs, target)  # builds λ eagerly, scoring stays lazy
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    jobs = sc.statusTracker().getJobIdsForGroup("dsirlam")
+    assert len(jobs) <= 1, (
+        "λ build ran %d jobs — the histogram collect must also supply "
+        "the gram totals" % len(jobs)
+    )
+    assert df.count() > 0
