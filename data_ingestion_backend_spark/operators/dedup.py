@@ -1546,9 +1546,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_NGRAM = 8      # gram width (tokens) — minimum detectable run
 SPAN_MIN_TOKENS = 12  # report only spans at least this many tokens long
 
-_SPAN_CTES = f"""
-  WITH toks AS (
-    SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+def _span_ctes_body(src: str = "documents") -> str:
+    """The span-detection CTE chain (toks → g → shared → hits → isl →
+    spans) parameterized by its source relation, WITHOUT the leading
+    WITH — so the composed corpus-build oracle can run the identical
+    span logic over a survivors CTE instead of the base table."""
+    return f"""toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS t FROM {src}
   ),
   g AS (
     SELECT doc_id,
@@ -1577,6 +1581,9 @@ _SPAN_CTES = f"""
   )
 """
 
+
+_SPAN_CTES = "\n  WITH " + _span_ctes_body("documents")
+
 _SPAN_ORACLE = (
     _SPAN_CTES
     + f"""
@@ -1588,21 +1595,11 @@ _SPAN_ORACLE = (
 )
 
 
-@_register_standalone("dedup_substring_spans", _SPAN_ORACLE)
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal cross-document exact substring spans:
-    (doc_id, span_start, span_len) for every maximal run of ≥
-    SPAN_MIN_TOKENS tokens that appears verbatim in at least one OTHER
-    document.  span_start is a 0-based token offset.
-
-    Scale shape: three uniform hash shuffles (gram df, hit join-back,
-    per-doc island window).  The df≥2 filter drops the unique-gram bulk
-    — the overwhelming majority of a real corpus — before the join-back,
-    and map-side combine compresses the df aggregation, so the heavy
-    stage moves O(shared grams), not O(corpus grams).  No suffix array,
-    no global sort over the corpus.
-    """
-    toks = load_table(spark, sf_dir, "documents").select(
+def substring_spans_frame(docs: DataFrame) -> DataFrame:
+    """Frame form of :func:`dedup_substring_spans` over any (doc_id,
+    text) frame — the composed corpus build runs it over the dedup
+    SURVIVORS rather than the base table."""
+    toks = docs.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
     ).filter(F.size("t") >= SPAN_NGRAM)
     gram = "concat_ws(' ', slice(t, i+1, " + str(SPAN_NGRAM) + "))"
@@ -1637,6 +1634,58 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span_len").cast("bigint").alias("span_len"),
         )
         .orderBy("doc_id", "span_start")
+    )
+
+
+@_register_standalone("dedup_substring_spans", _SPAN_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document exact substring spans:
+    (doc_id, span_start, span_len) for every maximal run of ≥
+    SPAN_MIN_TOKENS tokens that appears verbatim in at least one OTHER
+    document.  span_start is a 0-based token offset.
+
+    Scale shape: three uniform hash shuffles (gram df, hit join-back,
+    per-doc island window).  The df≥2 filter drops the unique-gram bulk
+    — the overwhelming majority of a real corpus — before the join-back,
+    and map-side combine compresses the df aggregation, so the heavy
+    stage moves O(shared grams), not O(corpus grams).  No suffix array,
+    no global sort over the corpus.
+    """
+    return substring_spans_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def substring_cut_tokens_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, t_clean) for EVERY doc in ``docs``: the lowercased token
+    sequence with every cross-document-repeated span (the
+    :func:`substring_spans_frame` output over the same frame) removed,
+    original order preserved.  The ordered-token form of
+    :func:`dedup_substring_cut` — the composed corpus build feeds it to
+    DSIR scoring, so the cleaned TEXT (not just its hash) must exist as
+    a column."""
+    spans_per_doc = (
+        substring_spans_frame(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_len")).alias("sp"))
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
+    )
+    kept = F.expr(
+        "filter(transform(t, (x, i) -> struct(x AS tok, i AS pos)),"
+        " p -> NOT exists(sp, s -> p.pos >= s.span_start"
+        " AND p.pos < s.span_start + s.span_len))"
+    )
+    return (
+        toks.join(spans_per_doc, "doc_id", "left")
+        .withColumn("sp", F.coalesce("sp", F.array()))
+        .select("doc_id", F.size("t").alias("n_total"), kept.alias("kept"))
+        .select(
+            "doc_id",
+            "n_total",
+            F.col("kept.tok").alias("t_clean"),
+        )
     )
 
 
@@ -1691,35 +1740,17 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash join back to the corpus, and a pure Catalyst positional
     filter — no explode of the corpus, no range join.
     """
-    spans_per_doc = (
-        dedup_substring_spans(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(F.struct("span_start", "span_len")).alias("sp")
-        )
+    cut = substring_cut_tokens_frame(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("t")
-    )
-    kept = F.expr(
-        "filter(transform(t, (x, i) -> struct(x AS tok, i AS pos)),"
-        " p -> NOT exists(sp, s -> p.pos >= s.span_start"
-        " AND p.pos < s.span_start + s.span_len))"
-    )
-    return (
-        toks.join(spans_per_doc, "doc_id", "left")
-        .withColumn("sp", F.coalesce("sp", F.array()))
-        .select("doc_id", F.size("t").alias("n_total"), kept.alias("kept"))
-        .select(
-            "doc_id",
-            F.size("kept").cast("bigint").alias("n_kept"),
-            (F.col("n_total") - F.size("kept")).cast("bigint").alias(
-                "n_removed"
-            ),
-            F.md5(F.concat_ws(" ", F.col("kept.tok"))).alias("clean_hash"),
-        )
-        .orderBy("doc_id")
-    )
+    return cut.select(
+        "doc_id",
+        F.size("t_clean").cast("bigint").alias("n_kept"),
+        (F.col("n_total") - F.size("t_clean")).cast("bigint").alias(
+            "n_removed"
+        ),
+        F.md5(F.concat_ws(" ", F.col("t_clean"))).alias("clean_hash"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

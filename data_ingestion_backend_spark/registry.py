@@ -25,5 +25,6 @@ import data_ingestion_backend_spark.operators.subqueries  # noqa: F401,E402 — 
 import data_ingestion_backend_spark.operators.graph  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.semantics  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.fuzzy  # noqa: F401,E402 — registers (standalone)
+import data_ingestion_backend_spark.operators.corpus  # noqa: F401,E402 — registers (the composed E2E build)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,139 @@
+"""The composed end-to-end corpus build: value cert is the DuckDB
+oracle (prep_corpus_e2e runs in the uniform gate); these goldens pin
+the STAGE SEMANTICS on planted inputs and the plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.corpus import (
+    corpus_build_frame,
+    prep_corpus_e2e,
+)
+from data_ingestion_backend_spark.plans.audit import formatted_plan
+from tests.conftest import SF_DIR_ORACLE
+
+
+def _planted(spark, rows, clusters=None):
+    """docs with all-pass quality and hand-set cluster labels."""
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    qual = docs.select("doc_id", F.lit(True).alias("q_ok"))
+    if clusters is None:
+        labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    else:
+        labels = spark.createDataFrame(
+            [(d, c) for d, c in clusters.items()], "doc_id long, cluster_id long"
+        )
+    return docs, qual, labels
+
+
+def test_quality_aware_keep_prefers_longest_copy(spark):
+    """Within a near-dup cluster the LONGEST surviving copy is kept and
+    every other member drops at stage 'dup' — not min-id keep."""
+    rows = [
+        (1, "en", "alpha beta gamma"),
+        (2, "en", "alpha beta gamma delta epsilon zeta"),  # longest — keep
+        (3, "en", "alpha beta"),
+        (4, "en", "totally unrelated content here"),
+    ]
+    docs, qual, labels = _planted(
+        spark, rows, clusters={1: 1, 2: 1, 3: 1, 4: 4}
+    )
+    got = {r["doc_id"]: r for r in corpus_build_frame(docs, qual, labels).collect()}
+    assert got[1]["stage"] == "dup" and got[3]["stage"] == "dup"
+    assert got[2]["stage"] in ("kept", "budget")  # survived dedup
+    assert got[4]["stage"] in ("kept", "budget")
+
+
+def test_quality_gate_drops_before_dedup(spark):
+    """A q_ok=false doc drops at 'quality' even if it would have been
+    the best copy of its cluster — the NEXT-best member survives."""
+    rows = [
+        (1, "en", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # longest but low quality
+        (2, "en", "w1 w2 w3"),
+    ]
+    docs, _, labels = _planted(spark, rows, clusters={1: 1, 2: 1})
+    qual = spark.createDataFrame(
+        [(1, False), (2, True)], "doc_id long, q_ok boolean"
+    )
+    got = {r["doc_id"]: r for r in corpus_build_frame(docs, qual, labels).collect()}
+    assert got[1]["stage"] == "quality"
+    assert got[1]["n_tokens_clean"] is None and got[1]["split"] is None
+    assert got[2]["stage"] in ("kept", "budget")
+
+
+def test_span_cut_removes_shared_run_before_scoring(spark):
+    """A ≥SPAN_MIN_TOKENS run shared by two SURVIVOR docs is cut from
+    both: n_tokens_clean = raw length − run length; an untouched doc
+    keeps its full length."""
+    run = " ".join(f"shared{i}" for i in range(15))
+    a_own = " ".join(f"aa{i}" for i in range(20))
+    b_own = " ".join(f"bb{i}" for i in range(10))
+    c_own = " ".join(f"cc{i}" for i in range(12))
+    rows = [
+        (1, "en", f"{a_own} {run}"),
+        (2, "en", f"{b_own} {run}"),
+        (3, "en", c_own),
+    ]
+    docs, qual, labels = _planted(spark, rows)
+    got = {r["doc_id"]: r for r in corpus_build_frame(docs, qual, labels).collect()}
+    assert got[1]["n_tokens_clean"] == 20
+    assert got[2]["n_tokens_clean"] == 10
+    assert got[3]["n_tokens_clean"] == 12
+
+
+def test_fixture_stage_invariants(spark):
+    """Fixture-wide consistency: stage partitioning is total, budget
+    selection is a greedy tier prefix, and split/pack columns exist
+    exactly where the pipeline says they should."""
+    got = prep_corpus_e2e(spark, SF_DIR_ORACLE).collect()
+    n_docs = sum(1 for _ in got)
+    stages = {r["doc_id"]: r["stage"] for r in got}
+    assert set(stages.values()) <= {"quality", "dup", "budget", "kept"}
+    assert len(stages) == n_docs
+
+    # survivors carry clean-token + tier columns; dropped-at-gate don't
+    for r in got:
+        if r["stage"] in ("quality", "dup"):
+            assert r["n_tokens_clean"] is None and r["score_tier"] is None
+            assert not r["selected"] and r["split"] is None
+        else:
+            assert r["n_tokens_clean"] is not None and r["score_tier"] is not None
+        if r["stage"] == "kept":
+            assert r["selected"] and r["split"] in ("train", "val", "test")
+            assert (r["pack_id"] is not None) == (r["split"] == "train")
+        if r["stage"] == "budget":
+            assert not r["selected"] and r["split"] is None and r["pack_id"] is None
+
+    # greedy prefix on tiers: the lowest selected tier can only meet
+    # unselected survivors AT the boundary tier, never above it
+    sel_tiers = [r["score_tier"] for r in got if r["selected"]]
+    unsel_tiers = [r["score_tier"] for r in got if r["stage"] == "budget"]
+    if sel_tiers and unsel_tiers:
+        assert min(sel_tiers) >= max(unsel_tiers)
+
+    # pack ids increase monotonically within a shard (running-sum shape)
+    from data_ingestion_backend_spark.operators.mlprep import PACK_SHARDS
+
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        if r["pack_id"] is not None:
+            by_shard.setdefault(r["doc_id"] % PACK_SHARDS, []).append(
+                (r["doc_id"], r["pack_id"])
+            )
+    for pairs in by_shard.values():
+        pairs.sort()
+        pids = [p for _, p in pairs]
+        assert pids == sorted(pids)
+        assert pids[0] == 0
+
+
+def test_final_assembly_reads_corpus_once(spark):
+    """Plan pin (shared scans): the FINAL assembled plan reads the raw
+    documents parquet exactly once — every stage output the assembly
+    consumes is a materialized stage table (checkpoint), not a re-derive
+    from the corpus."""
+    df = prep_corpus_e2e(spark, SF_DIR_ORACLE)
+    plan = formatted_plan(df)
+    scans = plan.count("documents.parquet")
+    assert scans == 1, f"final plan re-reads the corpus ({scans} scans)"
