@@ -156,6 +156,9 @@ STANDALONE_HEADLINE = [
     "prep_token_budget_select",
     # round-9: cluster-keyed split (near-dups never straddle train/test)
     "prep_split_leakage_free",
+    # round-10: the composed end-to-end corpus build (curate -> dedup ->
+    # span decon -> DSIR -> budget cut -> leakage-free split -> pack)
+    "prep_corpus_e2e",
 ]
 
 

@@ -91,7 +91,7 @@ from data_ingestion_backend_spark.operators.mlprep import (
 from data_ingestion_backend_spark.operators.queries import (
     ORACLE,
     STANDALONE_ORACLES,
-    _register,
+    _register_standalone,
 )
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
@@ -408,7 +408,10 @@ def corpus_build_frame(
     )
 
 
-@_register("prep_corpus_e2e", _corpus_oracle_sql())
+# standalone slot: the driver records the FIRST 50 registered queries
+# only (test_canon_safety.py pin) — the composed cert runs in the local
+# uniform gate, the same compare_query mirror of the driver
+@_register_standalone("prep_corpus_e2e", _corpus_oracle_sql())
 def prep_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining corpus build over the documents fixture —
     curate → dedup (quality-aware keep) → span decontamination → DSIR

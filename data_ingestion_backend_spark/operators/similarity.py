@@ -1809,6 +1809,90 @@ def build_ivfadc_index(spark: SparkSession, path: str, corpus: DataFrame) -> Non
     ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
 
 
+# --- index generations: the drift monitors' consumer ----------------------
+#
+# append_to_*_index returns a ``retrain`` flag with measured thresholds;
+# this is the path that CONSUMES it.  A rebuild retrains both quantizer
+# tiers on the caller's accumulated RAW corpus (codes are lossy — the
+# rebuild reads the source of truth, never decodes the index), builds
+# the next generation BESIDE the live one, re-runs nprobe calibration,
+# and flips a one-line manifest pointer with os.replace — POSIX-atomic,
+# so a reader resolves either the old generation or the new one, never
+# a half-built directory.  (On an object store the flip is a
+# conditional PUT of the same manifest key; the layout is unchanged.)
+
+_INDEX_MANIFEST = "MANIFEST"
+
+
+def _index_root(path: str) -> str:
+    """Live generation root: ``<path>/gen=<n>`` named by the MANIFEST
+    pointer, or ``<path>`` itself for a flat (never-rebuilt) index."""
+    import json
+    import os
+
+    m = os.path.join(path, _INDEX_MANIFEST)
+    if os.path.exists(m):
+        with open(m) as f:
+            return os.path.join(path, "gen=%d" % json.load(f)["generation"])
+    return path
+
+
+def _publish_index_generation(path: str, gen: int) -> None:
+    """Atomically point the index at generation ``gen`` (write-temp +
+    rename: readers see the old or the new manifest, nothing between)."""
+    import json
+    import os
+
+    tmp = os.path.join(path, _INDEX_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generation": gen}, f)
+    os.replace(tmp, os.path.join(path, _INDEX_MANIFEST))
+
+
+def rebuild_ivfadc_index(
+    spark: SparkSession, path: str, corpus: DataFrame
+) -> int:
+    """Retrain-and-swap: build the next index generation from the
+    accumulated raw ``corpus`` (fresh coarse centroids, fresh residual
+    codebooks, fresh cross-fit baselines, re-calibrated nprobe) and
+    atomically publish it.  The live generation stays fully readable —
+    and appendable — until the manifest flips; a crash before the flip
+    leaves the old index untouched and the half-built directory inert.
+    Returns the new generation number."""
+    import os
+
+    live = _index_root(path)
+    gen = 1 if live == path else int(live.rsplit("gen=", 1)[1]) + 1
+    build_ivfadc_index(spark, os.path.join(path, "gen=%d" % gen), corpus)
+    _publish_index_generation(path, gen)
+    return gen
+
+
+def maintain_ivfadc_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    corpus: DataFrame,
+    drift_tol: float = 0.05,
+    batch_id: int | None = None,
+) -> dict:
+    """The full maintenance loop: absorb ``batch`` with frozen
+    quantizers (exactly-once when ``batch_id`` is explicit), and when
+    the coarse drift monitor fires, rebuild from ``corpus`` — the
+    caller's accumulated raw vector store, which must already include
+    this batch — and atomically swap generations.  Returns the append
+    monitor report plus ``rebuilt`` / ``generation``."""
+    report = dict(
+        append_to_ivfadc_index(spark, path, batch, drift_tol, batch_id)
+    )
+    report["rebuilt"] = False
+    report["generation"] = None
+    if report["retrain"]:
+        report["generation"] = rebuild_ivfadc_index(spark, path, corpus)
+        report["rebuilt"] = True
+    return report
+
+
 def ivfadc_search_persisted(
     spark: SparkSession,
     path: str,
@@ -1826,6 +1910,7 @@ def ivfadc_search_persisted(
 
     import numpy as np
 
+    path = _index_root(path)
     crows = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster")
@@ -1916,6 +2001,7 @@ def append_to_ivfadc_index(
 
     import numpy as np
 
+    path = _index_root(path)
     crows = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster")
