@@ -243,8 +243,18 @@ SEMDUP_CENTROIDS_SCHEMA = T.StructType(
     ]
 )
 
+ADMISSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("batch_id", T.LongType(), True),
+        T.StructField("admitted", T.BooleanType(), True),
+        T.StructField("reason", T.StringType(), True),
+    ]
+)
+
 SCHEMAS = {
     "jobs": JOBS_SCHEMA,
+    "admissions": ADMISSIONS_SCHEMA,
     "staging": STAGING_SCHEMA,
     "issues": ISSUES_SCHEMA,
     "issue_items": ISSUE_ITEMS_SCHEMA,

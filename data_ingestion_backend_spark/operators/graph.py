@@ -348,15 +348,31 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{GRAPH_TRI_TOPN} triangle-participating parts of the
     co-occurrence graph, with the global triangle total riding along
     (Σ per-node counts = 3 × total — asserted by the golden)."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    # Edge build rides ONE orderkey shuffle (the r9-verdict probe,
+    # tools/triab.py measured at 100x): group parts per order — the
+    # map-side-combined collect_set IS the (o, p) dedup — and generate
+    # each order's sorted pairs map-side, paying only the final (u, v)
+    # distinct.  vs the former distinct -> self-join -> distinct plan:
+    # full triangle pipeline 33.6 -> 30.5 s and spill 21.2 -> 8.2 GB
+    # (2.6x less) at 100x; identical edge set (asserted by the probe).
+    # Per-order group size bounds the pair fan-out exactly as the
+    # self-join did — co-occurrence pair volume is O(g^2) per group in
+    # either formulation.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    x, y = li.alias("x"), li.alias("y")
+    parts = li.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
     edges = (
-        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
+        parts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
     )
     per_node = triangle_counts(edges)

@@ -1899,13 +1899,27 @@ def ivfadc_search_persisted(
     queries: DataFrame,
     k: int = TOPK,
     nprobe: int | None = None,
+    rerank_corpus: DataFrame | None = None,
+    rerank_mult: int = 4,
 ) -> DataFrame:
     """Search the persisted IVFADC index: probe each query's nprobe
     cells (default: the index's calibrated ``recommended_nprobe``),
     build per-(query, cell) residual ADC tables in the Arrow stage, and
     scan ONLY the probed cells' code files — `cluster IN (...)` is a
     partition filter, so pruning happens at planning time, and the scan
-    reads 4-byte codes, never a float vector."""
+    reads 4-byte codes, never a float vector.
+
+    ``rerank_corpus`` (a (vec_id, e) frame — the raw vector store the
+    index was built from; the index itself keeps only 4-byte codes)
+    switches on the production IVFADC+R refinement: the ADC pass keeps a
+    ``rerank_mult``·k shortlist per query, the shortlist's RAW vectors
+    are fetched by id join (shortlist-sized, so AQE broadcasts it
+    against the corpus scan), and exact cosine re-ranks to k — columns
+    become (query_id, vec_id, cosine).  Measured (tools/recallbench.py,
+    rerank_mult=4): recall@10 0.54 → 1.00 at 25x-clustered and
+    0.25 → 0.51 at 25x-diffuse — in the diffuse regime the ADC
+    shortlist itself is the bound, so raise ``rerank_mult`` (or nprobe)
+    rather than expecting the re-rank alone to close it."""
     import os
 
     import numpy as np
@@ -1934,7 +1948,31 @@ def ivfadc_search_persisted(
     codes = spark.read.parquet(os.path.join(path, "codes")).filter(
         F.col("cluster").isin(probe_ids)
     )
-    return _ivfadc_scan(codes, dtable, k)
+    if rerank_corpus is None:
+        return _ivfadc_scan(codes, dtable, k)
+    from data_ingestion_backend_spark.operators.dedup import cosine_expr
+
+    shortlist = _ivfadc_scan(codes, dtable, k * rerank_mult).select(
+        "query_id", "vec_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        shortlist.join(rerank_corpus.select("vec_id", "e"), "vec_id")
+        .join(
+            queries.select(F.col("query_id"), F.col("qe")), "query_id"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cosine")
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+    )
 
 
 def _cv_residual_recon_baseline(spark: SparkSession, corpus: DataFrame, C) -> float:

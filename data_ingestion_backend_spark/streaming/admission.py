@@ -1,0 +1,268 @@
+"""Composed streaming corpus ADMISSION: the three maintained gates as
+ONE exactly-once decision per micro-batch.
+
+``neardup_gate_batch``, ``semantic_gate_batch``, and
+``append_to_dsir_state`` each maintain their state incrementally with
+their own exactly-once protocol; a real ingest pipeline runs them as
+one decision — *admit* (text near-dup gate + embedding semantic gate
+against the ADMITTED corpus), *score* (only admitted docs feed the DSIR
+distributions), *append* (every state table advances together).  This
+module is that composition:
+
+- **one transactional domain**: a single intent record pins the base
+  versions of ALL SEVEN tables (near-dup index/bands/pairs, semantic
+  index/pairs, DSIR state, admissions ledger) and a single marker
+  commits the batch — the crash-healing argument of the individual
+  gates (re-run reads pinned bases, recomputes deterministically)
+  carries over unchanged because every computation below is a pure
+  function of (pinned bases, batch).
+- **one manifest publish**: all tables become visible together
+  (``Warehouse.publish``), so a concurrent reader can never see a
+  ledger row whose state absorption has not landed, or vice versa.
+- **admitted-only absorption**: unlike the standalone gates (which
+  absorb every doc and only EMIT pairs), the indexes here are the
+  admitted corpus — rejected duplicates never pollute the band/cell
+  tables, so gate cost stays proportional to the admitted set.
+
+Admission rule (deterministic): a batch doc is rejected when it
+near-dups an admitted-corpus doc, when it semantic-dups one
+(cos ≥ SEM_THRESHOLD in its coarse cell), or when it duplicates a
+LOWER-id doc of the same batch (the canonical-keep tie order).  The
+ledger records (doc_id, batch_id, admitted, reason).
+
+Scale shape: every stage is the certified incremental form — band-probe
+candidates (never corpus×corpus), frozen-quantizer cell candidates,
+mergeable integer DSIR histograms.  The batch is the only new work;
+state reads are pinned snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.dedup import (
+    _band_table,
+    dedup_incremental_pairs,
+    minhash_per_doc_frame,
+)
+from data_ingestion_backend_spark.operators.mlprep import (
+    DSIR_STATE_TABLE,
+    _dsir_state,
+)
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+from data_ingestion_backend_spark.streaming import txn
+from data_ingestion_backend_spark.streaming.neardup import (
+    BANDS_TABLE,
+    INDEX_TABLE,
+    PAIRS_TABLE as ND_PAIRS_TABLE,
+    _index_max_n,
+    _write_index_stats,
+)
+from data_ingestion_backend_spark.streaming.semgate import (
+    SEM_CENTROIDS_TABLE,
+    SEM_INDEX_TABLE,
+    SEM_PAIRS_TABLE,
+    SEM_THRESHOLD,
+    _read_centroids,
+    semantic_pairs_for_batch,
+)
+from data_ingestion_backend_spark.operators.similarity import (
+    _assign_clusters,
+    _train_centroids_sample,
+)
+
+ADMISSIONS_TABLE = "admissions"
+
+
+def last_admitted_batch(wh: Warehouse) -> int:
+    return txn.last_batch(wh, ADMISSIONS_TABLE)
+
+
+def admission_gate_batch(
+    wh: Warehouse,
+    batch: DataFrame,
+    batch_id: int,
+    sem_threshold: float = SEM_THRESHOLD,
+) -> bool:
+    """Process one (doc_id, lang, text, e) micro-batch: gate, score,
+    append — exactly once.  Returns False on a re-delivered batch."""
+    if batch_id <= last_admitted_batch(wh):
+        return False
+    bases = txn.begin_batch(
+        wh,
+        ADMISSIONS_TABLE,
+        batch_id,
+        {
+            "nd_index": wh.current_version(INDEX_TABLE),
+            "nd_bands": wh.current_version(BANDS_TABLE),
+            "nd_pairs": wh.current_version(ND_PAIRS_TABLE),
+            "sem_index": wh.current_version(SEM_INDEX_TABLE),
+            "sem_pairs": wh.current_version(SEM_PAIRS_TABLE),
+            "dsir": wh.current_version(DSIR_STATE_TABLE),
+            "adm": wh.current_version(ADMISSIONS_TABLE),
+        },
+    )
+    spark = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)
+
+    # ----- near-dup gate (text) -------------------------------------------
+    nd_corpus = wh.read(INDEX_TABLE, bases["nd_index"])
+    nd_bands_corpus = (
+        wh.read(BANDS_TABLE, bases["nd_bands"])
+        if bases["nd_bands"] >= 0
+        else _band_table(nd_corpus)
+    )
+    batch_per_doc = minhash_per_doc_frame(
+        batch.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    batch_bands = _band_table(batch_per_doc)
+    batch_max_n = batch_per_doc.agg(F.max("n")).collect()[0][0] or 0
+    max_n = max(batch_max_n, _index_max_n(wh, nd_corpus, bases["nd_index"]))
+    nd_pairs = dedup_incremental_pairs(
+        batch_per_doc, batch_bands, nd_bands_corpus, nd_corpus, max_n=max_n
+    ).localCheckpoint(eager=True)
+
+    # ----- semantic gate (embeddings) -------------------------------------
+    sem_corpus = wh.read(SEM_INDEX_TABLE, bases["sem_index"])
+    C = _read_centroids(wh)
+    if len(C) == 0:
+        # first batch seeds the frozen quantizer (deterministic sample →
+        # deterministic centroids: a crash between this write and the
+        # marker re-creates the identical table, same as semgate)
+        C = _train_centroids_sample(
+            batch.select(F.col("doc_id").alias("vec_id"), "e")
+        )
+        wh.write(
+            SEM_CENTROIDS_TABLE,
+            spark.createDataFrame(
+                [(i, row.tolist()) for i, row in enumerate(C)],
+                "cluster long, centroid array<double>",
+            ),
+        )
+    batch_assigned = _assign_clusters(
+        batch.select(F.col("doc_id").alias("vec_id"), "e"), "e", C, 1
+    ).localCheckpoint(eager=True)
+    sem_pairs = semantic_pairs_for_batch(
+        batch_assigned, sem_corpus, sem_threshold
+    ).localCheckpoint(eager=True)
+
+    # ----- the admission decision -----------------------------------------
+    # a pair either touches the corpus (reject the batch side) or is
+    # batch-internal with doc_a < doc_b (reject doc_b — keep-lowest-id,
+    # the canonical tie order); sem pairs already orient new_id as the
+    # rejected side
+    bid = batch.select(F.col("doc_id").alias("bid"))
+    b_in = nd_pairs.join(
+        bid.withColumnRenamed("bid", "doc_b").withColumn("b_in", F.lit(True)),
+        "doc_b",
+        "left",
+    )
+    rej_nd = (
+        b_in.select(
+            F.when(F.col("b_in"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id")
+        )
+        .join(bid.withColumnRenamed("bid", "doc_id"), "doc_id")  # batch side only
+        .distinct()
+        .withColumn("nd", F.lit(True))
+    )
+    rej_sem = (
+        sem_pairs.select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("sem", F.lit(True))
+    )
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("nd"), F.lit("near_dup")),
+            F.when(F.col("sem"), F.lit("semantic_dup")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    ledger = (
+        batch.select("doc_id")
+        .join(rej_nd, "doc_id", "left")
+        .join(rej_sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit(int(batch_id)).alias("batch_id"),
+            (F.size(reasons) == 0).alias("admitted"),
+            F.concat_ws(",", reasons).alias("reason"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    adm_ids = ledger.filter("admitted").select("doc_id")
+
+    # ----- admitted-only state appends, ONE manifest ----------------------
+    adm_docs = batch.join(adm_ids, "doc_id")
+    dsir_batch = _dsir_state(
+        adm_docs.select("text"),
+        adm_docs.filter(F.col("lang") == "en").select("text"),
+    )
+    dsir_base = wh.read(DSIR_STATE_TABLE, bases["dsir"])
+    dsir_merged = (
+        dsir_base.unionByName(dsir_batch)
+        .groupBy("side", "b")
+        .agg(F.sum("k").cast("bigint").alias("k"))
+    )
+    staged = {
+        INDEX_TABLE: wh.stage(
+            INDEX_TABLE,
+            nd_corpus.unionByName(batch_per_doc.join(adm_ids, "doc_id")),
+        ),
+        BANDS_TABLE: wh.stage(
+            BANDS_TABLE,
+            nd_bands_corpus.unionByName(batch_bands.join(adm_ids, "doc_id")),
+        ),
+        ND_PAIRS_TABLE: wh.stage(
+            ND_PAIRS_TABLE,
+            wh.read(ND_PAIRS_TABLE, bases["nd_pairs"]).unionByName(nd_pairs),
+        ),
+        SEM_INDEX_TABLE: wh.stage(
+            SEM_INDEX_TABLE,
+            sem_corpus.unionByName(
+                batch_assigned.join(
+                    adm_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+                )
+            ),
+        ),
+        SEM_PAIRS_TABLE: wh.stage(
+            SEM_PAIRS_TABLE,
+            wh.read(SEM_PAIRS_TABLE, bases["sem_pairs"]).unionByName(sem_pairs),
+        ),
+        DSIR_STATE_TABLE: wh.stage(DSIR_STATE_TABLE, dsir_merged),
+        ADMISSIONS_TABLE: wh.stage(
+            ADMISSIONS_TABLE,
+            wh.read(ADMISSIONS_TABLE, bases["adm"]).unionByName(ledger),
+        ),
+    }
+    wh.publish(staged)
+    _write_index_stats(wh, staged[INDEX_TABLE], max_n)
+    txn.commit_batch(wh, ADMISSIONS_TABLE, batch_id)
+    return True
+
+
+def admission_one_shot(
+    wh: Warehouse, batches: list[DataFrame], sem_threshold: float = SEM_THRESHOLD
+) -> None:
+    """Reference composition for the streamed ≡ one-shot golden: the
+    same batches through the same gate, sequentially, batch ids 1..n."""
+    for i, b in enumerate(batches, start=1):
+        admission_gate_batch(wh, b, i, sem_threshold)
+
+
+def attach_admission_stream(
+    wh: Warehouse, stream_df: DataFrame, checkpoint_dir: str, **kwargs
+):
+    """foreachBatch driver: Structured Streaming supplies (batch_df,
+    epoch_id); the epoch id keys the exactly-once protocol so a restart
+    that redelivers an epoch is a no-op."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, epoch: admission_gate_batch(wh, df, epoch, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

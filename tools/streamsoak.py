@@ -171,6 +171,54 @@ def main() -> None:
         out["semantic_gate"] = _summarize(lat3)
         out["semantic_gate"]["index_vecs"] = wh3.read(SEM_INDEX_TABLE).count()
         out["semantic_gate"]["pairs"] = wh3.read(SEM_PAIRS_TABLE).count()
+        print(json.dumps({"semantic_gate": out["semantic_gate"]}), file=sys.stderr)
+
+        # ----- composed admission (near-dup + semantic + DSIR, one txn) ----
+        from data_ingestion_backend_spark.streaming.admission import (
+            ADMISSIONS_TABLE,
+            admission_gate_batch,
+        )
+        from data_ingestion_backend_spark.operators.mlprep import (
+            DSIR_STATE_TABLE,
+        )
+
+        adm_in = (
+            load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "lang", "text")
+            .join(
+                load_table(spark, SF_DIR, "embeddings").select(
+                    F.col("vec_id").alias("doc_id"),
+                    F.col("embedding").cast("array<double>").alias("e"),
+                ),
+                "doc_id",
+            )
+        )
+        adm_dir = os.path.join(tmp, "adm")
+        adm_in.repartition(n).write.parquet(adm_dir)
+        wh4 = Warehouse(spark, os.path.join(tmp, "wh_adm"))
+
+        def adm_handle(batch_df, batch_id):
+            admission_gate_batch(wh4, batch_df, batch_id)
+            if batch_id and batch_id % VACUUM_EVERY == 0:
+                for t in (
+                    ADMISSIONS_TABLE,
+                    PAIRS_TABLE,
+                    INDEX_TABLE,
+                    BANDS_TABLE,
+                    DSIR_STATE_TABLE,
+                ):
+                    wh4.vacuum(t)
+
+        lat4 = _drain(
+            spark, adm_dir, adm_in, adm_handle, n, os.path.join(tmp, "ck4")
+        )
+        out["admission_gate"] = _summarize(lat4)
+        out["admission_gate"]["admitted"] = (
+            wh4.read(ADMISSIONS_TABLE).filter("admitted").count()
+        )
+        out["admission_gate"]["rejected"] = (
+            wh4.read(ADMISSIONS_TABLE).filter("NOT admitted").count()
+        )
         print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
