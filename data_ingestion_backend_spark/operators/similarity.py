@@ -741,6 +741,7 @@ def append_to_ivf_index(
 
     import numpy as np
 
+    path = _index_root(path)
     crows = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster")
@@ -789,6 +790,7 @@ def ivf_search_persisted(
 
     import numpy as np
 
+    path = _index_root(path)
     crows = (
         spark.read.parquet(os.path.join(path, "centroids"))
         .orderBy("cluster")
@@ -1554,6 +1556,7 @@ def append_to_pq_index(
     """
     import os
 
+    path = _index_root(path)
     C = _read_codebooks(spark, path)
     assigned = _pq_assign(spark, _subvector_table(batch), C).localCheckpoint(
         eager=True
@@ -1656,6 +1659,7 @@ def pq_search_persisted(
     standard batched-ADC sharding."""
     import os
 
+    path = _index_root(path)
     C = _read_codebooks(spark, path)
     dtable = _pq_adc_tables(queries, C)
     codes = spark.read.parquet(os.path.join(path, "codes"))
@@ -1849,23 +1853,83 @@ def _publish_index_generation(path: str, gen: int) -> None:
     os.replace(tmp, os.path.join(path, _INDEX_MANIFEST))
 
 
-def rebuild_ivfadc_index(
-    spark: SparkSession, path: str, corpus: DataFrame
-) -> int:
-    """Retrain-and-swap: build the next index generation from the
-    accumulated raw ``corpus`` (fresh coarse centroids, fresh residual
-    codebooks, fresh cross-fit baselines, re-calibrated nprobe) and
-    atomically publish it.  The live generation stays fully readable —
-    and appendable — until the manifest flips; a crash before the flip
-    leaves the old index untouched and the half-built directory inert.
-    Returns the new generation number."""
+def _rebuild_index(spark: SparkSession, path: str, corpus: DataFrame, builder) -> int:
+    """Shared retrain-and-swap: run ``builder`` into the next generation
+    directory beside the live one, then atomically publish.  The live
+    generation stays fully readable — and appendable — until the
+    manifest flips; a crash before the flip leaves the old index
+    untouched and the half-built directory inert."""
     import os
 
     live = _index_root(path)
     gen = 1 if live == path else int(live.rsplit("gen=", 1)[1]) + 1
-    build_ivfadc_index(spark, os.path.join(path, "gen=%d" % gen), corpus)
+    builder(spark, os.path.join(path, "gen=%d" % gen), corpus)
     _publish_index_generation(path, gen)
     return gen
+
+
+def rebuild_ivfadc_index(
+    spark: SparkSession, path: str, corpus: DataFrame
+) -> int:
+    """Retrain-and-swap for IVFADC: fresh coarse centroids, fresh
+    residual codebooks, fresh cross-fit baselines, re-calibrated nprobe
+    from the accumulated raw ``corpus``.  Returns the new generation."""
+    return _rebuild_index(spark, path, corpus, build_ivfadc_index)
+
+
+def rebuild_ivf_index(spark: SparkSession, path: str, corpus: DataFrame) -> int:
+    """Retrain-and-swap for the raw-vector IVF index (same protocol)."""
+    return _rebuild_index(spark, path, corpus, build_ivf_index)
+
+
+def rebuild_pq_index(spark: SparkSession, path: str, corpus: DataFrame) -> int:
+    """Retrain-and-swap for the flat PQ index (same protocol)."""
+    return _rebuild_index(spark, path, corpus, build_pq_index)
+
+
+def maintain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    corpus: DataFrame,
+    drift_tol: float = 0.05,
+) -> dict:
+    """IVF twin of :func:`maintain_ivfadc_index`: append with the frozen
+    quantizer; rebuild from the accumulated raw ``corpus`` (which must
+    already include this batch) when the monitor fires."""
+    report = dict(append_to_ivf_index(spark, path, batch, drift_tol))
+    report["rebuilt"], report["generation"] = False, None
+    if report["retrain"]:
+        report["generation"] = rebuild_ivf_index(spark, path, corpus)
+        report["rebuilt"] = True
+    return report
+
+
+def maintain_pq_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    corpus: DataFrame,
+    drift_tol: float = 0.5,
+    batch_id: int | None = None,
+) -> dict:
+    """PQ twin of :func:`maintain_ivfadc_index` (exactly-once append
+    when ``batch_id`` is explicit; recon-ratio monitor — the family's
+    0.5 ratio tolerance).  Flat PQ encodes RAW vectors, so this monitor
+    is SCALE-sensitive: after a rebuild over a scale-mixed corpus,
+    "healthy" means a batch from the same MIXTURE — a pure-large-scale
+    batch reads a high recon ratio from its magnitude alone and fires,
+    which is the correct reading (its quantization error genuinely is
+    that much larger).  The normalized forms (IVF mean-cos, IVFADC
+    residual recon over normalized vectors) don't have this axis."""
+    report = dict(
+        append_to_pq_index(spark, path, batch, drift_tol, batch_id)
+    )
+    report["rebuilt"], report["generation"] = False, None
+    if report["retrain"]:
+        report["generation"] = rebuild_pq_index(spark, path, corpus)
+        report["rebuilt"] = True
+    return report
 
 
 def maintain_ivfadc_index(

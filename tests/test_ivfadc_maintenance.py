@@ -171,3 +171,54 @@ def test_maintain_rebuilds_when_monitor_fires(spark, emb, tmp_path):
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     assert ivfadc_search_persisted(spark, path, queries_df).count() > 0
+
+
+def test_ivf_and_pq_maintenance_twins(spark, emb, tmp_path):
+    """The same drift→rebuild→swap loop for the raw-vector IVF and flat
+    PQ indexes: planted shift fires → rebuild publishes gen=1 → the same
+    path keeps serving; healthy batches are a no-op."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        build_ivf_index,
+        build_pq_index,
+        ivf_search_persisted,
+        maintain_ivf_index,
+        maintain_pq_index,
+        pq_search_persisted,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    shifted = _shifted(emb)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(spark, ivf, base)
+    rep = maintain_ivf_index(spark, ivf, shifted, base.unionByName(shifted))
+    assert rep["retrain"] is True and rep["rebuilt"] is True
+    assert rep["generation"] == 1 and _index_root(ivf).endswith("gen=1")
+    assert ivf_search_persisted(spark, ivf, q).count() > 0
+
+    pq = str(tmp_path / "pq")
+    build_pq_index(spark, pq, base)
+    rep = maintain_pq_index(
+        spark, pq, shifted, base.unionByName(shifted), batch_id=1
+    )
+    assert rep["retrain"] is True and rep["rebuilt"] is True
+    assert rep["generation"] == 1 and _index_root(pq).endswith("gen=1")
+    assert pq_search_persisted(spark, pq, q).count() > 0
+
+    # healthy follow-up through the REBUILT generation: flat PQ encodes
+    # RAW vectors, so its recon monitor is scale-sensitive — "same
+    # distribution as the accumulated corpus" means the same base/shifted
+    # MIXTURE (a pure-shifted batch reads ~5x the mixed baseline purely
+    # from its 10x scale and SHOULD fire); an id-offset copy of the
+    # accumulated corpus is that mixture exactly
+    accumulated = base.unionByName(shifted)
+    healthy = accumulated.select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "e"
+    )
+    rep = maintain_pq_index(
+        spark, pq, healthy, accumulated.unionByName(healthy), batch_id=2
+    )
+    assert rep["rebuilt"] is False and _index_root(pq).endswith("gen=1")
