@@ -159,6 +159,8 @@ STANDALONE_HEADLINE = [
     # round-10: the composed end-to-end corpus build (curate -> dedup ->
     # span decon -> DSIR -> budget cut -> leakage-free split -> pack)
     "prep_corpus_e2e",
+    # round-10: the per-source datasheet the corpus build publishes
+    "prep_corpus_datasheet",
 ]
 
 

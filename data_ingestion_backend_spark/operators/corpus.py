@@ -440,3 +440,156 @@ def prep_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     return corpus_build_frame(docs, qual, labels)
+
+
+def _datasheet_oracle_sql() -> str:
+    """DuckDB twin of the per-source datasheet — the same hoisted
+    recursive chain + embedded signal CTEs as the build oracle, with the
+    curate keep predicate re-expressed clause-for-clause and every
+    terminal an exact integer (permille / milli units — float means
+    would diverge in the last ulp across engines)."""
+    from data_ingestion_backend_spark.operators.text import PII_PATTERNS
+
+    langs = ", ".join(f"'{x}'" for x in KNOWN_LANGS)
+    pii_any = " + ".join(
+        f"len(regexp_extract_all(d.text, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+  und AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+  ),
+  reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+  ),
+  labels AS MATERIALIZED (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY id),
+  stats AS ({ORACLE["text_doc_stats"]}),
+  lang AS ({ORACLE["text_lang_id"]}),
+  rep AS ({STANDALONE_ORACLES["prep_repetition"]}),
+  dec AS ({STANDALONE_ORACLES["prep_length_deciles"]}),
+  per_doc AS MATERIALIZED (
+    SELECT d.source,
+           s.n_tokens, s.n_chars_measured, s.quality,
+           l.lang_pred,
+           (lb.cluster_id = d.doc_id) AS is_canonical,
+           ((lb.cluster_id = d.doc_id)
+            AND s.quality >= {MIN_QUALITY}
+            AND rp.top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}
+            AND l.lang_pred IN ({langs})
+            AND de.length_filter <> 'clip') AS keep,
+           ({pii_any}) > 0 AS pii_doc
+    FROM documents d
+    JOIN stats s USING (doc_id)
+    JOIN lang l USING (doc_id)
+    JOIN rep rp USING (doc_id)
+    JOIN dec de USING (doc_id)
+    JOIN labels lb USING (doc_id)
+  )
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS n_tokens,
+       SUM(n_chars_measured) AS n_chars,
+       1000 * SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+         // COUNT(*) AS en_permille,
+       COUNT(DISTINCT lang_pred) AS n_langs,
+       1000 * SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END)
+         // COUNT(*) AS dup_permille,
+       1000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+         // COUNT(*) AS kept_permille,
+       SUM(CAST(quality * 1000 AS BIGINT)) // COUNT(*) AS quality_milli_mean,
+       SUM(CASE WHEN pii_doc THEN 1 ELSE 0 END) AS pii_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM per_doc GROUP BY source ORDER BY source"""
+
+
+@_register_standalone("prep_corpus_datasheet", _datasheet_oracle_sql())
+def prep_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datasheet a corpus build publishes: one row per SOURCE with
+    size (docs / tokens / chars), observed language mix (predicted-
+    English permille, distinct predicted languages), near-dup rate
+    (non-canonical permille), curation yield (kept permille), mean
+    quality (milli units — per-doc quality is dyadic {0, .25, .5, .75,
+    1}, so the integer cast is exact), PII-bearing doc count, and the
+    token-length envelope.
+
+    Composes the certified signals (doc stats, lang-id, clusters, the
+    curate verdict) exactly as the build does — this is the REPORT for
+    the corpus `prep_corpus_e2e` ships, and what a data card's
+    quantitative section is generated from.
+
+    Scale shape: every input is a certified per-doc projection; the
+    composition adds doc_id hash joins plus ONE map-side-combined
+    per-source aggregation; output is |sources| rows.  All terminals
+    are integers (permille/milli) — exact at any scale, no float-mean
+    ulp drift between engines.
+    """
+    from data_ingestion_backend_spark.operators.text import (
+        pii_counts,
+        text_doc_stats,
+        text_lang_id,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    stats = text_doc_stats(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_chars_measured", "quality"
+    )
+    lang = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    clus = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    keep = curate_corpus(spark, sf_dir).select("doc_id", "keep")
+    pii_any = None
+    for c in pii_counts(F.col("text")).values():
+        pii_any = c if pii_any is None else pii_any + c
+    per_doc = (
+        docs.join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .join(clus, "doc_id")
+        .join(keep, "doc_id")
+        .select(
+            "source",
+            "n_tokens",
+            "n_chars_measured",
+            "quality",
+            "lang_pred",
+            "is_canonical",
+            "keep",
+            (pii_any > 0).alias("pii_doc"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            cnt.alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars_measured").alias("n_chars"),
+            F.expr(
+                "1000 * sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)"
+                " div count(*)"
+            ).alias("en_permille"),
+            F.countDistinct("lang_pred").alias("n_langs"),
+            F.expr(
+                "1000 * sum(CASE WHEN is_canonical THEN 0 ELSE 1 END)"
+                " div count(*)"
+            ).alias("dup_permille"),
+            F.expr(
+                "1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END) div count(*)"
+            ).alias("kept_permille"),
+            F.expr(
+                "sum(CAST(quality * 1000 AS BIGINT)) div count(*)"
+            ).alias("quality_milli_mean"),
+            F.sum(F.when(F.col("pii_doc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("pii_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )

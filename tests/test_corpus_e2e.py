@@ -137,3 +137,24 @@ def test_final_assembly_reads_corpus_once(spark):
     plan = formatted_plan(df)
     scans = plan.count("documents.parquet")
     assert scans == 1, f"final plan re-reads the corpus ({scans} scans)"
+
+
+def test_datasheet_source_invariants(spark):
+    """Per-source datasheet sanity: permilles bounded, kept docs are a
+    subset of canonical docs (so kept + dup can never exceed the
+    corpus), token envelope ordered, totals positive."""
+    from data_ingestion_backend_spark.operators.corpus import (
+        prep_corpus_datasheet,
+    )
+
+    rows = prep_corpus_datasheet(spark, SF_DIR_ORACLE).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert 0 < r["n_docs"] and 0 < r["n_tokens"] <= r["n_chars"]
+        for c in ("en_permille", "dup_permille", "kept_permille"):
+            assert 0 <= r[c] <= 1000, (c, r)
+        assert r["kept_permille"] + r["dup_permille"] <= 1000
+        assert 0 <= r["quality_milli_mean"] <= 1000
+        assert 0 <= r["min_tokens"] <= r["max_tokens"]
+        assert 0 <= r["pii_docs"] <= r["n_docs"]
+        assert 1 <= r["n_langs"]
