@@ -542,8 +542,22 @@ def prep_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_chars_measured", "quality"
     )
     lang = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
-    clus = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
-    keep = curate_corpus(spark, sf_dir).select("doc_id", "keep")
+    # Checkpoint the two CC-closure consumers (the capstone's stage-table
+    # pattern): the curate verdict EMBEDS its own dedup_clusters arm, and
+    # Spark does not dedupe common subplans (SCALE.md §2) — one un-pinned
+    # plan would run TWO concurrent closures over the pair graph, which
+    # OOMed at the 100× planted-clique tier; checkpointed, each runs once
+    # and the final plan joins two narrow id-keyed tables.
+    clus = (
+        dedup_clusters(spark, sf_dir)
+        .select("doc_id", "is_canonical")
+        .localCheckpoint(eager=True)
+    )
+    keep = (
+        curate_corpus(spark, sf_dir)
+        .select("doc_id", "keep")
+        .localCheckpoint(eager=True)
+    )
     pii_any = None
     for c in pii_counts(F.col("text")).values():
         pii_any = c if pii_any is None else pii_any + c
