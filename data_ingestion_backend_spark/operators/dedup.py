@@ -689,7 +689,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cc_nodes",
         lambda: und.select(F.col("a").alias("doc_id")).distinct(),
     )
-    final_labels = connected_components(pairs, und=und, nodes=nodes)
+    # The CC fixpoint is deterministic per (session, sf) exactly like the
+    # pair list feeding it — memoize the LABELS too: the composed ops
+    # (curate, the corpus build, the datasheet, the leakage-free split)
+    # each consume cluster labels, and without this memo every one of
+    # them re-ran the whole label-propagation loop per call.
+    final_labels = _session_persisted(
+        spark,
+        sf_dir,
+        "cc_labels",
+        lambda: connected_components(pairs, und=und, nodes=nodes),
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(final_labels, "doc_id", "left")
