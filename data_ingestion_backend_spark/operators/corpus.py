@@ -607,3 +607,72 @@ def prep_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- materialization: the artifact a training loader actually reads ---------
+
+CORPUS_BUILD_TABLE = "corpus_build"
+CORPUS_PACKS_TABLE = "corpus_train_packs"
+
+
+def materialize_corpus_build(
+    wh, spark: SparkSession, sf_dir: str, eos: str = " <eos> "
+) -> dict:
+    """Ship the build: run :func:`prep_corpus_e2e` and publish BOTH the
+    per-document decision table and the packed TRAIN corpus — the
+    selected train docs' CLEANED (span-cut) text concatenated per
+    (shard, pack_id) in doc_id order, EOS-separated — in ONE atomic
+    manifest (`Warehouse.publish`): a training loader can never see a
+    pack whose decision rows have not landed, or vice versa.
+
+    The packed text re-derives the survivors' cleaned tokens with the
+    same :func:`substring_cut_tokens_frame` over the same survivor set
+    the build scored (deterministic, so re-runs are content-identical —
+    golden-tested), and the session-memoized pair/label tables make the
+    re-derivation one cut pass, not a second dedup.
+
+    Scale shape: `materialize_packs`'s one-shuffle collect shape over
+    the TRAIN-selected subset; pack sizes are bounded by the token
+    budget, so no collect_list outgrows an executor.  Returns the
+    staged {table: version} map."""
+    from data_ingestion_backend_spark.operators.mlprep import PACK_SHARDS
+
+    decisions = prep_corpus_e2e(spark, sf_dir).localCheckpoint(eager=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    surv_ids = decisions.filter(
+        F.col("stage").isin("kept", "budget")
+    ).select("doc_id")
+    clean = substring_cut_tokens_frame(docs.join(surv_ids, "doc_id")).select(
+        "doc_id", F.array_join("t_clean", " ").alias("text_clean")
+    )
+    train = decisions.filter("selected AND split = 'train'").select(
+        "doc_id",
+        "n_tokens_clean",
+        "pack_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+    )
+    member = F.array_sort(F.collect_list(F.struct("doc_id", "text_clean")))
+    packs = (
+        train.join(clean, "doc_id")
+        .groupBy("shard", "pack_id")
+        .agg(
+            member.alias("_m"),
+            F.sum("n_tokens_clean").cast("bigint").alias("pack_tokens"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            F.concat_ws(eos, F.expr("transform(_m, x -> x.text_clean)")).alias(
+                "packed_text"
+            ),
+            "pack_tokens",
+            "n_docs",
+        )
+    )
+    staged = {
+        CORPUS_BUILD_TABLE: wh.stage(CORPUS_BUILD_TABLE, decisions),
+        CORPUS_PACKS_TABLE: wh.stage(CORPUS_PACKS_TABLE, packs),
+    }
+    wh.publish(staged)
+    return staged

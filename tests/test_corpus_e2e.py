@@ -158,3 +158,65 @@ def test_datasheet_source_invariants(spark):
         assert 0 <= r["min_tokens"] <= r["max_tokens"]
         assert 0 <= r["pii_docs"] <= r["n_docs"]
         assert 1 <= r["n_langs"]
+
+
+def test_materialized_build_ships_consistent_packs(spark, tmp_path):
+    """The shipping step: decision table + packed cleaned train corpus
+    publish in ONE manifest; pack membership and token totals conserve
+    exactly; one pack reconstructed independently is byte-identical;
+    a re-run is content-idempotent."""
+    from data_ingestion_backend_spark.operators.corpus import (
+        CORPUS_BUILD_TABLE,
+        CORPUS_PACKS_TABLE,
+        materialize_corpus_build,
+    )
+    from data_ingestion_backend_spark.operators.dedup import (
+        substring_cut_tokens_frame,
+    )
+    from data_ingestion_backend_spark.operators.mlprep import PACK_SHARDS
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+    from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    materialize_corpus_build(wh, spark, SF_DIR_ORACLE)
+    dec = wh.read(CORPUS_BUILD_TABLE)
+    packs = wh.read(CORPUS_PACKS_TABLE).collect()
+    train = dec.filter("selected AND split = 'train'").collect()
+
+    # conservation: every selected train doc is in exactly one pack
+    assert sum(p["n_docs"] for p in packs) == len(train)
+    assert sum(p["pack_tokens"] for p in packs) == sum(
+        r["n_tokens_clean"] for r in train
+    )
+
+    # independent reconstruction of one pack, byte-exact
+    target = min(train, key=lambda r: r["doc_id"])
+    shard, pid = target["doc_id"] % PACK_SHARDS, target["pack_id"]
+    members = sorted(
+        r["doc_id"]
+        for r in train
+        if r["doc_id"] % PACK_SHARDS == shard and r["pack_id"] == pid
+    )
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select(
+        "doc_id", "text"
+    )
+    surv = dec.filter(F.col("stage").isin("kept", "budget")).select("doc_id")
+    clean = {
+        r["doc_id"]: " ".join(r["t_clean"])
+        for r in substring_cut_tokens_frame(docs.join(surv, "doc_id"))
+        .filter(F.col("doc_id").isin(members))
+        .collect()
+    }
+    want = " <eos> ".join(clean[d] for d in members)
+    got = [
+        p["packed_text"]
+        for p in packs
+        if p["shard"] == shard and p["pack_id"] == pid
+    ]
+    assert got == [want]
+
+    # content-idempotent re-run (new versions, identical rows)
+    materialize_corpus_build(wh, spark, SF_DIR_ORACLE)
+    again = wh.read(CORPUS_PACKS_TABLE).collect()
+    key = lambda p: (p["shard"], p["pack_id"])  # noqa: E731
+    assert sorted(map(tuple, again)) == sorted(map(tuple, packs))
