@@ -138,6 +138,16 @@ def test_final_assembly_reads_corpus_once(spark):
     scans = plan.count("documents.parquet")
     assert scans == 1, f"final plan re-reads the corpus ({scans} scans)"
 
+    # preflight reads one known-benign finding: the single parquet scan
+    # projects doc_id alone (nothing to push), and every real predicate
+    # computes over CHECKPOINTED stage tables, which have no pushdown
+    # surface — the auditor's conservative "look here" case, pinned so a
+    # new genuine anti-pattern cannot hide behind it
+    from data_ingestion_backend_spark.plans.audit import preflight
+
+    codes = {f["code"] for f in preflight(df)}
+    assert codes <= {"UNPUSHED_SCAN"}, codes
+
 
 def test_datasheet_source_invariants(spark):
     """Per-source datasheet sanity: permilles bounded, kept docs are a
