@@ -1858,7 +1858,14 @@ def _rebuild_index(spark: SparkSession, path: str, corpus: DataFrame, builder) -
     directory beside the live one, then atomically publish.  The live
     generation stays fully readable — and appendable — until the
     manifest flips; a crash before the flip leaves the old index
-    untouched and the half-built directory inert."""
+    untouched and the half-built directory inert.
+
+    SINGLE-WRITER assumption (same as the warehouse family): maintenance
+    (append/rebuild) runs from one coordinator.  An append that raced a
+    rebuild into the OLD generation after the rebuild's ``corpus``
+    snapshot was taken would not be in the new generation — the caller
+    owns serializing appends against rebuilds (the maintain_* wrappers
+    do, trivially, by running them in sequence)."""
     import os
 
     live = _index_root(path)
