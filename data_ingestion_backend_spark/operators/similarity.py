@@ -1230,16 +1230,19 @@ PQ_ROUND = 9  # codebook grid — same discipline as KMEANS_ROUND
 PQ_QUERIES = 3  # probe set mirrors sim_multiquery_topk
 
 
-def _subvector_table(emb: DataFrame) -> DataFrame:
-    """(vec_id, sub, sv: array<double>[PQ_DSUB]) — every subspace's slice
-    in one table, so one plan trains/encodes all m subspaces at once."""
+def _subvector_table(emb: DataFrame, m: int = PQ_SUBSPACES) -> DataFrame:
+    """(vec_id, sub, sv: array<double>[d/m]) — every subspace's slice
+    in one table, so one plan trains/encodes all m subspaces at once.
+    ``m`` is the subspace count (the PQ accuracy/size dial: more
+    subspaces = finer quantization = bigger codes)."""
+    dsub = EMB_DIM // m
     slices = F.array(
         *[
             F.struct(
                 F.lit(s).cast("bigint").alias("sub"),
-                F.slice("e", s * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+                F.slice("e", s * dsub + 1, dsub).alias("sv"),
             )
-            for s in range(PQ_SUBSPACES)
+            for s in range(m)
         ]
     )
     return emb.select("vec_id", F.explode(slices).alias("x")).select(
@@ -1298,7 +1301,8 @@ def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_K, iters: int = 
     """
     import numpy as np
 
-    subs = _subvector_table(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    dsub = EMB_DIM // m
+    subs = _subvector_table(emb, m).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         spark = emb.sparkSession
         init = (
@@ -1307,7 +1311,7 @@ def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_K, iters: int = 
         M0 = np.asarray(init, dtype=np.float64)
         C = np.round(
             np.stack(
-                [M0[:, s * PQ_DSUB : (s + 1) * PQ_DSUB] for s in range(m)]
+                [M0[:, s * dsub : (s + 1) * dsub] for s in range(m)]
             ),
             PQ_ROUND,
         )
@@ -1322,7 +1326,7 @@ def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_K, iters: int = 
                 .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
                 .collect()
             )  # ≤ m·k·d_sub rows — the model, not the data
-            sums = np.zeros((m, k, PQ_DSUB), dtype=np.float64)
+            sums = np.zeros((m, k, dsub), dtype=np.float64)
             counts = np.zeros((m, k), dtype=np.int64)
             for r in stats:
                 sums[r["sub"], r["code"], r["pos"]] = r["s"]
@@ -1340,7 +1344,7 @@ def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_K, iters: int = 
 
 def pq_encode(spark: SparkSession, emb: DataFrame, C) -> DataFrame:
     """Corpus code table (vec_id, sub, code) — the compressed index."""
-    return _pq_assign(spark, _subvector_table(emb), C).select(
+    return _pq_assign(spark, _subvector_table(emb, m=len(C)), C).select(
         "vec_id", "sub", "code"
     )
 
@@ -1467,16 +1471,20 @@ def _pq_recon_error(spark: SparkSession, subs_assigned: DataFrame, C) -> float:
     )
 
 
-def build_pq_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
+def build_pq_index(
+    spark: SparkSession, path: str, corpus: DataFrame, m: int = PQ_SUBSPACES
+) -> None:
     """Train codebooks on the corpus and materialize (codebooks, codes,
-    stats) — compressed search needs nothing else at query time."""
+    stats) — compressed search needs nothing else at query time.  ``m``
+    sets the subspace count (readers recover it from the codebook
+    table's shape, so searches/appends need no extra state)."""
     import os
 
-    C, _ = pq_train(corpus)
+    C, _ = pq_train(corpus, m=m)
     _codebook_df(spark, C).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks")
     )
-    assigned = _pq_assign(spark, _subvector_table(corpus), C).localCheckpoint(
+    assigned = _pq_assign(spark, _subvector_table(corpus, m=len(C)), C).localCheckpoint(
         eager=True
     )
     # codes are laid out partitioned by batch_id (the build is batch 0)
@@ -1558,7 +1566,7 @@ def append_to_pq_index(
 
     path = _index_root(path)
     C = _read_codebooks(spark, path)
-    assigned = _pq_assign(spark, _subvector_table(batch), C).localCheckpoint(
+    assigned = _pq_assign(spark, _subvector_table(batch, m=len(C)), C).localCheckpoint(
         eager=True
     )
     batch_recon = _pq_recon_error(spark, assigned, C)
@@ -1718,7 +1726,7 @@ def _centroid_df(spark: SparkSession, C) -> DataFrame:
     )
 
 
-def _ivfadc_encode(spark: SparkSession, corpus: DataFrame, C):
+def _ivfadc_encode(spark: SparkSession, corpus: DataFrame, C, m: int = PQ_SUBSPACES):
     """(codes, Cpq): residual-PQ code table (vec_id, cluster, sub,
     code) and the trained residual codebooks, for a coarse quantizer
     ``C``."""
@@ -1728,9 +1736,9 @@ def _ivfadc_encode(spark: SparkSession, corpus: DataFrame, C):
     # residuals once (at warehouse scale this is a staged table, not a
     # local checkpoint)
     resid = _residualize(assigned, cent, "e").localCheckpoint(eager=True)
-    Cpq, _ = pq_train(resid.select("vec_id", "e"))
+    Cpq, _ = pq_train(resid.select("vec_id", "e"), m=m)
     codes = (
-        _pq_assign(spark, _subvector_table(resid.select("vec_id", "e")), Cpq)
+        _pq_assign(spark, _subvector_table(resid.select("vec_id", "e"), m=len(Cpq)), Cpq)
         .select("vec_id", "sub", "code")
         .join(resid.select("vec_id", "cluster"), "vec_id")
     )
@@ -1783,16 +1791,20 @@ def ivfadc_topk(
     return _ivfadc_scan(codes, dtable, k)
 
 
-def build_ivfadc_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
+def build_ivfadc_index(
+    spark: SparkSession, path: str, corpus: DataFrame, m: int = PQ_SUBSPACES
+) -> None:
     """Materialize the IVFADC index: residual-PQ codes hive-partitioned
     by coarse cell (pruning = candidate generation), coarse centroids,
-    residual codebooks, and the calibrated probe count."""
+    residual codebooks, and the calibrated probe count.  ``m`` sets the
+    residual-PQ subspace count — the accuracy/size dial (recall vs m is
+    measured in SCALE.md); readers recover it from the codebook shape."""
     import os
 
     S = _sample_matrix(corpus)
     C = _lloyd_spherical(S)
-    codes, Cpq = _ivfadc_encode(spark, corpus, C)
-    base_recon = _cv_residual_recon_baseline(spark, corpus, C)
+    codes, Cpq = _ivfadc_encode(spark, corpus, C, m=m)
+    base_recon = _cv_residual_recon_baseline(spark, corpus, C, m=m)
     # (cluster, batch_id) layout: cluster pruning for search, batch_id
     # partitions for exactly-once appends (the build owns batch 0) —
     # the same protocol as append_to_pq_index
@@ -2046,7 +2058,9 @@ def ivfadc_search_persisted(
     )
 
 
-def _cv_residual_recon_baseline(spark: SparkSession, corpus: DataFrame, C) -> float:
+def _cv_residual_recon_baseline(
+    spark: SparkSession, corpus: DataFrame, C, m: int = PQ_SUBSPACES
+) -> float:
     """Cross-fit drift baseline — the `_cv_quantization_baseline` lesson
     applied to residual PQ: codebooks trained on one deterministic half
     of the corpus's residuals are evaluated on the other half, so the
@@ -2062,12 +2076,14 @@ def _cv_residual_recon_baseline(spark: SparkSession, corpus: DataFrame, C) -> fl
     r_fit = _residualize(
         _assign_clusters(fit_half, "e", C, 1), cent, "e"
     ).localCheckpoint(eager=True)
-    Cpq_half, _ = pq_train(r_fit.select("vec_id", "e"))
+    Cpq_half, _ = pq_train(r_fit.select("vec_id", "e"), m=m)
     r_eval = _residualize(_assign_clusters(eval_half, "e", C, 1), cent, "e")
     return _pq_recon_error(
         spark,
         _pq_assign(
-            spark, _subvector_table(r_eval.select("vec_id", "e")), Cpq_half
+            spark,
+            _subvector_table(r_eval.select("vec_id", "e"), m=len(Cpq_half)),
+            Cpq_half,
         ),
         Cpq_half,
     )
@@ -2127,7 +2143,7 @@ def append_to_ivfadc_index(
     )
     resid = _residualize(assigned, cent, "e").localCheckpoint(eager=True)
     subs_assigned = _pq_assign(
-        spark, _subvector_table(resid.select("vec_id", "e")), Cpq
+        spark, _subvector_table(resid.select("vec_id", "e"), m=len(Cpq)), Cpq
     ).localCheckpoint(eager=True)
     batch_recon = _pq_recon_error(spark, subs_assigned, Cpq)
     stats = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
