@@ -310,3 +310,32 @@ def test_ivfadc_rerank_lifts_recall_over_raw_adc(spark, emb, tmp_path):
         by_q.setdefault(r["query_id"], []).append(r["cosine"])
     for cs in by_q.values():
         assert cs == sorted(cs, reverse=True)
+
+
+def test_ivfadc_subspace_count_is_a_parameter(spark, emb, tmp_path):
+    """build_ivfadc_index(m=...) trains that many residual subspaces;
+    readers recover m from the codebook shape, so persisted search and
+    append work with no extra state."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _read_codebooks,
+        append_to_ivfadc_index,
+        ivfadc_search_persisted,
+    )
+
+    path = str(tmp_path / "ivfadc_m16")
+    build_ivfadc_index(spark, path, emb.filter(F.col("vec_id") < 400), m=16)
+    C = _read_codebooks(spark, path)
+    assert C.shape[0] == 16 and C.shape[2] == 64 // 16
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    assert codes.select("sub").distinct().count() == 16
+    got = ivfadc_search_persisted(spark, path, _queries(emb))
+    assert got.count() > 0
+    # frozen-quantizer append encodes with the index's own m
+    batch = emb.filter(F.col("vec_id") >= 400).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "e"
+    )
+    append_to_ivfadc_index(spark, path, batch, batch_id=1)
+    appended = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("vec_id") >= 9000
+    )
+    assert appended.select("sub").distinct().count() == 16

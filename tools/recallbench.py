@@ -100,7 +100,7 @@ def recall_of(approx_rows, exact_sets) -> float:
     return sum(recalls) / len(recalls)
 
 
-def run_tier(spark, copies: int, noise: float) -> dict:
+def run_tier(spark, copies: int, noise: float, pq_m: int | None = None) -> dict:
     corpus = multiplied_corpus(spark, copies, noise)
     corpus.write.mode("overwrite").parquet("/tmp/recallbench_corpus")
     corpus = spark.read.parquet("/tmp/recallbench_corpus")
@@ -158,7 +158,9 @@ def run_tier(spark, copies: int, noise: float) -> dict:
     idx = "/tmp/recallbench_ivfadc"
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.monotonic()
-    build_ivfadc_index(spark, idx, corpus)
+    build_ivfadc_index(
+        spark, idx, corpus, **({"m": pq_m} if pq_m else {})
+    )
     adc_build_sec = time.monotonic() - t0
     t0 = time.monotonic()
     adc_rows = ivfadc_search_persisted(spark, idx, queries, TOPK).collect()
@@ -200,6 +202,7 @@ def run_tier(spark, copies: int, noise: float) -> dict:
             "sec": round(adc_sec, 2),
             "build_sec": round(adc_build_sec, 2),
             "nprobe": adc_nprobe,
+            "pq_m": pq_m,
         },
         "ivfadc_rerank": {
             "recall": round(rr_recall, 3),
@@ -245,6 +248,14 @@ def main() -> None:
         action="store_true",
         help="also time ivfadc_search_persisted at 3/30/300 queries",
     )
+    ap.add_argument(
+        "--pq-m",
+        type=int,
+        default=None,
+        help="residual-PQ subspace count for the ivfadc arms "
+        "(default: the library constant; the SCALE.md m-dial rows "
+        "used 8/16/32)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="recallbench", master="local[32]")
@@ -252,7 +263,7 @@ def main() -> None:
     try:
         for copies in args.copies:
             for noise in args.noise:
-                row = run_tier(spark, copies, noise)
+                row = run_tier(spark, copies, noise, pq_m=args.pq_m)
                 rows.append(row)
                 print(json.dumps(row), file=sys.stderr, flush=True)
         out = {"sf_dir": SF_DIR, "k": TOPK, "tiers": rows}
