@@ -65,12 +65,15 @@ HEADLINE = [
     "q31_asof_join",
     "q32_range_join",
     "q33_rollup_cube",
-    "q34_pivot",
     "q35_percentiles",
     "q36_sliding_range_count",
     "q37_funnel",
     "q39_retention",
     "q40_json_agg",
+    # round-11: the two composed capstones, now driver-graded (rotated
+    # from STANDALONE_HEADLINE — same entries, same workload)
+    "prep_corpus_e2e",
+    "prep_corpus_datasheet",
 ]
 
 STANDALONE_HEADLINE = [
@@ -156,11 +159,14 @@ STANDALONE_HEADLINE = [
     "prep_token_budget_select",
     # round-9: cluster-keyed split (near-dups never straddle train/test)
     "prep_split_leakage_free",
-    # round-10: the composed end-to-end corpus build (curate -> dedup ->
-    # span decon -> DSIR -> budget cut -> leakage-free split -> pack)
-    "prep_corpus_e2e",
-    # round-10: the per-source datasheet the corpus build publishes
-    "prep_corpus_datasheet",
+    # round-11: q34 rotated out of the graded window (capstones rotated in)
+    "q34_pivot",
+    # round-11: search-only ANN entries — sim_pq_topk / sim_ivfadc_topk
+    # time FULL double-training (honest for a one-shot build, ~5x the
+    # per-query cost a user pays); these time the persisted-index search
+    # path only (the bench warm-up run pays the one-off build)
+    "sim_pq_search",
+    "sim_ivfadc_search",
 ]
 
 

@@ -91,6 +91,7 @@ from data_ingestion_backend_spark.operators.mlprep import (
 from data_ingestion_backend_spark.operators.queries import (
     ORACLE,
     STANDALONE_ORACLES,
+    _register,
     _register_standalone,
 )
 from data_ingestion_backend_spark.sources.fixtures import load_table
@@ -408,10 +409,12 @@ def corpus_build_frame(
     )
 
 
-# standalone slot: the driver records the FIRST 50 registered queries
-# only (test_canon_safety.py pin) — the composed cert runs in the local
-# uniform gate, the same compare_query mirror of the driver
-@_register_standalone("prep_corpus_e2e", _corpus_oracle_sql())
+# DRIVER-GRADED slot (round 11): the flagship composition occupies one of
+# the 50 correctness rows — q14_like_predicate rotated to the standalone
+# gate to free it (its P8/F11 operators stay golden-tested in
+# test_sniff_rejects + the issue matrix, and the standalone form keeps
+# the same DuckDB differential).
+@_register("prep_corpus_e2e", _corpus_oracle_sql())
 def prep_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining corpus build over the documents fixture —
     curate → dedup (quality-aware keep) → span decontamination → DSIR
@@ -492,23 +495,27 @@ WITH RECURSIVE {_minhash_ctes()},
   )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS n_tokens,
-       SUM(n_chars_measured) AS n_chars,
-       1000 * SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
-         // COUNT(*) AS en_permille,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars_measured) AS BIGINT) AS n_chars,
+       CAST(1000 * SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+         // COUNT(*) AS BIGINT) AS en_permille,
        COUNT(DISTINCT lang_pred) AS n_langs,
-       1000 * SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END)
-         // COUNT(*) AS dup_permille,
-       1000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END)
-         // COUNT(*) AS kept_permille,
-       SUM(CAST(quality * 1000 AS BIGINT)) // COUNT(*) AS quality_milli_mean,
-       SUM(CASE WHEN pii_doc THEN 1 ELSE 0 END) AS pii_docs,
+       CAST(1000 * SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END)
+         // COUNT(*) AS BIGINT) AS dup_permille,
+       CAST(1000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+         // COUNT(*) AS BIGINT) AS kept_permille,
+       CAST(SUM(CAST(quality * 1000 AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS quality_milli_mean,
+       CAST(SUM(CASE WHEN pii_doc THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
        MIN(n_tokens) AS min_tokens,
        MAX(n_tokens) AS max_tokens
 FROM per_doc GROUP BY source ORDER BY source"""
 
 
-@_register_standalone("prep_corpus_datasheet", _datasheet_oracle_sql())
+# DRIVER-GRADED slot (round 11): rotated in beside the capstone —
+# q34_pivot moved standalone (its conditional-agg mechanism is the twin
+# of the still-graded q33 rollup and keeps its DuckDB differential).
+@_register("prep_corpus_datasheet", _datasheet_oracle_sql())
 def prep_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The datasheet a corpus build publishes: one row per SOURCE with
     size (docs / tokens / chars), observed language mix (predicted-

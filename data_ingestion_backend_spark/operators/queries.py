@@ -327,7 +327,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
+@_register_standalone(
     "q14_like_predicate",
     """SELECT p_partkey, p_name FROM part
        WHERE LOWER(p_name) LIKE '%a%' ORDER BY p_partkey""",

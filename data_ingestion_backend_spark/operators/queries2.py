@@ -366,7 +366,7 @@ def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
+@_register_standalone(
     "q34_pivot",
     """SELECT user_id,
               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,

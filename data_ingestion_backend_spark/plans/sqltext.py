@@ -70,6 +70,15 @@ NON_EXPRESSIBLE: dict[str, str] = {
     ),
     "media_metadata": "DuckDB encode()/decode() byte builtins differ in signature and semantics",
     "media_features": "same codec-builtin divergence as media_metadata",
+    "prep_corpus_e2e": (
+        "the composed-build oracle hoists the recursive minhash/CC "
+        "closure CTE to its top level — the same recursive-UNION-"
+        "distinct-over-cycles shape Spark 4.1 rejects (see "
+        "dedup_clusters); the composition is builder-certified"
+    ),
+    "prep_corpus_datasheet": (
+        "embeds the same recursive CC-closure CTE as prep_corpus_e2e"
+    ),
 }
 
 # Spark-dialect twin of operators/dedup._SHINGLES_SQL (DuckDB list_*

@@ -10,12 +10,14 @@ distributions), *append* (every state table advances together).  This
 module is that composition:
 
 - **one transactional domain**: a single intent record pins the base
-  versions of ALL SEVEN tables (near-dup index/bands/pairs, semantic
-  index/pairs, DSIR state, admissions ledger) and a single marker
-  commits the batch — the crash-healing argument of the individual
-  gates (re-run reads pinned bases, recomputes deterministically)
-  carries over unchanged because every computation below is a pure
-  function of (pinned bases, batch).
+  versions of ALL EIGHT tables (near-dup index/bands/pairs, semantic
+  index/pairs/centroids, DSIR state, admissions ledger) and a single
+  marker commits the batch — the crash-healing argument of the
+  individual gates (re-run reads pinned bases, recomputes
+  deterministically) carries over unchanged because every computation
+  below is a pure function of (pinned bases, batch).  The first-batch
+  centroid seed is STAGED into the same publish as everything else, so
+  no table version from an uncommitted batch is ever visible.
 - **one manifest publish**: all tables become visible together
   (``Warehouse.publish``), so a concurrent reader can never see a
   ledger row whose state absorption has not landed, or vice versa.
@@ -64,6 +66,7 @@ from data_ingestion_backend_spark.streaming.semgate import (
     SEM_INDEX_TABLE,
     SEM_PAIRS_TABLE,
     SEM_THRESHOLD,
+    _centroids_at,
     _read_centroids,
     semantic_pairs_for_batch,
 )
@@ -99,6 +102,7 @@ def admission_gate_batch(
             "nd_pairs": wh.current_version(ND_PAIRS_TABLE),
             "sem_index": wh.current_version(SEM_INDEX_TABLE),
             "sem_pairs": wh.current_version(SEM_PAIRS_TABLE),
+            "sem_cent": wh.current_version(SEM_CENTROIDS_TABLE),
             "dsir": wh.current_version(DSIR_STATE_TABLE),
             "adm": wh.current_version(ADMISSIONS_TABLE),
         },
@@ -125,20 +129,29 @@ def admission_gate_batch(
 
     # ----- semantic gate (embeddings) -------------------------------------
     sem_corpus = wh.read(SEM_INDEX_TABLE, bases["sem_index"])
-    C = _read_centroids(wh)
-    if len(C) == 0:
-        # first batch seeds the frozen quantizer (deterministic sample →
-        # deterministic centroids: a crash between this write and the
-        # marker re-creates the identical table, same as semgate)
+    # the quantizer read is PINNED like every other base: a crash-replay
+    # must see the centroids as of its intent, not the live pointer
+    cent_base = bases["sem_cent"]
+    seed_centroids = None
+    if cent_base >= 0:
+        C = (
+            _read_centroids(wh)
+            if wh.current_version(SEM_CENTROIDS_TABLE) == cent_base
+            else _centroids_at(wh, cent_base)
+        )
+    else:
+        # first batch seeds the frozen quantizer.  The seed is STAGED
+        # into the same single-manifest publish as the other state
+        # tables (r10 advisor finding): committing it early via
+        # wh.write left a visible centroid version from a batch that
+        # never committed, correct only while redelivery is bytewise
+        # identical — staging removes that assumption.
         C = _train_centroids_sample(
             batch.select(F.col("doc_id").alias("vec_id"), "e")
         )
-        wh.write(
-            SEM_CENTROIDS_TABLE,
-            spark.createDataFrame(
-                [(i, row.tolist()) for i, row in enumerate(C)],
-                "cluster long, centroid array<double>",
-            ),
+        seed_centroids = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(C)],
+            "cluster long, centroid array<double>",
         )
     batch_assigned = _assign_clusters(
         batch.select(F.col("doc_id").alias("vec_id"), "e"), "e", C, 1
@@ -237,6 +250,10 @@ def admission_gate_batch(
             wh.read(ADMISSIONS_TABLE, bases["adm"]).unionByName(ledger),
         ),
     }
+    if seed_centroids is not None:
+        staged[SEM_CENTROIDS_TABLE] = wh.stage(
+            SEM_CENTROIDS_TABLE, seed_centroids
+        )
     wh.publish(staged)
     _write_index_stats(wh, staged[INDEX_TABLE], max_n)
     txn.commit_batch(wh, ADMISSIONS_TABLE, batch_id)

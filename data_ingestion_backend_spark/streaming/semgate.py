@@ -81,6 +81,21 @@ def _read_centroids(wh: Warehouse):
     return C
 
 
+def _centroids_at(wh: Warehouse, version: int):
+    """Pinned-version centroid read for crash-replay paths: a re-run
+    rebuilding from intent bases must see the quantizer AS OF its
+    pinned version, not whatever the live pointer says (the memo above
+    serves the steady-state current-version read)."""
+    import numpy as np
+
+    if version < 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    rows = wh.read(SEM_CENTROIDS_TABLE, version).orderBy("cluster").collect()
+    C = np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+    C.flags.writeable = False
+    return C
+
+
 def seed_semantic_index(wh: Warehouse, corpus_emb: DataFrame) -> None:
     """Build the initial index from a static (vec_id, e) frame: train the
     coarse quantizer on the deterministic sample, assign every corpus

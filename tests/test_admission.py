@@ -6,7 +6,6 @@ direct, re-delivery, crash healing."""
 from __future__ import annotations
 
 import os
-import time
 
 import numpy as np
 
@@ -148,9 +147,19 @@ def test_streamed_equals_direct(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh_stream"))
     sdir = str(tmp_path / "doc_stream")
     os.makedirs(sdir)
-    for b in _batches(spark):
-        b.coalesce(1).write.mode("append").parquet(sdir)
-        time.sleep(1.1)  # distinct mtimes: file order == batch order
+    # deterministic delivery order without wall-clock sleeps (the old
+    # sleep(1.1) trick was flaky on coarse-mtime filesystems): each
+    # batch becomes ONE monotonically named file whose mtime is STAMPED
+    # explicitly, so the source's (timestamp, listing) order equals
+    # batch order on any filesystem
+    base_ts = 1_600_000_000
+    for i, b in enumerate(_batches(spark)):
+        stage = str(tmp_path / f"stage_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dst = os.path.join(sdir, f"batch-{i:04d}.parquet")
+        os.replace(os.path.join(stage, part), dst)
+        os.utime(dst, (base_ts + i, base_ts + i))
     stream = (
         spark.readStream.schema(BATCH_SCHEMA)
         .option("maxFilesPerTrigger", 1)

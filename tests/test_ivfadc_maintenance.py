@@ -173,6 +173,127 @@ def test_maintain_rebuilds_when_monitor_fires(spark, emb, tmp_path):
     assert ivfadc_search_persisted(spark, path, queries_df).count() > 0
 
 
+def test_rebuild_preserves_tuned_subspace_count(spark, emb, tmp_path):
+    """A drift-triggered rebuild must retrain at the LIVE generation's
+    m, not the module default — SCALE.md measures re-ranked recall 0.51
+    vs 0.89 between m=8 and m=32, so silently dropping a tuned m on the
+    first maintenance cycle degrades the index's accuracy/size contract
+    with nothing failing (r10 advisor finding)."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _read_codebooks,
+        build_pq_index,
+        rebuild_pq_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    grown = emb.filter(F.col("vec_id") < 400)
+
+    path = str(tmp_path / "ivfadc_m16")
+    build_ivfadc_index(spark, path, base, m=16)
+    gen = rebuild_ivfadc_index(spark, path, grown)
+    assert gen == 1
+    C = _read_codebooks(spark, _index_root(path))
+    assert C.shape[0] == 16, C.shape
+
+    pq = str(tmp_path / "pq_m16")
+    build_pq_index(spark, pq, base, m=16)
+    rebuild_pq_index(spark, pq, grown)
+    Cpq = _read_codebooks(spark, _index_root(pq))
+    assert Cpq.shape[0] == 16, Cpq.shape
+
+
+def test_append_racing_rebuild_refuses_the_flip(spark, emb, tmp_path):
+    """The documented single-writer race, now ENFORCED (r10 verdict #3):
+    an append that lands in the live generation after the rebuild's
+    corpus snapshot would be missing from the new generation, so the
+    publish is refused — live index untouched, half-built directory
+    inert — and a retry over the accumulated corpus succeeds."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _rebuild_index,
+    )
+
+    path = str(tmp_path / "ivfadc_race")
+    base = emb.filter(F.col("vec_id") < 300)
+    build_ivfadc_index(spark, path, base)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    before = [
+        tuple(r) for r in ivfadc_search_persisted(spark, path, queries_df).collect()
+    ]
+    raced = emb.filter(F.col("vec_id") >= 450).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "e"
+    )
+
+    def racing_builder(s, p, c):
+        # the race window: the rebuild trains while a concurrent append
+        # lands in the LIVE generation
+        append_to_ivfadc_index(spark, path, raced, batch_id=1)
+        build_ivfadc_index(s, p, c)
+
+    with pytest.raises(RuntimeError, match="batch watermark"):
+        _rebuild_index(spark, path, base, racing_builder)
+    # defined outcome: no flip, live index serves identically (the raced
+    # append IS absorbed into the live generation, so base-query results
+    # are unchanged — new ids only add candidates far from the probes)
+    assert _index_root(path) == path
+    assert not os.path.exists(os.path.join(path, "MANIFEST"))
+
+    # retry over the corpus that includes the raced batch publishes
+    accumulated = base.unionByName(raced)
+    gen = rebuild_ivfadc_index(spark, path, accumulated)
+    assert gen == 1 and _index_root(path).endswith("gen=1")
+    new_codes = spark.read.parquet(os.path.join(path, "gen=1", "codes"))
+    assert new_codes.filter(F.col("vec_id") >= 7000).count() > 0
+    after = ivfadc_search_persisted(spark, path, queries_df)
+    assert after.count() == len(before)
+
+
+def test_concurrent_rebuild_publish_refuses_the_flip(spark, emb, tmp_path):
+    """Two racing rebuilds: the second to finish sees the live root
+    moved and refuses, leaving the winner's generation live."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _rebuild_index,
+    )
+
+    path = str(tmp_path / "ivfadc_2rebuilds")
+    base = emb.filter(F.col("vec_id") < 300)
+    build_ivfadc_index(spark, path, base)
+
+    def usurping_builder(s, p, c):
+        # a rival rebuild completes and publishes while this one trains
+        build_ivfadc_index(spark, os.path.join(path, "gen=5"), base)
+        _publish_index_generation(path, 5)
+        build_ivfadc_index(s, p, c)
+
+    with pytest.raises(RuntimeError, match="live root moved"):
+        _rebuild_index(spark, path, base, usurping_builder)
+    assert _index_root(path).endswith("gen=5")  # the winner stays live
+
+
+def test_non_local_index_path_fails_fast(spark, emb):
+    """The generation manifest is local-FS (os.replace); a non-local
+    scheme must fail LOUDLY at resolution time, not silently resolve
+    the stale pre-rebuild root forever (r10 advisor finding)."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _require_local_index_path,
+    )
+
+    for bad in ("s3a://bucket/idx", "hdfs://nn:8020/idx", "abfss://c@a/idx"):
+        with pytest.raises(NotImplementedError, match="local-FS manifest"):
+            _index_root(bad)
+        with pytest.raises(NotImplementedError):
+            _publish_index_generation(bad, 1)
+    # local forms stay accepted
+    _require_local_index_path("/tmp/idx")
+    _require_local_index_path("relative/idx")
+    _require_local_index_path("file:///tmp/idx")
+    # and the public search path inherits the fail-fast
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    with pytest.raises(NotImplementedError):
+        ivfadc_search_persisted(spark, "s3a://bucket/idx", q)
+
+
 def test_ivf_and_pq_maintenance_twins(spark, emb, tmp_path):
     """The same drift→rebuild→swap loop for the raw-vector IVF and flat
     PQ indexes: planted shift fires → rebuild publishes gen=1 → the same
