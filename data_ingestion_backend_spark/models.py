@@ -252,6 +252,80 @@ ADMISSIONS_SCHEMA = T.StructType(
     ]
 )
 
+#: incremental corpus-build state tables (operators/corpus_incremental.py):
+#: accumulated raw docs + per-doc static signals, the near-dup signature /
+#: band / pair / label state, the span-gram postings + doc-frequency
+#: state over SURVIVORS, per-survivor cleaned-token counts and DSIR
+#: bucket histograms, and the maintained decision table.  Registered so
+#: a build-never-started warehouse reads EMPTY everywhere (the first
+#: batch IS the build).
+CB_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("n_raw", T.LongType(), True),
+        T.StructField("static_ok", T.BooleanType(), True),
+    ]
+)
+
+CB_LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("lbl", T.LongType(), True),
+    ]
+)
+
+CB_SURV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("cluster_id", T.LongType(), True),
+    ]
+)
+
+CB_GRAM_POSTS_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.LongType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+    ]
+)
+
+CB_GRAM_DF_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.LongType(), True),
+        T.StructField("df", T.LongType(), True),
+    ]
+)
+
+CB_CLEAN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_clean", T.LongType(), True),
+    ]
+)
+
+CB_DOC_BUCKETS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("b", T.LongType(), True),
+        T.StructField("k", T.LongType(), True),
+    ]
+)
+
+CB_DECISIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("stage", T.StringType(), True),
+        T.StructField("n_tokens_clean", T.LongType(), True),
+        T.StructField("score_tier", T.LongType(), True),
+        T.StructField("selected", T.BooleanType(), True),
+        T.StructField("split", T.StringType(), True),
+        T.StructField("pack_id", T.LongType(), True),
+    ]
+)
+
 SCHEMAS = {
     "jobs": JOBS_SCHEMA,
     "admissions": ADMISSIONS_SCHEMA,
@@ -269,4 +343,15 @@ SCHEMAS = {
     "semdup_index": SEMDUP_INDEX_SCHEMA,
     "semdup_pairs": SEMDUP_PAIRS_SCHEMA,
     "semdup_centroids": SEMDUP_CENTROIDS_SCHEMA,
+    "cb_docs": CB_DOCS_SCHEMA,
+    "cb_minhash": NEARDUP_INDEX_SCHEMA,
+    "cb_bands": NEARDUP_BANDS_SCHEMA,
+    "cb_pairs": NEARDUP_PAIRS_SCHEMA,
+    "cb_labels": CB_LABELS_SCHEMA,
+    "cb_surv": CB_SURV_SCHEMA,
+    "cb_gram_posts": CB_GRAM_POSTS_SCHEMA,
+    "cb_gram_df": CB_GRAM_DF_SCHEMA,
+    "cb_clean": CB_CLEAN_SCHEMA,
+    "cb_doc_buckets": CB_DOC_BUCKETS_SCHEMA,
+    "cb_decisions": CB_DECISIONS_SCHEMA,
 }

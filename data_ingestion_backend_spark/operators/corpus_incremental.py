@@ -1,0 +1,510 @@
+"""INCREMENTAL pretraining corpus build: the round-10 capstone
+(`operators/corpus.py`) maintained batch by batch instead of re-run from
+scratch — the composition of the two round-10 stories (the batch
+capstone + the streaming admission gate's maintained-state discipline).
+
+Each arriving (doc_id, lang, source, n_chars, text) batch advances a set
+of warehouse state tables and re-emits the SAME decision table
+``prep_corpus_e2e`` computes monolithically — bit-equal after every
+batch (golden-tested against both the frame-form monolithic build and
+the graded fixture cert).  The cost split is the design:
+
+- **raw-text work is DELTA-ONLY.**  Tokenizing, quality/lang/bigram
+  signals, shingling + minhash, and span-gram hashing run over the
+  BATCH — plus the (small) set of docs whose span-decontamination
+  actually changed — never over the accumulated corpus.  At 100 TB the
+  raw text IS the 100 TB; these are the passes that cannot re-run per
+  batch.
+- **integer-state passes are allowed.**  The globally-coupled stages
+  (per-source length percentiles, per-cluster canonical keep, the DSIR
+  λ table, the token-budget cut line, split hashing, pack running sums)
+  are recomputed each batch FROM MAINTAINED STATE — per-doc scalars and
+  bounded histograms, ~3 orders of magnitude smaller than the text.
+  This is the "signals cached, decisions recomputed" architecture:
+  exact (the monolithic equality is bit-level, not approximate), while
+  the per-batch cost curve tracks the batch for everything
+  text-proportional (measured in the soak arm, tools/corpussoak.py).
+
+Why the globals MUST be recomputed: DSIR λ shifts with every gram the
+corpus absorbs, the budget line moves with total tokens, a new longest
+copy displaces an old cluster canonical, and a batch can flip an old
+doc's per-source length percentile — freezing any of them breaks the
+monolithic equality silently.  The one genuinely novel delta mechanism
+here is SPAN-STATE maintenance: the survivors' span-gram doc
+frequencies are maintained as (g, df) counts plus (g, doc_id) postings;
+a batch changes an old survivor's cut IFF some gram's repeated-status
+(df ≥ 2) flips, and the postings name exactly the docs to re-cut —
+everything else keeps its stored n_clean / bucket histogram.
+
+Exactly-once: the admission-gate protocol verbatim — ONE intent record
+pins the base versions of all twelve state tables, every computation is
+a pure function of (pinned bases, batch), all tables publish in ONE
+manifest swap, and the marker commits the batch (re-delivery is a
+no-op; a crash anywhere re-runs from the pinned bases).
+
+Reference anchor: the reference re-validates and re-publishes a full
+dataset snapshot per job (src/services/csv_processor.py's reprocess
+path); this module is that maintenance contract scaled to a corpus
+whose full rebuild is the one cost that cannot be paid per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.corpus import (
+    CORPUS_DSIR_TIER,
+    CORPUS_LOW_TIER,
+    corpus_build_frame,
+)
+from data_ingestion_backend_spark.operators.curate import (
+    KNOWN_LANGS,
+    MAX_TOP_BIGRAM_FRAC,
+    MIN_QUALITY,
+)
+from data_ingestion_backend_spark.operators.dedup import (
+    _band_table,
+    cc_incremental,
+    connected_components,
+    cut_tokens_by_spans,
+    dedup_incremental_pairs,
+    minhash_per_doc_frame,
+    span_gram_table,
+    spans_from_hits,
+)
+from data_ingestion_backend_spark.operators.mlprep import (
+    BUDGET_PCT,
+    PACK_BUDGET_TOKENS,
+    PACK_SHARDS,
+    _dsir_grams,
+    _dsir_lambda,
+    _dsir_score,
+    length_deciles_frame,
+    repetition_frame,
+    split_leakage_free,
+    token_budget_select,
+)
+from data_ingestion_backend_spark.operators.text import (
+    lang_pred_frame,
+    quality_expr,
+)
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+from data_ingestion_backend_spark.streaming import txn
+
+CB_DOCS = "cb_docs"
+CB_MINHASH = "cb_minhash"
+CB_BANDS = "cb_bands"
+CB_PAIRS = "cb_pairs"
+CB_LABELS = "cb_labels"
+CB_SURV = "cb_surv"
+CB_GRAM_POSTS = "cb_gram_posts"
+CB_GRAM_DF = "cb_gram_df"
+CB_CLEAN = "cb_clean"
+CB_DOC_BUCKETS = "cb_doc_buckets"
+CB_DECISIONS = "cb_decisions"
+
+_ALL_TABLES = (
+    CB_DOCS,
+    CB_MINHASH,
+    CB_BANDS,
+    CB_PAIRS,
+    CB_LABELS,
+    CB_SURV,
+    CB_GRAM_POSTS,
+    CB_GRAM_DF,
+    CB_CLEAN,
+    CB_DOC_BUCKETS,
+    CB_DECISIONS,
+)
+
+
+def last_built_batch(wh: Warehouse) -> int:
+    return txn.last_batch(wh, CB_DECISIONS)
+
+
+def _static_signals(batch: DataFrame) -> DataFrame:
+    """Per-doc signals that never change once computed (pure functions
+    of one document's text): raw token count and the static 3/4 of the
+    curate keep rule (quality, repetition, language).  The length
+    percentile — the corpus-coupled quarter — is recomputed from state
+    per batch (see ``_q_ok``)."""
+    sig = batch.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_raw"),
+        (quality_expr() >= MIN_QUALITY).alias("_q"),
+    )
+    rep = repetition_frame(batch).select(
+        "doc_id", (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC).alias("_r")
+    )
+    lng = lang_pred_frame(batch).select(
+        "doc_id", F.col("lang_pred").isin(*KNOWN_LANGS).alias("_l")
+    )
+    return (
+        sig.join(rep, "doc_id")
+        .join(lng, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "text",
+            "n_raw",
+            (F.col("_q") & F.col("_r") & F.col("_l")).alias("static_ok"),
+        )
+    )
+
+
+def _q_ok(docs_all: DataFrame) -> DataFrame:
+    """(doc_id, q_ok) over the accumulated per-doc signal table: the
+    static signal AND the per-source length band — the latter recomputed
+    exactly (one window over (source, n_chars, doc_id) metadata) because
+    a batch can move any source's 5th/95th percentile."""
+    lf = length_deciles_frame(
+        docs_all.select("doc_id", "source", "n_chars")
+    ).select("doc_id", (F.col("length_filter") == "keep").alias("_len_ok"))
+    return docs_all.select("doc_id", "static_ok").join(lf, "doc_id").select(
+        "doc_id", (F.col("static_ok") & F.col("_len_ok")).alias("q_ok")
+    )
+
+
+def _survivors(
+    docs_all: DataFrame, q_ok: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Quality-aware canonical keep — the corpus_build_frame stage-2
+    window verbatim: among q_ok members of each near-dup cluster, the
+    longest raw copy wins, ties to the lower id."""
+    w_keep = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_raw"), F.asc("doc_id")
+    )
+    return (
+        q_ok.filter("q_ok")
+        .join(labels.select("doc_id", F.col("lbl").alias("cluster_id")), "doc_id")
+        .join(docs_all.select("doc_id", "n_raw"), "doc_id")
+        .withColumn("rn", F.row_number().over(w_keep))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id")
+    )
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
+    """Absorb one (doc_id, lang, source, n_chars, text) batch and re-emit
+    the decision table, exactly once.  Returns False on re-delivery.
+
+    See the module block for the cost split; stage-by-stage the batch
+    pays: per-doc signals (batch), minhash + band probe against the
+    persisted index (batch × bucket), cc over the star-reduced graph
+    (labels + new pairs), span-gram delta + re-cut of the affected docs
+    (changed docs only), DSIR bucket delta (changed docs), then the
+    integer-state recomputes (length window, keep window, λ, budget,
+    split, pack) over maintained per-doc scalars."""
+    if batch_id <= last_built_batch(wh):
+        return False
+    bases = txn.begin_batch(
+        wh,
+        CB_DECISIONS,
+        batch_id,
+        {t: wh.current_version(t) for t in _ALL_TABLES},
+    )
+    spark = batch.sparkSession
+    batch = _ckpt(batch)
+
+    # ----- per-doc static signals (batch-only raw-text work) ---------------
+    sig_batch = _ckpt(_static_signals(batch))
+    docs_all = _ckpt(wh.read(CB_DOCS, bases[CB_DOCS]).unionByName(sig_batch))
+
+    # ----- near-dup pairs + labels (persisted-index probe, star-CC) --------
+    per_doc_new = _ckpt(minhash_per_doc_frame(batch.select("doc_id", "text")))
+    bands_new = _ckpt(_band_table(per_doc_new))
+    per_doc_corpus = wh.read(CB_MINHASH, bases[CB_MINHASH])
+    bands_corpus = wh.read(CB_BANDS, bases[CB_BANDS])
+    batch_max_n = per_doc_new.agg(F.max("n")).collect()[0][0] or 0
+    corpus_max_n = (
+        per_doc_corpus.agg(F.max("n")).collect()[0][0] or 0
+        if bases[CB_MINHASH] >= 0
+        else 0
+    )
+    new_pairs = _ckpt(
+        dedup_incremental_pairs(
+            per_doc_new,
+            bands_new,
+            bands_corpus,
+            per_doc_corpus,
+            max_n=max(batch_max_n, corpus_max_n),
+        ).select("doc_a", "doc_b", "jaccard")
+    )
+    old_labels = wh.read(CB_LABELS, bases[CB_LABELS])
+    cc_out = cc_incremental(old_labels, new_pairs.select("doc_a", "doc_b"))
+    labels = _ckpt(
+        docs_all.select("doc_id")
+        .join(cc_out, "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("lbl"))
+    )
+
+    # ----- keep (integer window over state) --------------------------------
+    q_ok = _ckpt(_q_ok(docs_all))
+    surv = _ckpt(_survivors(docs_all, q_ok, labels))
+
+    # ----- span-state delta + affected re-cut ------------------------------
+    old_surv = wh.read(CB_SURV, bases[CB_SURV]).select("doc_id")
+    added = _ckpt(surv.select("doc_id").join(old_surv, "doc_id", "left_anti"))
+    removed = _ckpt(
+        old_surv.join(surv.select("doc_id"), "doc_id", "left_anti")
+    )
+    old_posts = wh.read(CB_GRAM_POSTS, bases[CB_GRAM_POSTS])
+    old_df = wh.read(CB_GRAM_DF, bases[CB_GRAM_DF])
+    posts_add = _ckpt(
+        span_gram_table(docs_all.join(added, "doc_id").select("doc_id", "text"))
+        .select("g", "doc_id")
+        .distinct()
+    )
+    posts_rem = _ckpt(old_posts.join(removed, "doc_id"))
+    delta = (
+        posts_add.groupBy("g").agg(F.count("*").alias("d"))
+        .unionByName(
+            posts_rem.groupBy("g").agg((-F.count("*")).alias("d"))
+        )
+        .groupBy("g")
+        .agg(F.sum("d").alias("d"))
+    )
+    df_merged = _ckpt(
+        old_df.join(delta, "g", "full")
+        .select(
+            "g",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("d", F.lit(0)))
+            .cast("bigint")
+            .alias("df"),
+            F.coalesce("d", F.lit(0)).alias("d"),
+        )
+    )
+    gram_df = _ckpt(df_merged.filter(F.col("df") > 0).select("g", "df"))
+    flipped = df_merged.filter(
+        (F.col("d") != 0)
+        & ((F.col("df") >= 2) != (F.col("df") - F.col("d") >= 2))
+    ).select("g")
+    # old survivors whose repeated-span structure changed under them
+    affected_old = (
+        old_posts.join(flipped, "g")
+        .select("doc_id")
+        .distinct()
+        .join(surv.select("doc_id"), "doc_id")  # still survivors
+        .join(added, "doc_id", "left_anti")
+    )
+    changed = _ckpt(added.unionByName(affected_old).distinct())
+
+    changed_docs = docs_all.join(changed, "doc_id").select("doc_id", "text")
+    repeated = gram_df.filter(F.col("df") >= 2).select("g")
+    hits = (
+        span_gram_table(changed_docs)
+        .join(repeated, "g")
+        .select("doc_id", "pos")
+    )
+    cut = _ckpt(cut_tokens_by_spans(changed_docs, spans_from_hits(hits)))
+    clean_changed = cut.select(
+        "doc_id", F.size("t_clean").cast("bigint").alias("n_clean")
+    )
+    buckets_changed = (
+        _dsir_grams(
+            cut.select("doc_id", F.array_join("t_clean", " ").alias("text")),
+            "doc_id",
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("k"))
+    )
+    gone = changed.unionByName(removed)
+    clean_all = _ckpt(
+        wh.read(CB_CLEAN, bases[CB_CLEAN])
+        .join(gone, "doc_id", "left_anti")
+        .unionByName(clean_changed)
+    )
+    doc_buckets = _ckpt(
+        wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
+        .join(gone, "doc_id", "left_anti")
+        .unionByName(buckets_changed)
+    )
+    posts_all = _ckpt(
+        old_posts.join(removed, "doc_id", "left_anti").unionByName(posts_add)
+    )
+
+    # ----- DSIR λ + scores (bounded histograms + per-doc bucket state) -----
+    src = doc_buckets.groupBy("b").agg(F.sum("k").cast("bigint").alias("cs"))
+    en_ids = docs_all.filter(F.col("lang") == "en").select("doc_id")
+    tgt = (
+        doc_buckets.join(en_ids, "doc_id")
+        .groupBy("b")
+        .agg(F.sum("k").cast("bigint").alias("ct"))
+    )
+    totals = {
+        r["s"]: r["t"]
+        for r in doc_buckets.join(
+            en_ids.withColumn("_en", F.lit(True)), "doc_id", "left"
+        )
+        .groupBy(F.coalesce("_en", F.lit(False)).alias("s"))
+        .agg(F.sum("k").alias("t"))
+        .collect()
+    }
+    tt = int(totals.get(True, 0))
+    ts = tt + int(totals.get(False, 0))
+    lam = _dsir_lambda(src, tgt, ts, tt)
+    rate = _dsir_score(doc_buckets, lam).select("doc_id", "rate_mbits")
+
+    # ----- budget cut / split / pack (corpus_build_frame verbatim) ---------
+    scored = _ckpt(
+        surv.select("doc_id")
+        .join(clean_all, "doc_id")
+        .join(rate, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.expr(f"rate_mbits div {CORPUS_DSIR_TIER}"),
+                F.lit(CORPUS_LOW_TIER),
+            )
+            .cast("bigint")
+            .alias("score"),
+            F.col("n_clean").alias("n_tokens"),
+        )
+    )
+    budget = scored.agg(
+        F.expr(f"sum(n_tokens) * {BUDGET_PCT} div 100")
+    ).collect()[0][0]
+    sel = _ckpt(token_budget_select(scored, int(budget or 0)))
+    spl = split_leakage_free(
+        surv.join(sel.filter("selected").select("doc_id"), "doc_id")
+    ).select("doc_id", "split")
+    w_pack = (
+        Window.partitionBy(F.expr(f"doc_id % {PACK_SHARDS}"))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        spl.filter(F.col("split") == "train")
+        .join(sel.select("doc_id", "n_tokens"), "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+                / PACK_BUDGET_TOKENS
+            )
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+    )
+    decisions = (
+        docs_all.select("doc_id")
+        .join(q_ok, "doc_id")
+        .join(
+            surv.select("doc_id", F.lit(True).alias("is_surv")), "doc_id", "left"
+        )
+        .join(sel, "doc_id", "left")
+        .join(spl, "doc_id", "left")
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("q_ok"), F.lit("quality"))
+            .when(F.col("is_surv").isNull(), F.lit("dup"))
+            .when(~F.col("selected"), F.lit("budget"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens_clean"),
+            F.col("score").cast("bigint").alias("score_tier"),
+            F.coalesce("selected", F.lit(False)).alias("selected"),
+            "split",
+            "pack_id",
+        )
+        .orderBy("doc_id")
+    )
+
+    # ----- one atomic publish, then the marker ------------------------------
+    staged = {
+        CB_DOCS: wh.stage(CB_DOCS, docs_all),
+        CB_MINHASH: wh.stage(
+            CB_MINHASH,
+            wh.read(CB_MINHASH, bases[CB_MINHASH]).unionByName(per_doc_new),
+        ),
+        CB_BANDS: wh.stage(
+            CB_BANDS,
+            wh.read(CB_BANDS, bases[CB_BANDS]).unionByName(bands_new),
+        ),
+        CB_PAIRS: wh.stage(
+            CB_PAIRS,
+            wh.read(CB_PAIRS, bases[CB_PAIRS]).unionByName(new_pairs),
+        ),
+        CB_LABELS: wh.stage(CB_LABELS, labels),
+        CB_SURV: wh.stage(CB_SURV, surv),
+        CB_GRAM_POSTS: wh.stage(CB_GRAM_POSTS, posts_all),
+        CB_GRAM_DF: wh.stage(CB_GRAM_DF, gram_df),
+        CB_CLEAN: wh.stage(CB_CLEAN, clean_all),
+        CB_DOC_BUCKETS: wh.stage(CB_DOC_BUCKETS, doc_buckets),
+        CB_DECISIONS: wh.stage(CB_DECISIONS, decisions),
+    }
+    wh.publish(staged)
+    txn.commit_batch(wh, CB_DECISIONS, batch_id)
+    return True
+
+
+def corpus_build_monolithic(docs: DataFrame) -> DataFrame:
+    """Frame-form monolithic comparator: the full-rebuild decision table
+    over any (doc_id, lang, source, n_chars, text) frame, assembled from
+    the same certified pieces ``prep_corpus_e2e`` composes over the
+    fixture — the independent ground truth the incremental goldens (and
+    a production backfill audit) diff against."""
+    sig = _static_signals(docs)
+    q_ok = _q_ok(sig).select(
+        "doc_id", "q_ok"
+    )
+    per_doc = minhash_per_doc_frame(docs.select("doc_id", "text"))
+    bands = _band_table(per_doc)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    from data_ingestion_backend_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _verify_jaccard,
+    )
+
+    pairs = _verify_jaccard(per_doc, cand, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs.localCheckpoint(eager=True))
+    labels = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"))
+    )
+    return corpus_build_frame(
+        docs.select("doc_id", "lang", "text"), q_ok, labels
+    )
+
+
+def attach_corpus_build_stream(
+    wh: Warehouse, stream_df: DataFrame, checkpoint_dir: str
+):
+    """foreachBatch driver: each Structured Streaming epoch extends the
+    build exactly once (the admission-stream wiring verbatim — epoch id
+    keys the txn protocol, so restarts that redeliver are no-ops)."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, epoch: extend_corpus_build(wh, df, epoch)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -88,7 +88,13 @@ def prep_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per element while the explode+groupBy path stays in codegen'd hash
     aggregation.  Shuffle-free is not free.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return repetition_frame(load_table(spark, sf_dir, "documents"))
+
+
+def repetition_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_bigram_count, n_bigrams, top_bigram_frac) for any
+    (doc_id, text) frame — the frame core of ``prep_repetition``, reused
+    by the incremental corpus build's per-batch signal pass."""
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
         F.size("t") >= 2
     )
@@ -405,11 +411,18 @@ def prep_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit given the deterministic (n_chars, doc_id) tiebreak.
     One shuffle on source; window state is O(1) per row.
     """
+    return length_deciles_frame(load_table(spark, sf_dir, "documents"))
+
+
+def length_deciles_frame(meta: DataFrame) -> DataFrame:
+    """Frame core of ``prep_length_deciles`` over any (doc_id, source,
+    n_chars) frame — the per-source percentile band is GLOBAL state, so
+    the incremental corpus build recomputes it from its maintained
+    per-doc metadata (an integer window, never a raw-text pass)."""
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     pr = F.percent_rank().over(w)
     return (
-        load_table(spark, sf_dir, "documents")
-        .select(
+        meta.select(
             "doc_id",
             "source",
             F.round(pr, 6).alias("len_pctile"),

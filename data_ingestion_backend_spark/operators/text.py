@@ -37,6 +37,24 @@ def _tokens() -> F.Column:
     return F.split(F.col("text"), " ")
 
 
+def quality_expr() -> F.Column:
+    """The composite quality score over a ``text`` column — the SHARED
+    expression builder for ``text_doc_stats`` (fixture cert) and the
+    incremental corpus build's per-batch signal pass, so the two can
+    never drift.  Four 0.25-weight components: non-blank; ≥5 tokens;
+    diversity ≥0.3; mean token length in [2,12]."""
+    t = _tokens()
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    tok_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return (
+        F.when(F.length(F.trim(F.col("text"))) > 0, 0.25).otherwise(0.0)
+        + F.when(n >= 5, 0.25).otherwise(0.0)
+        + F.when(nd >= 0.3 * n, 0.25).otherwise(0.0)
+        + F.when((tok_chars >= 2 * n) & (tok_chars <= 12 * n), 0.25).otherwise(0.0)
+    )
+
+
 # --------------------------------------------------------------------------
 # PII detection / redaction (pre-training hygiene)
 # --------------------------------------------------------------------------
@@ -170,13 +188,7 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _tokens()
     n = F.size(t)
     nd = F.size(F.array_distinct(t))
-    tok_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    quality = (
-        F.when(F.length(F.trim(F.col("text"))) > 0, 0.25).otherwise(0.0)
-        + F.when(n >= 5, 0.25).otherwise(0.0)
-        + F.when(nd >= 0.3 * n, 0.25).otherwise(0.0)
-        + F.when((tok_chars >= 2 * n) & (tok_chars <= 12 * n), 0.25).otherwise(0.0)
-    )
+    quality = quality_expr()
     planted = _pii_planted_spark()
     return (
         load_table(spark, sf_dir, "documents")
@@ -237,7 +249,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak).  No shuffle of the raw text and no window exchange: one
     data shuffle total, vs groupBy(doc,lang) + window + re-join before.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return lang_pred_frame(load_table(spark, sf_dir, "documents"))
+
+
+def lang_pred_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, stopword_hits) for any (doc_id, text) frame —
+    the frame core of ``text_lang_id``, reused by the incremental corpus
+    build to language-ID each arriving batch with the identical voting
+    arithmetic the fixture cert pins."""
     sw = docs.sparkSession.createDataFrame(
         [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
         "lang string, word string",

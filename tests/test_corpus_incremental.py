@@ -1,0 +1,145 @@
+"""Incremental corpus build (operators/corpus_incremental.py): the
+maintained decision table must be BIT-EQUAL to the monolithic rebuild
+after every batch, exactly once under the shared txn protocol."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_ingestion_backend_spark.operators.corpus import prep_corpus_e2e
+from data_ingestion_backend_spark.operators.corpus_incremental import (
+    CB_DECISIONS,
+    CB_GRAM_DF,
+    CB_SURV,
+    corpus_build_monolithic,
+    extend_corpus_build,
+    last_built_batch,
+)
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+from tests.conftest import SF_DIR_SMALL
+
+
+#: doc_id split points: three uneven batches of the sf0.001 documents
+#: fixture (500 docs) — the LAST prefix is the whole fixture, so the
+#: final equality can ALSO run against the graded prep_corpus_e2e cert.
+BATCH_BOUNDS = [(0, 200), (200, 350), (350, 500)]
+
+
+def _docs(spark):
+    from data_ingestion_backend_spark.sources.fixtures import load_table
+
+    return load_table(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+
+
+def _batch(spark, lo, hi):
+    return _docs(spark).filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    """Run the three batches once; the equality tests read the results."""
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("cbwh")))
+    snapshots = []
+    for i, (lo, hi) in enumerate(BATCH_BOUNDS):
+        assert extend_corpus_build(wh, _batch(spark, lo, hi), i) is True
+        snapshots.append(_rows(wh.read(CB_DECISIONS)))
+    return wh, snapshots
+
+
+def test_incremental_equals_monolithic_after_every_batch(spark, built):
+    """The core contract: after EACH batch the maintained decision table
+    is bit-equal to a monolithic rebuild over the accumulated prefix —
+    canonical-keep displacement, span-state flips, λ drift, budget-line
+    movement and split re-keying all included."""
+    _, snapshots = built
+    for i, (lo, hi) in enumerate(BATCH_BOUNDS):
+        prefix = _docs(spark).filter(F.col("doc_id") < hi)
+        want = _rows(corpus_build_monolithic(prefix))
+        assert snapshots[i] == want, f"batch {i} diverged from monolithic"
+
+
+def test_final_state_equals_graded_capstone(spark, built):
+    """After the last batch the accumulated corpus IS the fixture, so
+    the maintained table must equal the driver-graded prep_corpus_e2e
+    — the independent composition over the same data."""
+    _, snapshots = built
+    want = _rows(prep_corpus_e2e(spark, SF_DIR_SMALL))
+    assert snapshots[-1] == want
+
+
+def test_span_state_matches_full_recount(spark, built):
+    """The maintained (g, df) span state equals a from-scratch recount
+    over the final survivor set — the one delta mechanism with no
+    certified precedent gets its own differential."""
+    from data_ingestion_backend_spark.operators.dedup import span_gram_table
+
+    wh, _ = built
+    surv_docs = (
+        _docs(spark)
+        .join(wh.read(CB_SURV).select("doc_id"), "doc_id")
+        .select("doc_id", "text")
+    )
+    want = _rows(
+        span_gram_table(surv_docs)
+        .select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    assert _rows(wh.read(CB_GRAM_DF)) == want
+
+
+def test_redelivered_batch_is_noop(spark, built):
+    wh, snapshots = built
+    assert last_built_batch(wh) == len(BATCH_BOUNDS) - 1
+    v = wh.current_version(CB_DECISIONS)
+    # same id, any content — rejected before any state read
+    assert extend_corpus_build(wh, _batch(spark, 0, 10), 1) is False
+    assert wh.current_version(CB_DECISIONS) == v
+    assert _rows(wh.read(CB_DECISIONS)) == snapshots[-1]
+
+
+def test_crash_before_marker_heals_from_pinned_bases(
+    spark, tmp_path, monkeypatch
+):
+    """A crash after the publish but before the marker re-runs the batch
+    from the intent-pinned bases — the healed final table still equals
+    the monolithic rebuild."""
+    from data_ingestion_backend_spark.streaming import txn
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert extend_corpus_build(wh, _batch(spark, 0, 200), 0) is True
+
+    class Boom(RuntimeError):
+        pass
+
+    real_write_atomic = txn.write_atomic
+
+    def crash_on_marker(path, payload):
+        if path.endswith("_last_batch"):
+            raise Boom("simulated crash before marker write")
+        real_write_atomic(path, payload)
+
+    monkeypatch.setattr(txn, "write_atomic", crash_on_marker)
+    try:
+        extend_corpus_build(wh, _batch(spark, 200, 350), 1)
+    except Boom:
+        pass
+    monkeypatch.setattr(txn, "write_atomic", real_write_atomic)
+
+    assert last_built_batch(wh) == 0  # marker missing: hazard window live
+    assert extend_corpus_build(wh, _batch(spark, 200, 350), 1) is True
+    want = _rows(
+        corpus_build_monolithic(_docs(spark).filter(F.col("doc_id") < 350))
+    )
+    assert _rows(wh.read(CB_DECISIONS)) == want

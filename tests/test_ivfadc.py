@@ -211,9 +211,13 @@ def test_ivfadc_append_frozen_equals_rebuild_encode(spark, emb, tmp_path):
     report = append_to_ivfadc_index(spark, path, batch, batch_id=1)
     assert report["retrain"] is False, report
     # cross-fit baselines: a same-distribution batch reads ~0 on the
-    # coarse monitor and a small ratio on the residual one
+    # coarse monitor and a bounded ratio on the residual one.  The band
+    # is calibrated to the m=32 default (finer codebooks shrink absolute
+    # recon, so the train/holdout gap is proportionally LARGER): measured
+    # healthy 0.166 vs planted-shift 0.580 — still 3.5x separation, with
+    # the coarse monitor (0 vs 0.9) the primary signal either way.
     assert abs(report["drift"]) < 0.05, report
-    assert abs(report["recon_drift"]) < 0.15, report
+    assert abs(report["recon_drift"]) < 0.3, report
 
     crows = (
         spark.read.parquet(os.path.join(path, "centroids"))

@@ -426,3 +426,61 @@ def test_canonical_quality_keeps_longest_per_cluster(spark):
         for r in QUERIES["dedup_clusters"](spark, SF_DIR_ORACLE).collect()
     }
     assert {r["doc_id"]: r["cluster_id"] for r in rows} == lbl
+
+
+def test_exact_clique_short_circuit_is_pair_identical(spark):
+    """minhash_pairs_short_circuit (r11): banding only exact-dup group
+    REPRESENTATIVES must emit exactly the pair set (and Jaccard values)
+    of banding every member — planted 4-clique of exact copies, a
+    near-dup of the clique text, an unrelated near-dup pair, singletons."""
+    from data_ingestion_backend_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _band_table,
+        _verify_jaccard,
+        minhash_pairs_short_circuit,
+        minhash_per_doc_frame,
+    )
+
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"
+    other = " ".join(f"u{i}" for i in range(25))
+    other2 = " ".join(f"u{i}" for i in range(24)) + " qq"
+    rows = (
+        [(i, base) for i in range(4)]          # exact 4-clique
+        + [(10, near)]                          # near-dup of the clique
+        + [(20, other), (21, other2)]           # unrelated near-dup pair
+        + [(30, "lone " + " ".join(f"x{i}" for i in range(20)))]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    per_doc = minhash_per_doc_frame(docs)
+
+    # the naive per-member plan — the graded oracle's shape
+    bands = _band_table(per_doc)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _verify_jaccard(per_doc, cand, JACCARD_THRESHOLD).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in minhash_pairs_short_circuit(docs, per_doc).collect()
+    )
+    assert got == want
+    # the planted structure is actually exercised: all 6 clique pairs at
+    # jaccard 1.0, the clique x near-dup pairs, and the unrelated pair
+    clique = {(a, b) for a in range(4) for b in range(4) if a < b}
+    got_pairs = {(a, b) for a, b, _ in got}
+    assert clique <= got_pairs
+    assert all(j == 1.0 for a, b, j in got if (a, b) in clique)
+    assert {(i, 10) for i in range(4)} <= got_pairs
+    assert (20, 21) in got_pairs
