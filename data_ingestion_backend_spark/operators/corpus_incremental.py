@@ -58,6 +58,8 @@ from data_ingestion_backend_spark.operators.corpus import (
     CORPUS_LOW_TIER,
     corpus_build_frame,
 )
+from data_ingestion_backend_spark.operators.corpus import _corpus_oracle_sql
+from data_ingestion_backend_spark.operators.queries import _register_standalone
 from data_ingestion_backend_spark.operators.curate import (
     KNOWN_LANGS,
     MAX_TOP_BIGRAM_FRAC,
@@ -423,20 +425,15 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     )
 
     # ----- one atomic publish, then the marker ------------------------------
+    # Monotone tables (docs/signatures/bands/pairs only ever GROW) stage
+    # as file-level appends: base files hard-linked, only the batch's
+    # delta written — per-batch write cost O(batch), not O(corpus).  The
+    # raw-text CB_DOCS is the dominant snapshot term this removes.
     staged = {
-        CB_DOCS: wh.stage(CB_DOCS, docs_all),
-        CB_MINHASH: wh.stage(
-            CB_MINHASH,
-            wh.read(CB_MINHASH, bases[CB_MINHASH]).unionByName(per_doc_new),
-        ),
-        CB_BANDS: wh.stage(
-            CB_BANDS,
-            wh.read(CB_BANDS, bases[CB_BANDS]).unionByName(bands_new),
-        ),
-        CB_PAIRS: wh.stage(
-            CB_PAIRS,
-            wh.read(CB_PAIRS, bases[CB_PAIRS]).unionByName(new_pairs),
-        ),
+        CB_DOCS: wh.stage_append(CB_DOCS, sig_batch, bases[CB_DOCS]),
+        CB_MINHASH: wh.stage_append(CB_MINHASH, per_doc_new, bases[CB_MINHASH]),
+        CB_BANDS: wh.stage_append(CB_BANDS, bands_new, bases[CB_BANDS]),
+        CB_PAIRS: wh.stage_append(CB_PAIRS, new_pairs, bases[CB_PAIRS]),
         CB_LABELS: wh.stage(CB_LABELS, labels),
         CB_SURV: wh.stage(CB_SURV, surv),
         CB_GRAM_POSTS: wh.stage(CB_GRAM_POSTS, posts_all),
@@ -492,6 +489,48 @@ def corpus_build_monolithic(docs: DataFrame) -> DataFrame:
     return corpus_build_frame(
         docs.select("doc_id", "lang", "text"), q_ok, labels
     )
+
+
+@_register_standalone("prep_corpus_incremental", _corpus_oracle_sql())
+def prep_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental build as a certified QUERY: the documents table
+    arrives as three interleaved batches (doc_id mod 3) through
+    ``extend_corpus_build`` into a throwaway warehouse, and the FINAL
+    maintained decision table is returned — the oracle is the graded
+    capstone's end-to-end SQL verbatim, because the maintenance contract
+    IS bit-equality with the monolithic build.  This puts the
+    incremental ≡ monolithic claim under the same cross-engine
+    value-hash compare the driver runs, on top of the per-batch local
+    goldens (tests/test_corpus_incremental.py).  Session-memoized (the
+    dedup-family pattern): the 3-batch build runs once per session even
+    when the oracle gate, the plan auditor, and the bench sweep all call
+    the entry."""
+    from data_ingestion_backend_spark.operators.dedup import _session_persisted
+
+    def build() -> DataFrame:
+        import shutil
+        import tempfile
+
+        from data_ingestion_backend_spark.sources.fixtures import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars", "text"
+        )
+        root = tempfile.mkdtemp(prefix="cbinc_")
+        try:
+            wh = Warehouse(spark, root)
+            for i in range(3):
+                extend_corpus_build(
+                    wh, docs.filter(F.col("doc_id") % 3 == i), i
+                )
+            # pin the result off the parquet files before the dir goes
+            return wh.read(CB_DECISIONS).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    return _session_persisted(
+        spark, sf_dir, "corpus_incremental_decisions", build
+    ).orderBy("doc_id")
 
 
 def attach_corpus_build_stream(

@@ -26,5 +26,6 @@ import data_ingestion_backend_spark.operators.graph  # noqa: F401,E402 — regis
 import data_ingestion_backend_spark.operators.semantics  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.fuzzy  # noqa: F401,E402 — registers (standalone)
 import data_ingestion_backend_spark.operators.corpus  # noqa: F401,E402 — registers (the composed E2E build)
+import data_ingestion_backend_spark.operators.corpus_incremental  # noqa: F401,E402 — registers (standalone: incremental ≡ monolithic)
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -212,6 +212,61 @@ class Warehouse:
         cur = self.read(table)
         return self.write(table, cur.unionByName(df))
 
+    def write_append(
+        self, table: str, df: DataFrame, base_version: int | None = None
+    ) -> int:
+        """:meth:`stage_append` + single-table commit."""
+        nxt = self.stage_append(table, df, base_version)
+        self.publish({table: nxt})
+        return nxt
+
+    def stage_append(
+        self, table: str, df: DataFrame, base_version: int | None = None
+    ) -> int:
+        """Materialize the next version as the BASE version's data files
+        plus ONLY the delta's new files — the file-level append Delta and
+        Iceberg express as manifest metadata, realized here by
+        hard-linking the immutable base files into the next version
+        directory (O(file count), zero bytes copied) and writing just
+        ``df``.  This is what keeps a maintained table's per-batch write
+        cost proportional to the BATCH instead of the accumulated table:
+        a union-rewrite ``stage()`` pays O(corpus) bytes per batch by
+        construction, which a 100×-grown state table turns into the
+        dominant per-batch term (measured: tools/corpussoak.py).
+
+        Correctness contract (golden-tested): ``read(table, nxt)`` ≡
+        ``read(table, base).unionByName(df)``.  Crash-safe like
+        :meth:`stage` — the delta write's ``mode=overwrite`` clears any
+        orphan ``v=N+1`` from a crashed attempt (links are names, not
+        copies, so clearing them never touches base data), and
+        :meth:`vacuum` of the base version only unlinks names the newer
+        version still holds.  Hard links need one local filesystem; this
+        minimal warehouse is local-path by design (module block) — a
+        production deployment swaps in a real table format and gets the
+        same append as pure metadata.
+        """
+        base = self.current_version(table) if base_version is None else base_version
+        nxt = self.current_version(table) + 1  # same slot rule as stage()
+        if base < 0:
+            return self.stage(table, df)
+        path = self._version_path(table, nxt)
+        parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
+        out = df if parts is None else df.coalesce(parts)
+        out.write.mode("overwrite").parquet(path)
+        base_path = self._version_path(table, base)
+        for dirpath, _dirs, files in os.walk(base_path):
+            rel = os.path.relpath(dirpath, base_path)
+            dst_dir = path if rel == "." else os.path.join(path, rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for name in files:
+                if name.startswith(("_", ".")):
+                    continue  # _SUCCESS / CRC markers — never data
+                dst = os.path.join(dst_dir, name)
+                if os.path.exists(dst):  # part-file names are UUID-unique;
+                    dst = os.path.join(dst_dir, f"b{base}-{name}")  # belt+braces
+                os.link(os.path.join(dirpath, name), dst)
+        return nxt
+
     def vacuum(self, table: str, keep: int = 2) -> None:
         """Drop all but the newest ``keep`` versions (best-effort cleanup)."""
         cur = self.current_version(table)

@@ -219,36 +219,47 @@ def admission_gate_batch(
         .groupBy("side", "b")
         .agg(F.sum("k").cast("bigint").alias("k"))
     )
+    # The five grow-only tables stage as FILE-LEVEL appends (base files
+    # hard-linked, only the batch's delta written): without this, each
+    # batch rewrites the accumulated index, and the per-batch gate cost
+    # tracks the CORPUS — at a 100×-grown index the rewrite is the
+    # dominant term (the grown-soak arm in tools/corpussoak.py measures
+    # exactly this claim).  BANDS keeps the union-rewrite form on the
+    # one legacy path where its base is synthesized from the index
+    # rather than persisted.
     staged = {
-        INDEX_TABLE: wh.stage(
+        INDEX_TABLE: wh.stage_append(
             INDEX_TABLE,
-            nd_corpus.unionByName(batch_per_doc.join(adm_ids, "doc_id")),
+            batch_per_doc.join(adm_ids, "doc_id"),
+            bases["nd_index"],
         ),
-        BANDS_TABLE: wh.stage(
-            BANDS_TABLE,
-            nd_bands_corpus.unionByName(batch_bands.join(adm_ids, "doc_id")),
+        BANDS_TABLE: (
+            wh.stage_append(
+                BANDS_TABLE,
+                batch_bands.join(adm_ids, "doc_id"),
+                bases["nd_bands"],
+            )
+            if bases["nd_bands"] >= 0 or bases["nd_index"] < 0
+            else wh.stage(  # pre-bands warehouse: base only exists derived
+                BANDS_TABLE,
+                nd_bands_corpus.unionByName(batch_bands.join(adm_ids, "doc_id")),
+            )
         ),
-        ND_PAIRS_TABLE: wh.stage(
-            ND_PAIRS_TABLE,
-            wh.read(ND_PAIRS_TABLE, bases["nd_pairs"]).unionByName(nd_pairs),
+        ND_PAIRS_TABLE: wh.stage_append(
+            ND_PAIRS_TABLE, nd_pairs, bases["nd_pairs"]
         ),
-        SEM_INDEX_TABLE: wh.stage(
+        SEM_INDEX_TABLE: wh.stage_append(
             SEM_INDEX_TABLE,
-            sem_corpus.unionByName(
-                batch_assigned.join(
-                    adm_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id"
-                )
+            batch_assigned.join(
+                adm_ids.withColumnRenamed("doc_id", "vec_id"), "vec_id"
             ),
+            bases["sem_index"],
         ),
-        SEM_PAIRS_TABLE: wh.stage(
-            SEM_PAIRS_TABLE,
-            wh.read(SEM_PAIRS_TABLE, bases["sem_pairs"]).unionByName(sem_pairs),
+        SEM_PAIRS_TABLE: wh.stage_append(
+            SEM_PAIRS_TABLE, sem_pairs, bases["sem_pairs"]
         ),
         DSIR_STATE_TABLE: wh.stage(DSIR_STATE_TABLE, dsir_merged),
-        ADMISSIONS_TABLE: wh.stage(
-            ADMISSIONS_TABLE,
-            wh.read(ADMISSIONS_TABLE, bases["adm"]).unionByName(ledger),
-        ),
+        ADMISSIONS_TABLE: wh.stage_append(ADMISSIONS_TABLE, ledger, bases["adm"]),
     }
     if seed_centroids is not None:
         staged[SEM_CENTROIDS_TABLE] = wh.stage(

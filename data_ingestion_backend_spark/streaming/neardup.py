@@ -168,12 +168,16 @@ def neardup_gate_batch(
         corpus_per_doc,
         max_n=max_n,
     )
-    if pairs_base < 0:
-        wh.write(PAIRS_TABLE, pairs)
-    else:
-        wh.write(PAIRS_TABLE, wh.read(PAIRS_TABLE, pairs_base).unionByName(pairs))
-    new_index_v = wh.write(INDEX_TABLE, corpus_per_doc.unionByName(batch_per_doc))
-    wh.write(BANDS_TABLE, corpus_bands.unionByName(batch_bands))
+    # grow-only tables append at the FILE level (base hard-linked, only
+    # the batch delta written) — per-batch write cost O(batch), not
+    # O(index); the union-rewrite form turns a grown index into an
+    # O(corpus) rewrite per batch (tools/corpussoak.py --arm admission)
+    wh.write_append(PAIRS_TABLE, pairs, pairs_base)
+    new_index_v = wh.write_append(INDEX_TABLE, batch_per_doc, index_base)
+    if bands_base >= 0 or index_base < 0:
+        wh.write_append(BANDS_TABLE, batch_bands, bands_base)
+    else:  # pre-bands warehouse: base only exists derived from the index
+        wh.write(BANDS_TABLE, corpus_bands.unionByName(batch_bands))
     _write_index_stats(wh, new_index_v, max_n)
     txn.commit_batch(wh, PAIRS_TABLE, batch_id)
     return True

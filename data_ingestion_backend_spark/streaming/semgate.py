@@ -201,13 +201,10 @@ def semantic_gate_batch(
     # stage both tables, publish ONE manifest: a concurrent reader can
     # never see pairs for a batch the index has not absorbed (the same
     # cross-table atomicity ingest_file and cascade delete ride)
-    pairs_v = wh.stage(
-        SEM_PAIRS_TABLE,
-        pairs
-        if pairs_base < 0
-        else wh.read(SEM_PAIRS_TABLE, pairs_base).unionByName(pairs),
-    )
-    index_v = wh.stage(SEM_INDEX_TABLE, corpus.unionByName(batch_assigned))
+    # both tables grow-only → file-level appends (base hard-linked, only
+    # the batch delta written): O(batch) per-batch write cost
+    pairs_v = wh.stage_append(SEM_PAIRS_TABLE, pairs, pairs_base)
+    index_v = wh.stage_append(SEM_INDEX_TABLE, batch_assigned, index_base)
     wh.publish({SEM_PAIRS_TABLE: pairs_v, SEM_INDEX_TABLE: index_v})
     txn.commit_batch(wh, SEM_PAIRS_TABLE, batch_id)
     return True

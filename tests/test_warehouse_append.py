@@ -1,0 +1,111 @@
+"""File-level append (`Warehouse.stage_append`): the next version must
+read as base ∪ delta while MOVING only the delta's bytes — base files
+are hard-linked (same inode), never rewritten.  This is the property
+that keeps maintained-table batches O(batch): the union-rewrite form
+pays O(corpus) bytes per batch by construction (SCALE.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+from data_ingestion_backend_spark.sources.warehouse import Warehouse
+
+
+def _jobs(spark, lo, hi, status="PENDING"):
+    return spark.range(lo, hi).selectExpr(
+        "cast(id as string) job_id", "id job_user_id", "'f' job_filename",
+        f"'{status}' job_status", "0L job_total_rows", "0L job_processed_rows",
+        "0L job_issue_count", "cast(null as string) job_error",
+        "timestamp'2026-01-01' job_created_at", "timestamp'2026-01-01' job_updated_at",
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _data_files(path):
+    out = []
+    for dirpath, _dirs, files in os.walk(path):
+        out += [
+            os.path.join(dirpath, f)
+            for f in files
+            if not f.startswith(("_", "."))
+        ]
+    return sorted(out)
+
+
+def test_append_reads_as_base_union_delta(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _jobs(spark, 0, 100)
+    delta = _jobs(spark, 100, 130, "DONE")
+    v0 = wh.write("jobs", base)
+    v1 = wh.stage_append("jobs", delta, base_version=v0)
+    wh.publish({"jobs": v1})
+    assert _rows(wh.read("jobs")) == _rows(base.unionByName(delta))
+    # time travel to the base still works — versions stay immutable
+    assert _rows(wh.read("jobs", v0)) == _rows(base)
+
+
+def test_append_links_base_files_instead_of_rewriting(spark, tmp_path):
+    """The scale contract itself: every base data file appears in the new
+    version as the SAME inode (a name, not a copy), and the only files
+    with fresh inodes are the delta's."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v0 = wh.write("jobs", _jobs(spark, 0, 100))
+    v1 = wh.stage_append("jobs", _jobs(spark, 100, 110), base_version=v0)
+    base_inodes = {os.stat(p).st_ino for p in _data_files(wh._version_path("jobs", v0))}
+    new_files = _data_files(wh._version_path("jobs", v1))
+    new_inodes = {os.stat(p).st_ino for p in new_files}
+    assert base_inodes <= new_inodes  # every base file re-linked
+    fresh = new_inodes - base_inodes
+    assert fresh  # the delta's own files
+    # all base bytes arrived by link: each base file now has ≥2 names
+    for p in _data_files(wh._version_path("jobs", v0)):
+        assert os.stat(p).st_nlink >= 2
+
+
+def test_chained_appends_accumulate(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("jobs", _jobs(spark, 0, 10))
+    for i in range(1, 4):
+        v = wh.stage_append("jobs", _jobs(spark, 10 * i, 10 * (i + 1)))
+        wh.publish({"jobs": v})
+    assert wh.read("jobs").count() == 40
+    assert _rows(wh.read("jobs")) == _rows(_jobs(spark, 0, 40))
+
+
+def test_vacuumed_base_does_not_corrupt_newer_versions(spark, tmp_path):
+    """vacuum() removes old version DIRECTORIES; hard links mean that
+    only unlinks names — the inodes live until the newest version that
+    references them is itself vacuumed."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("jobs", _jobs(spark, 0, 50))
+    for i in range(1, 5):
+        v = wh.stage_append("jobs", _jobs(spark, 50 + 10 * (i - 1), 50 + 10 * i))
+        wh.publish({"jobs": v})
+    wh.vacuum("jobs", keep=1)
+    assert not os.path.isdir(wh._version_path("jobs", 0))
+    assert _rows(wh.read("jobs")) == _rows(_jobs(spark, 0, 90))
+
+
+def test_crashed_append_orphan_is_overwritten(spark, tmp_path):
+    """A crash after stage_append but before publish leaves an orphan
+    v=N+1 holding links + delta files; the healed retry must overwrite
+    it cleanly (links are names — clearing them never touches v=N)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v0 = wh.write("jobs", _jobs(spark, 0, 20))
+    wh.stage_append("jobs", _jobs(spark, 20, 25), base_version=v0)  # no publish
+    assert wh.current_version("jobs") == v0
+    # retry with DIFFERENT delta content (the redelivered batch)
+    v1 = wh.stage_append("jobs", _jobs(spark, 20, 30), base_version=v0)
+    wh.publish({"jobs": v1})
+    assert _rows(wh.read("jobs")) == _rows(_jobs(spark, 0, 30))
+    assert _rows(wh.read("jobs", v0)) == _rows(_jobs(spark, 0, 20))
+
+
+def test_empty_base_falls_back_to_plain_stage(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v = wh.stage_append("jobs", _jobs(spark, 0, 5))
+    wh.publish({"jobs": v})
+    assert wh.read("jobs").count() == 5
