@@ -234,7 +234,12 @@ def test_ivfadc_append_frozen_equals_rebuild_encode(spark, emb, tmp_path):
     want = {
         (r["vec_id"], r["sub"]): r["code"]
         for r in _pq_assign(
-            spark, _subvector_table(resid.select("vec_id", "e")), Cpq
+            spark,
+            # split at the index's OWN subspace count (recovered from the
+            # persisted codebook shape, like the append path does) — the
+            # bare default is the flat-PQ m, not the IVFADC m
+            _subvector_table(resid.select("vec_id", "e"), m=len(Cpq)),
+            Cpq,
         ).collect()
     }
     got = {
