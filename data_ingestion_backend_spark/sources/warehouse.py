@@ -267,6 +267,20 @@ class Warehouse:
                 os.link(os.path.join(dirpath, name), dst)
         return nxt
 
+    def compact(self, table: str) -> int:
+        """Rewrite the current version into a fresh, fully-materialized
+        snapshot (normal per-table file sizing) and commit it.  The
+        maintenance complement of :meth:`stage_append`: appends keep
+        per-batch cost O(batch) but accumulate one file set per batch,
+        so after B batches a version holds O(B) files — compaction is
+        the scheduled, amortized rewrite (Delta OPTIMIZE / Iceberg
+        rewrite_data_files) that bounds reader file counts without
+        giving up the append's per-batch economics.  Atomic like any
+        write: readers see the old file set or the compacted one, never
+        a mix; retained older versions still hard-link the original
+        files, so time travel is unaffected until vacuum."""
+        return self.write(table, self.read(table))
+
     def vacuum(self, table: str, keep: int = 2) -> None:
         """Drop all but the newest ``keep`` versions (best-effort cleanup)."""
         cur = self.current_version(table)

@@ -109,6 +109,63 @@ def test_redelivered_batch_is_noop(spark, built):
     assert _rows(wh.read(CB_DECISIONS)) == snapshots[-1]
 
 
+def test_streamed_build_equals_direct(spark, tmp_path):
+    """The Structured Streaming wiring (`attach_corpus_build_stream`):
+    the same three batches arriving as files through foreachBatch must
+    leave the identical decision table as direct sequential extends —
+    epoch ids key the txn protocol, so the stream inherits exactly-once."""
+    import os
+
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        attach_corpus_build_stream,
+    )
+
+    wh_ref = Warehouse(spark, str(tmp_path / "wh_ref"))
+    for i, (lo, hi) in enumerate(BATCH_BOUNDS):
+        assert extend_corpus_build(wh_ref, _batch(spark, lo, hi), i) is True
+
+    sdir = str(tmp_path / "doc_stream")
+    os.makedirs(sdir)
+    base_ts = 1_600_000_000  # stamped mtimes: deterministic source order
+    for i, (lo, hi) in enumerate(BATCH_BOUNDS):
+        stage = str(tmp_path / f"stage_{i}")
+        _batch(spark, lo, hi).coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        dst = os.path.join(sdir, f"batch-{i:04d}.parquet")
+        os.replace(os.path.join(stage, part), dst)
+        os.utime(dst, (base_ts + i, base_ts + i))
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, lang string, source string, n_chars bigint, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh_stream"))
+    q = attach_corpus_build_stream(wh, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert last_built_batch(wh) == len(BATCH_BOUNDS) - 1
+    assert _rows(wh.read(CB_DECISIONS)) == _rows(wh_ref.read(CB_DECISIONS))
+
+
+def test_empty_batch_is_a_committed_noop(spark, tmp_path):
+    """Streams deliver empty epochs (idle source, filtered batch); the
+    build must absorb one as a batch that changes NO decision while
+    still committing its marker (exactly-once bookkeeping advances)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert extend_corpus_build(wh, _batch(spark, 0, 200), 0) is True
+    before = _rows(wh.read(CB_DECISIONS))
+    assert extend_corpus_build(wh, _batch(spark, 0, 0), 1) is True
+    assert last_built_batch(wh) == 1
+    assert _rows(wh.read(CB_DECISIONS)) == before
+    # and the build continues normally past it
+    assert extend_corpus_build(wh, _batch(spark, 200, 350), 2) is True
+    want = _rows(
+        corpus_build_monolithic(_docs(spark).filter(F.col("doc_id") < 350))
+    )
+    assert _rows(wh.read(CB_DECISIONS)) == want
+
+
 def test_crash_before_marker_heals_from_pinned_bases(
     spark, tmp_path, monkeypatch
 ):

@@ -104,6 +104,24 @@ def test_crashed_append_orphan_is_overwritten(spark, tmp_path):
     assert _rows(wh.read("jobs", v0)) == _rows(_jobs(spark, 0, 20))
 
 
+def test_compact_bounds_file_count_preserving_data(spark, tmp_path):
+    """After B appends a version holds O(B) file sets; compact() rewrites
+    to the normal per-table sizing in one atomic commit, data unchanged,
+    and subsequent appends resume from the compacted base."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("jobs", _jobs(spark, 0, 10))
+    for i in range(1, 6):
+        wh.publish({"jobs": wh.stage_append("jobs", _jobs(spark, 10 * i, 10 * (i + 1)))})
+    pre = len(_data_files(wh._version_path("jobs", wh.current_version("jobs"))))
+    v = wh.compact("jobs")
+    post = len(_data_files(wh._version_path("jobs", v)))
+    assert post < pre
+    assert _rows(wh.read("jobs")) == _rows(_jobs(spark, 0, 60))
+    # append-after-compact continues the O(batch) path
+    wh.publish({"jobs": wh.stage_append("jobs", _jobs(spark, 60, 70))})
+    assert wh.read("jobs").count() == 70
+
+
 def test_empty_base_falls_back_to_plain_stage(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     v = wh.stage_append("jobs", _jobs(spark, 0, 5))
