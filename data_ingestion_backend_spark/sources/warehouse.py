@@ -264,10 +264,18 @@ class Warehouse:
                 dst = os.path.join(dst_dir, name)
                 if os.path.exists(dst):  # part-file names are UUID-unique;
                     dst = os.path.join(dst_dir, f"b{base}-{name}")  # belt+braces
-                os.link(os.path.join(dirpath, name), dst)
+                src = os.path.join(dirpath, name)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    # filesystem without hard links (or a cross-device
+                    # version layout): correctness over economy — copy.
+                    shutil.copy2(src, dst)
         return nxt
 
-    def compact(self, table: str) -> int:
+    def compact(
+        self, table: str, partition_by: list[str] | None = None
+    ) -> int:
         """Rewrite the current version into a fresh, fully-materialized
         snapshot (normal per-table file sizing) and commit it.  The
         maintenance complement of :meth:`stage_append`: appends keep
@@ -278,8 +286,11 @@ class Warehouse:
         giving up the append's per-batch economics.  Atomic like any
         write: readers see the old file set or the compacted one, never
         a mix; retained older versions still hard-link the original
-        files, so time travel is unaffected until vacuum."""
-        return self.write(table, self.read(table))
+        files, so time travel is unaffected until vacuum.  A
+        hive-partitioned table must pass its ``partition_by`` again —
+        a bare rewrite would flatten the layout and lose planning-time
+        partition pruning."""
+        return self.write(table, self.read(table), partition_by)
 
     def vacuum(self, table: str, keep: int = 2) -> None:
         """Drop all but the newest ``keep`` versions (best-effort cleanup)."""

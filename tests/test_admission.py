@@ -194,6 +194,22 @@ def test_redelivered_batch_is_noop(spark, tmp_path):
     assert _ledger(wh) == led
 
 
+def test_empty_epoch_is_a_committed_noop(spark, tmp_path):
+    """An idle source delivers empty micro-batches; the gate must commit
+    them (the marker advances — exactly-once bookkeeping) while changing
+    no state, and keep gating normally afterwards."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    b0, b1, b2 = _batches(spark)
+    assert admission_gate_batch(wh, b0, 0) is True
+    led = _ledger(wh)
+    assert admission_gate_batch(wh, b0.limit(0), 1) is True
+    assert last_admitted_batch(wh) == 1
+    assert _ledger(wh) == led
+    assert admission_gate_batch(wh, b1, 2) is True
+    assert last_admitted_batch(wh) == 2
+    assert len(_ledger(wh)) > len(led)
+
+
 def test_crash_before_marker_heals_from_pinned_bases(spark, tmp_path, monkeypatch):
     from data_ingestion_backend_spark.streaming import txn
 
