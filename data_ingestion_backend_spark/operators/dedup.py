@@ -446,6 +446,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _banded_pairs(per_doc: DataFrame, max_n: int | None = None) -> DataFrame:
+    """Plain per-member band/verify pair list over a per-doc signature
+    frame — the LSH family's base plan, shared by the monolithic
+    comparator and the adaptive fallback of
+    :func:`minhash_pairs_short_circuit`."""
+    bands = _band_table(per_doc)
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verify_jaccard(per_doc, cand, JACCARD_THRESHOLD, max_n=max_n)
+
+
 def minhash_pairs_short_circuit(
     docs: DataFrame, per_doc: DataFrame, max_n: int | None = None
 ) -> DataFrame:
@@ -465,8 +485,30 @@ def minhash_pairs_short_circuit(
     a full shingle ARRAY — the capstone's dominant 100x spill).  Here
     the clique contributes ONE representative to the heavy machinery;
     the still-quadratic member expansion is integer id joins over the
-    verified pair list, whose volume is the OUTPUT's own size."""
+    verified pair list, whose volume is the OUTPUT's own size.
+
+    ADAPTIVE (r11): the short-circuit is taken only when the exact-dup
+    MASS is material — one tiny md5 aggregation (a control-plane
+    scalar, the ``batch_max_n`` precedent) counts the docs the
+    representative path would REMOVE from banding; below 1% of the
+    corpus the possible saving is bounded by 1% of the heavy path's
+    rows while the group/expand machinery costs ~5 extra shuffles
+    outright, so the plain per-member plan is strictly the better plan
+    (measured at sf0.1 natural corpus: the unconditional short-circuit
+    ran ~3× the plain plan's wall; the planted-clique regime, where
+    removal is ~99%, keeps the 8× spill cut)."""
     groups = docs.select("doc_id", F.md5("text").alias("h"))
+    stats = (
+        groups.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") - F.lit(1)).alias("removed"),
+        )
+        .collect()[0]
+    )
+    if (stats["removed"] or 0) * 100 < (stats["n"] or 0):
+        return _banded_pairs(per_doc, max_n)
     w = Window.partitionBy("h")
     m = groups.withColumn("rep", F.min("doc_id").over(w)).select(
         "doc_id", "h", "rep"
