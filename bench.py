@@ -36,6 +36,18 @@ import statistics
 import sys
 import time
 
+# Pin BLAS threading BEFORE numpy's first import (r11): the calibration
+# matmul and the Arrow-GEMM worker stages otherwise inherit whatever the
+# invoking shell set — unpinned, OpenBLAS grabs all 32 cores, so the
+# "fixed-work CPU reference" measures the SHELL (0.39 s unpinned vs
+# 1.01 s at 4 threads on the same boot) and 32 Python workers × 32 BLAS
+# threads oversubscribe the GEMM stages.  4 threads reproduces the
+# historical reference-host calibration band (~1.0-1.4 s), making the
+# artifact comparable across sessions regardless of caller environment.
+# setdefault keeps an explicit caller override possible.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "4")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_ingestion_backend_spark.plans.session import get_spark
