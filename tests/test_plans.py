@@ -97,6 +97,11 @@ SANCTIONED_PANDAS = {
     # the keyed ADC-table builder — both already-sanctioned Arrow GEMM
     # surfaces (numpy end-to-end differential in test_ivfadc.py)
     "sim_ivfadc_topk",
+    # round-11: the search-only bench splits run the SAME sanctioned
+    # Arrow stages as their train+search parents (query assignment /
+    # ADC over the persisted index), minus training
+    "sim_ivfadc_search",
+    "sim_pq_search",
 }
 
 
