@@ -193,8 +193,38 @@ def _survivors(
     )
 
 
-def _ckpt(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+#: Optional per-stage wall-clock collector for ``extend_corpus_build``:
+#: ``tools/corpussoak.py --arm build --decompose`` points this at a dict
+#: and each labeled EAGER checkpoint adds elapsed-since-previous-lap
+#: seconds under its label (the publish lap closes the batch).  Because
+#: every stage boundary is an eager localCheckpoint, lap wall-clock ≈
+#: that stage's cost; lazy driver-side work between laps (the max_n / λ
+#: scalar collects) rolls into the following lap — documented
+#: attribution, good to the second.  None (the default) is zero-cost.
+STAGE_CLOCK: dict[str, float] | None = None
+_LAP_T0: list[float] = [0.0]
+
+
+def _lap_reset() -> None:
+    import time
+
+    _LAP_T0[0] = time.perf_counter()
+
+
+def _lap(label: str) -> None:
+    if STAGE_CLOCK is not None:
+        import time
+
+        now = time.perf_counter()
+        STAGE_CLOCK[label] = STAGE_CLOCK.get(label, 0.0) + (now - _LAP_T0[0])
+        _LAP_T0[0] = now
+
+
+def _ckpt(df: DataFrame, label: str | None = None) -> DataFrame:
+    out = df.localCheckpoint(eager=True)
+    if label is not None:
+        _lap(label)
+    return out
 
 
 def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
@@ -217,15 +247,22 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         {t: wh.current_version(t) for t in _ALL_TABLES},
     )
     spark = batch.sparkSession
-    batch = _ckpt(batch)
+    _lap_reset()
+    batch = _ckpt(batch, "00_batch_pin")
 
     # ----- per-doc static signals (batch-only raw-text work) ---------------
-    sig_batch = _ckpt(_static_signals(batch))
-    docs_all = _ckpt(wh.read(CB_DOCS, bases[CB_DOCS]).unionByName(sig_batch))
+    sig_batch = _ckpt(_static_signals(batch), "01_signals_batch")
+    docs_all = _ckpt(
+        wh.read(CB_DOCS, bases[CB_DOCS]).unionByName(sig_batch),
+        "02_docs_state_pin",
+    )
 
     # ----- near-dup pairs + labels (persisted-index probe, star-CC) --------
-    per_doc_new = _ckpt(minhash_per_doc_frame(batch.select("doc_id", "text")))
-    bands_new = _ckpt(_band_table(per_doc_new))
+    per_doc_new = _ckpt(
+        minhash_per_doc_frame(batch.select("doc_id", "text")),
+        "03_minhash_batch",
+    )
+    bands_new = _ckpt(_band_table(per_doc_new), "04_bands_batch")
     per_doc_corpus = wh.read(CB_MINHASH, bases[CB_MINHASH])
     bands_corpus = wh.read(CB_BANDS, bases[CB_BANDS])
     batch_max_n = per_doc_new.agg(F.max("n")).collect()[0][0] or 0
@@ -241,34 +278,38 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             bands_corpus,
             per_doc_corpus,
             max_n=max(batch_max_n, corpus_max_n),
-        ).select("doc_a", "doc_b", "jaccard")
+        ).select("doc_a", "doc_b", "jaccard"),
+        "05_index_probe_pairs",
     )
     old_labels = wh.read(CB_LABELS, bases[CB_LABELS])
     cc_out = cc_incremental(old_labels, new_pairs.select("doc_a", "doc_b"))
     labels = _ckpt(
         docs_all.select("doc_id")
         .join(cc_out, "doc_id", "left")
-        .select("doc_id", F.coalesce("lbl", "doc_id").alias("lbl"))
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("lbl")),
+        "06_cc_incremental",
     )
 
     # ----- keep (integer window over state) --------------------------------
-    q_ok = _ckpt(_q_ok(docs_all))
-    surv = _ckpt(_survivors(docs_all, q_ok, labels))
+    q_ok = _ckpt(_q_ok(docs_all), "07_length_window_state")
+    surv = _ckpt(_survivors(docs_all, q_ok, labels), "08_keep_window_state")
 
     # ----- span-state delta + affected re-cut ------------------------------
     old_surv = wh.read(CB_SURV, bases[CB_SURV]).select("doc_id")
-    added = _ckpt(surv.select("doc_id").join(old_surv, "doc_id", "left_anti"))
+    added = _ckpt(surv.select("doc_id").join(old_surv, "doc_id", "left_anti"), "09_span_delta")
     removed = _ckpt(
-        old_surv.join(surv.select("doc_id"), "doc_id", "left_anti")
+        old_surv.join(surv.select("doc_id"), "doc_id", "left_anti"),
+        "09_span_delta",
     )
     old_posts = wh.read(CB_GRAM_POSTS, bases[CB_GRAM_POSTS])
     old_df = wh.read(CB_GRAM_DF, bases[CB_GRAM_DF])
     posts_add = _ckpt(
         span_gram_table(docs_all.join(added, "doc_id").select("doc_id", "text"))
         .select("g", "doc_id")
-        .distinct()
+        .distinct(),
+        "09_span_delta",
     )
-    posts_rem = _ckpt(old_posts.join(removed, "doc_id"))
+    posts_rem = _ckpt(old_posts.join(removed, "doc_id"), "09_span_delta")
     delta = (
         posts_add.groupBy("g").agg(F.count("*").alias("d"))
         .unionByName(
@@ -285,9 +326,12 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             .cast("bigint")
             .alias("df"),
             F.coalesce("d", F.lit(0)).alias("d"),
-        )
+        ),
+        "10_gram_df_merge",
     )
-    gram_df = _ckpt(df_merged.filter(F.col("df") > 0).select("g", "df"))
+    gram_df = _ckpt(
+        df_merged.filter(F.col("df") > 0).select("g", "df"), "10_gram_df_merge"
+    )
     flipped = df_merged.filter(
         (F.col("d") != 0)
         & ((F.col("df") >= 2) != (F.col("df") - F.col("d") >= 2))
@@ -300,7 +344,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .join(surv.select("doc_id"), "doc_id")  # still survivors
         .join(added, "doc_id", "left_anti")
     )
-    changed = _ckpt(added.unionByName(affected_old).distinct())
+    changed = _ckpt(added.unionByName(affected_old).distinct(), "09_span_delta")
 
     changed_docs = docs_all.join(changed, "doc_id").select("doc_id", "text")
     repeated = gram_df.filter(F.col("df") >= 2).select("g")
@@ -309,7 +353,10 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .join(repeated, "g")
         .select("doc_id", "pos")
     )
-    cut = _ckpt(cut_tokens_by_spans(changed_docs, spans_from_hits(hits)))
+    cut = _ckpt(
+        cut_tokens_by_spans(changed_docs, spans_from_hits(hits)),
+        "11_recut_changed",
+    )
     clean_changed = cut.select(
         "doc_id", F.size("t_clean").cast("bigint").alias("n_clean")
     )
@@ -325,15 +372,18 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     clean_all = _ckpt(
         wh.read(CB_CLEAN, bases[CB_CLEAN])
         .join(gone, "doc_id", "left_anti")
-        .unionByName(clean_changed)
+        .unionByName(clean_changed),
+        "12_span_state_merge",
     )
     doc_buckets = _ckpt(
         wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
         .join(gone, "doc_id", "left_anti")
-        .unionByName(buckets_changed)
+        .unionByName(buckets_changed),
+        "12_span_state_merge",
     )
     posts_all = _ckpt(
-        old_posts.join(removed, "doc_id", "left_anti").unionByName(posts_add)
+        old_posts.join(removed, "doc_id", "left_anti").unionByName(posts_add),
+        "12_span_state_merge",
     )
 
     # ----- DSIR λ + scores (bounded histograms + per-doc bucket state) -----
@@ -372,12 +422,13 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             .cast("bigint")
             .alias("score"),
             F.col("n_clean").alias("n_tokens"),
-        )
+        ),
+        "13_dsir_scoring",
     )
     budget = scored.agg(
         F.expr(f"sum(n_tokens) * {BUDGET_PCT} div 100")
     ).collect()[0][0]
-    sel = _ckpt(token_budget_select(scored, int(budget or 0)))
+    sel = _ckpt(token_budget_select(scored, int(budget or 0)), "14_budget_cut")
     spl = split_leakage_free(
         surv.join(sel.filter("selected").select("doc_id"), "doc_id")
     ).select("doc_id", "split")
@@ -444,6 +495,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     }
     wh.publish(staged)
     txn.commit_batch(wh, CB_DECISIONS, batch_id)
+    _lap("15_stage_publish")
     return True
 
 

@@ -64,7 +64,8 @@ def _summarize(lat: list[float]) -> dict:
     }
 
 
-def soak_build(spark, n_batches: int, verify: bool) -> dict:
+def soak_build(spark, n_batches: int, verify: bool, decompose: bool = False) -> dict:
+    import data_ingestion_backend_spark.operators.corpus_incremental as ci
     from data_ingestion_backend_spark.operators.corpus_incremental import (
         CB_DECISIONS,
         _ALL_TABLES,
@@ -82,15 +83,21 @@ def soak_build(spark, n_batches: int, verify: bool) -> dict:
     tmp = tempfile.mkdtemp(prefix="corpussoak_")
     wh = Warehouse(spark, os.path.join(tmp, "wh"))
     lat = []
+    stage_runs: list[dict] = []
     try:
         for i in range(n_batches):
             lo, hi = i * per, (i + 1) * per if i < n_batches - 1 else n_docs
             batch = docs.filter(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
             )
+            clocks = {} if decompose else None
+            ci.STAGE_CLOCK = clocks
             t0 = time.perf_counter()
             assert extend_corpus_build(wh, batch, i)
             lat.append(time.perf_counter() - t0)
+            ci.STAGE_CLOCK = None
+            if decompose:
+                stage_runs.append(clocks)
             if i and i % VACUUM_EVERY == 0:
                 for t in _ALL_TABLES:
                     wh.vacuum(t)
@@ -99,6 +106,12 @@ def soak_build(spark, n_batches: int, verify: bool) -> dict:
                 file=sys.stderr,
             )
         out = _summarize(lat)
+        if decompose and stage_runs:
+            tail = stage_runs[-10:]
+            out["stage_mean_last10_sec"] = {
+                k: round(sum(r.get(k, 0.0) for r in tail) / len(tail), 3)
+                for k in sorted({k for r in tail for k in r})
+            }
         out["decision_rows"] = wh.read(CB_DECISIONS).count()
         if verify:
             got = sorted(
@@ -234,13 +247,14 @@ def main() -> None:
     ap.add_argument("--adm-batches", type=int, default=60)
     ap.add_argument("--copies", type=int, default=4)
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument("--decompose", action="store_true")
     args = ap.parse_args()
     spark = get_spark(app_name="corpussoak", master="local[32]")
     out = {}
     try:
         if args.arm in ("build", "both"):
             out["incremental_build"] = soak_build(
-                spark, args.batches, args.verify
+                spark, args.batches, args.verify, args.decompose
             )
             print(json.dumps({"incremental_build": out["incremental_build"]}), file=sys.stderr)
         if args.arm in ("admission", "both"):
