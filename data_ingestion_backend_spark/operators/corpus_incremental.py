@@ -121,6 +121,36 @@ _ALL_TABLES = (
 )
 
 
+#: doc-id range per hive partition of the mutable per-doc state tables
+#: (cb_clean, cb_doc_buckets, cb_gram_posts).  RANGE buckets (div, not
+#: mod) make arrival-ordered batches touch only the newest bucket(s) on
+#: insert, while removals/re-cuts touch exactly their docs' buckets — so
+#: `stage_partition_delta` bounds the per-batch WRITE by affected
+#: buckets, never the accumulated state (the Delta MERGE shape).
+CB_PART_RANGE = 1024
+
+
+def _pb_col():
+    return F.expr(f"doc_id div {CB_PART_RANGE}").cast("bigint")
+
+
+def _affected_pbs(docs_df) -> list:
+    """Distinct partition buckets of a (doc_id, ...) change set — a
+    driver-side list bounded by batch size + span-flip fan-out (the
+    batch_max_n control-plane-scalar precedent)."""
+    return [
+        r["pb"]
+        for r in docs_df.select(_pb_col().alias("pb")).distinct().collect()
+    ]
+
+
+def _only_pbs(df, pbs: list):
+    """Replacement rows for the affected partitions: the merged frame
+    filtered to the affected buckets, pb materialized for the writer."""
+    out = df.withColumn("pb", _pb_col())
+    return out.filter(F.col("pb").isin(pbs)) if pbs else out.limit(0)
+
+
 def last_built_batch(wh: Warehouse) -> int:
     return txn.last_batch(wh, CB_DECISIONS)
 
@@ -301,7 +331,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         old_surv.join(surv.select("doc_id"), "doc_id", "left_anti"),
         "09_span_delta",
     )
-    old_posts = wh.read(CB_GRAM_POSTS, bases[CB_GRAM_POSTS])
+    old_posts = wh.read(CB_GRAM_POSTS, bases[CB_GRAM_POSTS]).drop("pb")
     old_df = wh.read(CB_GRAM_DF, bases[CB_GRAM_DF])
     posts_add = _ckpt(
         span_gram_table(docs_all.join(added, "doc_id").select("doc_id", "text"))
@@ -369,14 +399,19 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .agg(F.count("*").alias("k"))
     )
     gone = changed.unionByName(removed)
+    # affected partition buckets for the mutable per-doc state tables:
+    # clean/doc_buckets rows move for gone ∪ changed docs; postings move
+    # for membership changes only (added/removed survivors)
+    aff_doc_pbs = _affected_pbs(gone.unionByName(changed).distinct())
+    aff_post_pbs = _affected_pbs(removed.unionByName(added).distinct())
     clean_all = _ckpt(
-        wh.read(CB_CLEAN, bases[CB_CLEAN])
+        wh.read(CB_CLEAN, bases[CB_CLEAN]).drop("pb")
         .join(gone, "doc_id", "left_anti")
         .unionByName(clean_changed),
         "12_span_state_merge",
     )
     doc_buckets = _ckpt(
-        wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
+        wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS]).drop("pb")
         .join(gone, "doc_id", "left_anti")
         .unionByName(buckets_changed),
         "12_span_state_merge",
@@ -487,10 +522,31 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         CB_PAIRS: wh.stage_append(CB_PAIRS, new_pairs, bases[CB_PAIRS]),
         CB_LABELS: wh.stage(CB_LABELS, labels),
         CB_SURV: wh.stage(CB_SURV, surv),
-        CB_GRAM_POSTS: wh.stage(CB_GRAM_POSTS, posts_all),
+        # Mutable per-doc state stages as PARTITION deltas: unaffected
+        # doc-id buckets hard-link the base files; only buckets touched
+        # by this batch's membership/re-cut changes are written.
+        CB_GRAM_POSTS: wh.stage_partition_delta(
+            CB_GRAM_POSTS,
+            _only_pbs(posts_all, aff_post_pbs),
+            aff_post_pbs,
+            bases[CB_GRAM_POSTS],
+            "pb",
+        ),
         CB_GRAM_DF: wh.stage(CB_GRAM_DF, gram_df),
-        CB_CLEAN: wh.stage(CB_CLEAN, clean_all),
-        CB_DOC_BUCKETS: wh.stage(CB_DOC_BUCKETS, doc_buckets),
+        CB_CLEAN: wh.stage_partition_delta(
+            CB_CLEAN,
+            _only_pbs(clean_all, aff_doc_pbs),
+            aff_doc_pbs,
+            bases[CB_CLEAN],
+            "pb",
+        ),
+        CB_DOC_BUCKETS: wh.stage_partition_delta(
+            CB_DOC_BUCKETS,
+            _only_pbs(doc_buckets, aff_doc_pbs),
+            aff_doc_pbs,
+            bases[CB_DOC_BUCKETS],
+            "pb",
+        ),
         CB_DECISIONS: wh.stage(CB_DECISIONS, decisions),
     }
     wh.publish(staged)

@@ -273,6 +273,62 @@ class Warehouse:
                     shutil.copy2(src, dst)
         return nxt
 
+    def stage_partition_delta(
+        self,
+        table: str,
+        df_replaced: DataFrame,
+        affected: list,
+        base_version: int,
+        partition_col: str,
+    ) -> int:
+        """Materialize the next version by hard-linking the BASE
+        version's hive partition directories EXCEPT those named in
+        ``affected`` and writing ``df_replaced`` (the full replacement
+        rows for the affected partitions, hive-partitioned on
+        ``partition_col``) — the Delta MERGE / dynamic-partition-
+        overwrite shape for tables that mutate in place: write
+        amplification is bounded by the AFFECTED partitions, never the
+        table.  ``affected`` must name every partition whose content
+        changed INCLUDING partitions whose replacement is empty (a
+        partition whose rows were all deleted produces no directory,
+        and linking its stale base dir would resurrect the rows).
+
+        The base version must itself be hive-partitioned on
+        ``partition_col`` (write the first version with
+        ``partition_by=[partition_col]``); a never-written base falls
+        back to a plain partitioned stage.  Same crash contract as
+        :meth:`stage_append`."""
+        if base_version < 0:
+            return self.stage(table, df_replaced, [partition_col])
+        nxt = self.current_version(table) + 1
+        path = self._version_path(table, nxt)
+        parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
+        out = df_replaced if parts is None else df_replaced.coalesce(parts)
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        skip = {f"{partition_col}={v}" for v in affected}
+        base_path = self._version_path(table, base_version)
+        for entry in os.listdir(base_path):
+            src = os.path.join(base_path, entry)
+            if (
+                not os.path.isdir(src)
+                or not entry.startswith(partition_col + "=")
+                or entry in skip
+            ):
+                continue
+            dst = os.path.join(path, entry)
+            os.makedirs(dst, exist_ok=True)
+            for name in os.listdir(src):
+                if name.startswith(("_", ".")):
+                    continue
+                d = os.path.join(dst, name)
+                if os.path.exists(d):
+                    d = os.path.join(dst, f"b{base_version}-{name}")
+                try:
+                    os.link(os.path.join(src, name), d)
+                except OSError:
+                    shutil.copy2(os.path.join(src, name), d)
+        return nxt
+
     def compact(
         self, table: str, partition_by: list[str] | None = None
     ) -> int:

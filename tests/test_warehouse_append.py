@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
 
 
@@ -120,6 +122,80 @@ def test_compact_bounds_file_count_preserving_data(spark, tmp_path):
     # append-after-compact continues the O(batch) path
     wh.publish({"jobs": wh.stage_append("jobs", _jobs(spark, 60, 70))})
     assert wh.read("jobs").count() == 70
+
+
+def _pjobs(spark, lo, hi, status="PENDING"):
+    return _jobs(spark, lo, hi, status).withColumn(
+        "pb", F.expr("job_user_id div 10")
+    )
+
+
+def test_partition_delta_rewrites_only_affected_partitions(spark, tmp_path):
+    """The Delta-MERGE shape: a mutation touching two doc buckets links
+    every other bucket's base files (same inode) and writes fresh files
+    only for the affected buckets — read ≡ full-rewrite result."""
+    from pyspark.sql import functions as F_
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _pjobs(spark, 0, 100)  # pb ∈ 0..9
+    v0 = wh.stage("jobs", base, ["pb"])
+    wh.publish({"jobs": v0})
+    # mutate buckets 2 and 7: drop ids 25-29, rewrite 70-79 as DONE
+    repl = (
+        base.filter(F_.col("pb").isin(2, 7))
+        .filter(~F_.col("job_user_id").between(25, 29))
+        .withColumn(
+            "job_status",
+            F_.when(F_.col("pb") == 7, F_.lit("DONE")).otherwise(
+                F_.col("job_status")
+            ),
+        )
+    )
+    v1 = wh.stage_partition_delta("jobs", repl, [2, 7], v0, "pb")
+    wh.publish({"jobs": v1})
+    want = base.filter(~F_.col("job_user_id").between(25, 29)).withColumn(
+        "job_status",
+        F_.when(F_.col("pb") == 7, F_.lit("DONE")).otherwise(F_.col("job_status")),
+    )
+    assert _rows(wh.read("jobs")) == _rows(want)
+    # unaffected buckets arrived by LINK (same inode), affected are fresh
+    import os as os_
+
+    for pb in (0, 1, 3, 9):
+        bdir = os_.path.join(wh._version_path("jobs", v0), f"pb={pb}")
+        ndir = os_.path.join(wh._version_path("jobs", v1), f"pb={pb}")
+        assert {
+            os_.stat(os_.path.join(bdir, f)).st_ino
+            for f in os_.listdir(bdir)
+            if not f.startswith(("_", "."))  # CRC sidecars are not linked
+        } <= {
+            os_.stat(os_.path.join(ndir, f)).st_ino
+            for f in os_.listdir(ndir)
+            if not f.startswith(("_", "."))
+        }
+    base_inodes = set()
+    for f in os_.listdir(os_.path.join(wh._version_path("jobs", v0), "pb=2")):
+        if not f.startswith(("_", ".")):
+            base_inodes.add(os_.stat(os_.path.join(wh._version_path("jobs", v0), "pb=2", f)).st_ino)
+    new_inodes = set()
+    for f in os_.listdir(os_.path.join(wh._version_path("jobs", v1), "pb=2")):
+        if not f.startswith(("_", ".")):
+            new_inodes.add(os_.stat(os_.path.join(wh._version_path("jobs", v1), "pb=2", f)).st_ino)
+    assert base_inodes.isdisjoint(new_inodes)
+
+
+def test_partition_delta_drops_fully_deleted_partition(spark, tmp_path):
+    """A partition whose replacement is EMPTY must disappear — linking
+    its stale base dir would resurrect deleted rows."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _pjobs(spark, 0, 30)  # pb ∈ 0..2
+    wh.publish({"jobs": wh.stage("jobs", base, ["pb"])})
+    repl = base.limit(0)  # bucket 1 fully deleted
+    v1 = wh.stage_partition_delta("jobs", repl, [1], 0, "pb")
+    wh.publish({"jobs": v1})
+    got = wh.read("jobs")
+    assert got.count() == 20
+    assert got.filter("pb = 1").count() == 0
 
 
 def test_empty_base_falls_back_to_plain_stage(spark, tmp_path):
