@@ -220,8 +220,46 @@ class Warehouse:
         self.publish({table: nxt})
         return nxt
 
+    @staticmethod
+    def _base_layout(base_path: str) -> tuple[str, list[str]]:
+        """Classify a version directory's physical layout:
+        ``("flat", [])`` for root-level data files, ``("partitioned",
+        cols)`` for hive ``col=value/`` directories (cols in nesting
+        order), ``("empty", [])`` when neither exists (a zero-row
+        write leaves only markers — no layout to conflict with), and
+        ``("mixed", cols)`` when both appear (always a corrupt write;
+        every caller rejects it)."""
+        cols: list[str] = []
+        path = base_path
+        while True:
+            entries = os.listdir(path)
+            part_dirs = [
+                e
+                for e in entries
+                if "=" in e and os.path.isdir(os.path.join(path, e))
+            ]
+            data_files = [
+                e
+                for e in entries
+                if not e.startswith(("_", "."))
+                and os.path.isfile(os.path.join(path, e))
+            ]
+            if part_dirs and data_files:
+                return "mixed", cols + [part_dirs[0].split("=", 1)[0]]
+            if part_dirs:
+                cols.append(part_dirs[0].split("=", 1)[0])
+                path = os.path.join(path, part_dirs[0])
+                continue
+            if data_files:  # leaf files: flat table or a partition leaf
+                return ("partitioned", cols) if cols else ("flat", [])
+            return ("partitioned", cols) if cols else ("empty", [])
+
     def stage_append(
-        self, table: str, df: DataFrame, base_version: int | None = None
+        self,
+        table: str,
+        df: DataFrame,
+        base_version: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Materialize the next version as the BASE version's data files
         plus ONLY the delta's new files — the file-level append Delta and
@@ -233,6 +271,15 @@ class Warehouse:
         a union-rewrite ``stage()`` pays O(corpus) bytes per batch by
         construction, which a 100×-grown state table turns into the
         dominant per-batch term (measured: tools/corpussoak.py).
+
+        ``partition_by`` must restate the BASE version's hive layout
+        (or be omitted for a flat base): the delta is written with the
+        same layout so linked base files and new delta files read as
+        one table.  A layout MISMATCH raises at write time — silently
+        mixing root-level parquet with ``col=value/`` directories
+        produces a version Spark rejects at READ time ("conflicting
+        directory structures"), i.e. a corrupt committed snapshot
+        discovered only by the next reader.
 
         Correctness contract (golden-tested): ``read(table, nxt)`` ≡
         ``read(table, base).unionByName(df)``.  Crash-safe like
@@ -248,12 +295,30 @@ class Warehouse:
         base = self.current_version(table) if base_version is None else base_version
         nxt = self.current_version(table) + 1  # same slot rule as stage()
         if base < 0:
-            return self.stage(table, df)
+            return self.stage(table, df, partition_by)
+        base_path = self._version_path(table, base)
+        layout, base_cols = self._base_layout(base_path)
+        if layout == "mixed":
+            raise ValueError(
+                f"{table} v={base} mixes root-level files with hive "
+                f"partition dirs ({base_cols}) — refusing to append onto "
+                "a corrupt base layout"
+            )
+        if layout != "empty" and base_cols != list(partition_by or []):
+            raise ValueError(
+                f"{table} v={base} is "
+                + (f"hive-partitioned on {base_cols}" if base_cols else "flat")
+                + f"; appending a delta partitioned on {list(partition_by or []) or None} "
+                "would mix directory layouts in one version — pass the "
+                "base's own partition_by"
+            )
         path = self._version_path(table, nxt)
         parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
         out = df if parts is None else df.coalesce(parts)
-        out.write.mode("overwrite").parquet(path)
-        base_path = self._version_path(table, base)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         for dirpath, _dirs, files in os.walk(base_path):
             rel = os.path.relpath(dirpath, base_path)
             dst_dir = path if rel == "." else os.path.join(path, rel)
@@ -280,6 +345,7 @@ class Warehouse:
         affected: list,
         base_version: int,
         partition_col: str,
+        full_df: DataFrame | None = None,
     ) -> int:
         """Materialize the next version by hard-linking the BASE
         version's hive partition directories EXCEPT those named in
@@ -296,10 +362,39 @@ class Warehouse:
         The base version must itself be hive-partitioned on
         ``partition_col`` (write the first version with
         ``partition_by=[partition_col]``); a never-written base falls
-        back to a plain partitioned stage.  Same crash contract as
-        :meth:`stage_append`."""
+        back to a plain partitioned stage.  A base that is NOT in that
+        layout — a warehouse whose versions predate the partition-delta
+        write path (e.g. a resumed checkpoint staged by union-rewrite
+        code) — is detected, never silently linked around: the link
+        loop below only copies ``partition_col=`` directories, so
+        running it over a flat base would drop every unaffected base
+        row without an error.  When the caller supplies ``full_df``
+        (the complete merged table — every caller of this method
+        already has it, ``df_replaced`` being a partition filter over
+        it), the legacy base is MIGRATED: one full partitioned stage of
+        ``full_df``, after which every later batch takes the delta
+        path.  Without ``full_df`` a legacy base raises.  Same crash
+        contract as :meth:`stage_append`."""
         if base_version < 0:
             return self.stage(table, df_replaced, [partition_col])
+        base_path_chk = self._version_path(table, base_version)
+        layout, base_cols = self._base_layout(base_path_chk)
+        if layout == "mixed" or (
+            layout == "partitioned" and base_cols != [partition_col]
+        ):
+            raise ValueError(
+                f"{table} v={base_version} layout {layout}:{base_cols} is "
+                f"not hive-partitioned on [{partition_col!r}] — refusing "
+                "a partition delta over an incompatible base"
+            )
+        if layout == "flat":
+            if full_df is None:
+                raise ValueError(
+                    f"{table} v={base_version} is a legacy flat snapshot; "
+                    "a partition delta would silently drop its rows — "
+                    "pass full_df to migrate it to the partitioned layout"
+                )
+            return self.stage(table, full_df, [partition_col])
         nxt = self.current_version(table) + 1
         path = self._version_path(table, nxt)
         parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)

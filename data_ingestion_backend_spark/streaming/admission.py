@@ -110,6 +110,16 @@ def admission_gate_batch(
     spark = batch.sparkSession
     batch = batch.localCheckpoint(eager=True)
 
+    # An empty FIRST epoch (idle source at stream start) has no vectors
+    # to seed the frozen quantizer from: commit the marker as a no-op
+    # instead of handing a zero-row sample to the centroid trainer.  The
+    # 'empty epoch is a committed no-op' contract thereby holds from
+    # epoch 0, not just after a non-empty batch; the quantizer seeds on
+    # the first batch that actually carries documents.
+    if bases["sem_cent"] < 0 and batch.isEmpty():
+        txn.commit_batch(wh, ADMISSIONS_TABLE, batch_id)
+        return True
+
     # ----- near-dup gate (text) -------------------------------------------
     nd_corpus = wh.read(INDEX_TABLE, bases["nd_index"])
     nd_bands_corpus = (

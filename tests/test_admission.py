@@ -244,3 +244,23 @@ def test_crash_before_marker_heals_from_pinned_bases(spark, tmp_path, monkeypatc
     assert {r["doc_id"] for r in wh.read(INDEX_TABLE).collect()} == {
         r["doc_id"] for r in wh_ref.read(INDEX_TABLE).collect()
     }
+
+
+def test_empty_first_epoch_is_a_committed_noop(spark, tmp_path):
+    """An idle source at STREAM START delivers an empty epoch before the
+    quantizer has ever been seeded: the gate must commit it as a no-op
+    (marker advances, no state published) instead of handing a zero-row
+    sample to the centroid trainer, and then seed + gate normally on the
+    first non-empty epoch."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    b0, b1, b2 = _batches(spark)
+    assert admission_gate_batch(wh, b0.limit(0), 0) is True
+    assert last_admitted_batch(wh) == 0
+    assert wh.current_version(ADMISSIONS_TABLE) == -1  # nothing published
+    # the build proceeds normally: seed on the first real batch, gate on
+    assert admission_gate_batch(wh, b0, 1) is True
+    assert admission_gate_batch(wh, b1, 2) is True
+    led = _ledger(wh)
+    for doc, (adm, reason) in EXPECT.items():
+        if doc in led and doc < 40:
+            assert led[doc][1:] == (adm, reason)

@@ -203,3 +203,82 @@ def test_empty_base_falls_back_to_plain_stage(spark, tmp_path):
     v = wh.stage_append("jobs", _jobs(spark, 0, 5))
     wh.publish({"jobs": v})
     assert wh.read("jobs").count() == 5
+
+
+def test_append_layout_mismatch_raises(spark, tmp_path):
+    """stage_append must refuse to mix directory layouts in one version
+    (flat base + partitioned delta or vice versa): Spark rejects the mix
+    only at READ time ('conflicting directory structures'), i.e. after
+    the corrupt snapshot is already committed — the guard moves that to
+    write time."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v0 = wh.write("jobs", _jobs(spark, 0, 20))  # flat base
+    with pytest.raises(ValueError, match="flat"):
+        wh.stage_append("jobs", _pjobs(spark, 20, 30), v0, partition_by=["pb"])
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    p0 = wh2.write("jobs", _pjobs(spark, 0, 20), ["pb"])  # partitioned base
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        wh2.stage_append("jobs", _pjobs(spark, 20, 30), p0)
+
+
+def test_append_onto_partitioned_base_with_matching_layout(spark, tmp_path):
+    """The partitioned append path itself: a delta written with the
+    base's own partition_by links every base partition dir and reads as
+    base ∪ delta."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _pjobs(spark, 0, 20)
+    delta = _pjobs(spark, 20, 30, "DONE")
+    v0 = wh.write("jobs", base, ["pb"])
+    v1 = wh.stage_append("jobs", delta, v0, partition_by=["pb"])
+    wh.publish({"jobs": v1})
+    got = wh.read("jobs")
+    assert got.count() == 30
+    assert got.filter("job_status = 'DONE'").count() == 10
+    # base partition dirs arrived by link (same inode)
+    bdir = os.path.join(wh._version_path("jobs", v0), "pb=0")
+    ndir = os.path.join(wh._version_path("jobs", v1), "pb=0")
+    base_inodes = {
+        os.stat(os.path.join(bdir, f)).st_ino
+        for f in os.listdir(bdir)
+        if not f.startswith(("_", "."))
+    }
+    new_inodes = {
+        os.stat(os.path.join(ndir, f)).st_ino
+        for f in os.listdir(ndir)
+        if not f.startswith(("_", "."))
+    }
+    assert base_inodes <= new_inodes
+
+
+def test_partition_delta_legacy_flat_base_migrates_not_drops(spark, tmp_path):
+    """A base staged by pre-delta union-rewrite code is FLAT: the link
+    loop only copies 'pb=...' dirs, so linking around it would silently
+    drop every unaffected base row.  The guard instead migrates (full
+    partitioned stage of the caller's merged frame) or raises — never
+    loses data."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    legacy = _pjobs(spark, 0, 30)  # pb present as a COLUMN, layout flat
+    v0 = wh.write("jobs", legacy)
+    repl = _pjobs(spark, 5, 10, "DONE")  # replacement rows for pb=0
+    with pytest.raises(ValueError, match="legacy flat"):
+        wh.stage_partition_delta("jobs", repl, [0], v0, "pb")
+    merged = legacy.filter("pb != 0").unionByName(
+        _pjobs(spark, 0, 10, "DONE").filter("pb = 0")
+    )
+    v1 = wh.stage_partition_delta("jobs", repl, [0], v0, "pb", full_df=merged)
+    wh.publish({"jobs": v1})
+    assert _rows(wh.read("jobs").select("job_user_id", "job_status")) == _rows(
+        merged.select("job_user_id", "job_status")
+    )
+    # migrated: the version is now hive-partitioned, so the NEXT batch
+    # takes the bounded delta path
+    assert os.path.isdir(os.path.join(wh._version_path("jobs", v1), "pb=1"))
+    repl2 = _pjobs(spark, 20, 25, "FAILED")
+    v2 = wh.stage_partition_delta("jobs", repl2, [2], v1, "pb")
+    wh.publish({"jobs": v2})
+    assert wh.read("jobs").filter("job_status = 'FAILED'").count() == 5
