@@ -326,6 +326,25 @@ CB_DECISIONS_SCHEMA = T.StructType(
     ]
 )
 
+#: per-batch decision CHANGE LOG (append-only): one row per doc whose
+#: decision row this batch created or flipped, carrying the full new row
+#: plus the old stage for audit.  Latest-batch-wins replay over the log
+#: reconstructs the decision table exactly (golden-tested) — the CDC
+#: product a downstream trainer tails instead of re-reading the table.
+CB_CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("old_stage", T.StringType(), True),
+        T.StructField("stage", T.StringType(), True),
+        T.StructField("n_tokens_clean", T.LongType(), True),
+        T.StructField("score_tier", T.LongType(), True),
+        T.StructField("selected", T.BooleanType(), True),
+        T.StructField("split", T.StringType(), True),
+        T.StructField("pack_id", T.LongType(), True),
+    ]
+)
+
 SCHEMAS = {
     "jobs": JOBS_SCHEMA,
     "admissions": ADMISSIONS_SCHEMA,
@@ -354,4 +373,5 @@ SCHEMAS = {
     "cb_clean": CB_CLEAN_SCHEMA,
     "cb_doc_buckets": CB_DOC_BUCKETS_SCHEMA,
     "cb_decisions": CB_DECISIONS_SCHEMA,
+    "cb_decision_log": CB_CHANGELOG_SCHEMA,
 }

@@ -15,15 +15,31 @@ the graded fixture cert).  The cost split is the design:
   actually changed — never over the accumulated corpus.  At 100 TB the
   raw text IS the 100 TB; these are the passes that cannot re-run per
   batch.
-- **integer-state passes are allowed.**  The globally-coupled stages
-  (per-source length percentiles, per-cluster canonical keep, the DSIR
-  λ table, the token-budget cut line, split hashing, pack running sums)
-  are recomputed each batch FROM MAINTAINED STATE — per-doc scalars and
-  bounded histograms, ~3 orders of magnitude smaller than the text.
-  This is the "signals cached, decisions recomputed" architecture:
-  exact (the monolithic equality is bit-level, not approximate), while
-  the per-batch cost curve tracks the batch for everything
-  text-proportional (measured in the soak arm, tools/corpussoak.py).
+- **integer-state passes are allowed to RECOMPUTE, never to REWRITE.**
+  The globally-coupled stages (per-source length percentiles,
+  per-cluster canonical keep, the DSIR λ table, the token-budget cut
+  line, split hashing, pack running sums) are recomputed each batch
+  FROM MAINTAINED STATE — per-doc scalars and bounded histograms, ~3
+  orders of magnitude smaller than the text.  This is the "signals
+  cached, decisions recomputed" architecture: exact (the monolithic
+  equality is bit-level, not approximate), while the per-batch cost
+  curve tracks the batch for everything text-proportional (measured in
+  the soak arm, tools/corpussoak.py).
+- **per-batch WRITES are bounded by what the batch changed, for ALL
+  twelve state tables.**  Grow-only tables (docs, signatures, bands,
+  pairs, the decision change log, the gram-df delta log) stage as
+  file-level appends; mutable per-doc tables (clean counts, DSIR
+  buckets, gram postings, labels, survivors, decisions) stage as
+  partition deltas over the doc-id buckets the batch actually flipped.
+  The gram-df table is kept as a MERGEABLE DELTA LOG ((g, df) partial
+  counts, state = sum per g — the LSM shape): its key is a hash with
+  no locality, so a partition delta cannot bound it, but the batch's
+  delta can and the scheduled compaction (``Warehouse.compact``)
+  bounds the read-side file count.  Even the recomputed decision
+  table is DIFFED against the pinned base and only flipped buckets
+  are written; the flips are simultaneously appended to the change
+  log ``cb_decision_log`` (latest-wins replay ≡ table, golden-tested)
+  so a downstream consumer can tail changes instead of re-reading.
 
 Why the globals MUST be recomputed: DSIR λ shifts with every gram the
 corpus absorbs, the budget line moves with total tokens, a new longest
@@ -105,6 +121,7 @@ CB_GRAM_DF = "cb_gram_df"
 CB_CLEAN = "cb_clean"
 CB_DOC_BUCKETS = "cb_doc_buckets"
 CB_DECISIONS = "cb_decisions"
+CB_CHANGELOG = "cb_decision_log"
 
 _ALL_TABLES = (
     CB_DOCS,
@@ -118,6 +135,18 @@ _ALL_TABLES = (
     CB_CLEAN,
     CB_DOC_BUCKETS,
     CB_DECISIONS,
+    CB_CHANGELOG,
+)
+
+#: decision-table payload columns (everything but doc_id), in schema
+#: order — shared by the diff, the change log, and the replay golden.
+DECISION_COLS = (
+    "stage",
+    "n_tokens_clean",
+    "score_tier",
+    "selected",
+    "split",
+    "pack_id",
 )
 
 
@@ -153,6 +182,67 @@ def _only_pbs(df, pbs: list):
 
 def last_built_batch(wh: Warehouse) -> int:
     return txn.last_batch(wh, CB_DECISIONS)
+
+
+def read_decisions(wh: Warehouse, version: int | None = None) -> DataFrame:
+    """The decision table in its logical schema — the physical ``pb``
+    partition column (the write-bounding doc-id bucket) dropped."""
+    return wh.read(CB_DECISIONS, version).drop("pb")
+
+
+def gram_df_state(wh: Warehouse, version: int | None = None) -> DataFrame:
+    """The survivors' span-gram doc frequencies.  ``cb_gram_df`` is
+    persisted as a mergeable DELTA LOG — per-batch (g, df) partial
+    counts appended file-level, because g is a hash with no bucket
+    locality for a partition delta — so the state is the per-g sum
+    (grams whose postings all left net to 0 and drop out).  Scheduled
+    compaction collapses the log back to one row per g; the sum is
+    invariant under it."""
+    df = wh.read(CB_GRAM_DF, version)
+    return (
+        df.groupBy("g")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+
+
+def _cb_stats_path(wh: Warehouse) -> str:
+    import os
+
+    return os.path.join(wh.root, "_cb_minhash_stats")
+
+
+def _write_cb_stats(wh: Warehouse, version: int, max_n: int) -> None:
+    import json
+
+    txn.write_atomic(
+        _cb_stats_path(wh), json.dumps({"version": version, "max_n": max_n})
+    )
+
+
+def _cb_max_n(wh: Warehouse, per_doc_corpus: DataFrame, version: int) -> int:
+    """Max distinct-shingle count of the accumulated signature table,
+    maintained as a PINNED SCALAR (the neardup `_index_max_n` sidecar
+    pattern): the value is monotone (signatures only ever accumulate),
+    so ``max(prev, batch)`` written at publish replaces what used to be
+    an O(corpus) re-scan of cb_minhash on every batch — the last
+    per-batch full-state scan in the delta path.  Version-mismatched or
+    missing sidecars (legacy warehouse, crash replay pinned behind the
+    stats) fall back to the one-off aggregation over the PINNED frame,
+    which can never under-estimate precisely because the table is
+    grow-only."""
+    import json
+    import os
+
+    if version < 0:
+        return 0
+    p = _cb_stats_path(wh)
+    if os.path.exists(p):
+        with open(p) as f:
+            stats = json.loads(f.read())
+        if stats.get("version") == version:
+            return int(stats["max_n"])
+    return per_doc_corpus.agg(F.max("n")).collect()[0][0] or 0
 
 
 def _static_signals(batch: DataFrame) -> DataFrame:
@@ -296,11 +386,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     per_doc_corpus = wh.read(CB_MINHASH, bases[CB_MINHASH])
     bands_corpus = wh.read(CB_BANDS, bases[CB_BANDS])
     batch_max_n = per_doc_new.agg(F.max("n")).collect()[0][0] or 0
-    corpus_max_n = (
-        per_doc_corpus.agg(F.max("n")).collect()[0][0] or 0
-        if bases[CB_MINHASH] >= 0
-        else 0
-    )
+    corpus_max_n = _cb_max_n(wh, per_doc_corpus, bases[CB_MINHASH])
     new_pairs = _ckpt(
         dedup_incremental_pairs(
             per_doc_new,
@@ -311,7 +397,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ).select("doc_a", "doc_b", "jaccard"),
         "05_index_probe_pairs",
     )
-    old_labels = wh.read(CB_LABELS, bases[CB_LABELS])
+    old_labels = wh.read(CB_LABELS, bases[CB_LABELS]).drop("pb")
     cc_out = cc_incremental(old_labels, new_pairs.select("doc_a", "doc_b"))
     labels = _ckpt(
         docs_all.select("doc_id")
@@ -325,14 +411,15 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     surv = _ckpt(_survivors(docs_all, q_ok, labels), "08_keep_window_state")
 
     # ----- span-state delta + affected re-cut ------------------------------
-    old_surv = wh.read(CB_SURV, bases[CB_SURV]).select("doc_id")
+    old_surv_full = wh.read(CB_SURV, bases[CB_SURV]).drop("pb")
+    old_surv = old_surv_full.select("doc_id")
     added = _ckpt(surv.select("doc_id").join(old_surv, "doc_id", "left_anti"), "09_span_delta")
     removed = _ckpt(
         old_surv.join(surv.select("doc_id"), "doc_id", "left_anti"),
         "09_span_delta",
     )
     old_posts = wh.read(CB_GRAM_POSTS, bases[CB_GRAM_POSTS]).drop("pb")
-    old_df = wh.read(CB_GRAM_DF, bases[CB_GRAM_DF])
+    old_df = gram_df_state(wh, bases[CB_GRAM_DF])
     posts_add = _ckpt(
         span_gram_table(docs_all.join(added, "doc_id").select("doc_id", "text"))
         .select("g", "doc_id")
@@ -485,7 +572,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             .alias("pack_id"),
         )
     )
-    decisions = (
+    decisions = _ckpt(
         docs_all.select("doc_id")
         .join(q_ok, "doc_id")
         .join(
@@ -506,39 +593,122 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             F.coalesce("selected", F.lit(False)).alias("selected"),
             "split",
             "pack_id",
+        ),
+        "15_decisions_assemble",
+    )
+
+    # ----- diff the recomputed integer tables against their pinned bases ---
+    # The globally-coupled outputs (labels, survivors, decisions) are
+    # RECOMPUTED over maintained integer state — but only their FLIPPED
+    # rows are worth writing.  The diff is an integer join per table;
+    # the write is then bounded by the flip set's doc-id buckets (small
+    # in the arrival-ordered regime the grown soak measures), never the
+    # accumulated table.  Docs never leave any of these tables' domains
+    # except survivors, whose removals the symmetric diff catches.
+    lbl_changed = (
+        labels.join(
+            old_labels.select("doc_id", F.col("lbl").alias("_old")),
+            "doc_id",
+            "left",
         )
-        .orderBy("doc_id")
+        .filter(F.col("_old").isNull() | (F.col("lbl") != F.col("_old")))
+        .select("doc_id")
+    )
+    aff_lbl_pbs = _affected_pbs(lbl_changed)
+    surv_changed = (
+        surv.join(old_surv_full, ["doc_id", "cluster_id"], "left_anti")
+        .select("doc_id")
+        .unionByName(
+            old_surv_full.join(surv, ["doc_id", "cluster_id"], "left_anti")
+            .select("doc_id")
+        )
+        .distinct()
+    )
+    aff_surv_pbs = _affected_pbs(surv_changed)
+    old_dec = wh.read(CB_DECISIONS, bases[CB_DECISIONS]).drop("pb")
+    dec_diff = _ckpt(
+        decisions.join(
+            old_dec.select(
+                "doc_id",
+                F.lit(True).alias("_was"),
+                *[F.col(c).alias(f"_o_{c}") for c in DECISION_COLS],
+            ),
+            "doc_id",
+            "left",
+        ).filter(
+            F.col("_was").isNull()
+            | ~(
+                F.col("stage").eqNullSafe(F.col("_o_stage"))
+                & F.col("n_tokens_clean").eqNullSafe(F.col("_o_n_tokens_clean"))
+                & F.col("score_tier").eqNullSafe(F.col("_o_score_tier"))
+                & F.col("selected").eqNullSafe(F.col("_o_selected"))
+                & F.col("split").eqNullSafe(F.col("_o_split"))
+                & F.col("pack_id").eqNullSafe(F.col("_o_pack_id"))
+            )
+        ),
+        "16_decision_diff",
+    )
+    aff_dec_pbs = _affected_pbs(dec_diff.select("doc_id"))
+    change_log = dec_diff.select(
+        F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+        "doc_id",
+        F.col("_o_stage").alias("old_stage"),
+        *DECISION_COLS,
     )
 
     # ----- one atomic publish, then the marker ------------------------------
-    # Monotone tables (docs/signatures/bands/pairs only ever GROW) stage
-    # as file-level appends: base files hard-linked, only the batch's
-    # delta written — per-batch write cost O(batch), not O(corpus).  The
-    # raw-text CB_DOCS is the dominant snapshot term this removes.
+    # Grow-only tables (docs/signatures/bands/pairs/change-log and the
+    # gram-df delta log) stage as file-level appends: base files
+    # hard-linked, only the batch's delta written.  Mutable per-doc
+    # tables (postings/clean/buckets and the recomputed labels/
+    # survivors/decisions) stage as PARTITION deltas over the flipped
+    # doc-id buckets.  Per-batch write cost is O(batch + flips) for all
+    # twelve tables — never O(corpus).  full_df on the partition deltas
+    # is the legacy-layout migration escape: a pre-delta flat snapshot
+    # is rewritten partitioned ONCE, then bounded forever.
     staged = {
         CB_DOCS: wh.stage_append(CB_DOCS, sig_batch, bases[CB_DOCS]),
         CB_MINHASH: wh.stage_append(CB_MINHASH, per_doc_new, bases[CB_MINHASH]),
         CB_BANDS: wh.stage_append(CB_BANDS, bands_new, bases[CB_BANDS]),
         CB_PAIRS: wh.stage_append(CB_PAIRS, new_pairs, bases[CB_PAIRS]),
-        CB_LABELS: wh.stage(CB_LABELS, labels),
-        CB_SURV: wh.stage(CB_SURV, surv),
-        # Mutable per-doc state stages as PARTITION deltas: unaffected
-        # doc-id buckets hard-link the base files; only buckets touched
-        # by this batch's membership/re-cut changes are written.
+        CB_LABELS: wh.stage_partition_delta(
+            CB_LABELS,
+            _only_pbs(labels, aff_lbl_pbs),
+            aff_lbl_pbs,
+            bases[CB_LABELS],
+            "pb",
+            full_df=labels.withColumn("pb", _pb_col()),
+        ),
+        CB_SURV: wh.stage_partition_delta(
+            CB_SURV,
+            _only_pbs(surv, aff_surv_pbs),
+            aff_surv_pbs,
+            bases[CB_SURV],
+            "pb",
+            full_df=surv.withColumn("pb", _pb_col()),
+        ),
         CB_GRAM_POSTS: wh.stage_partition_delta(
             CB_GRAM_POSTS,
             _only_pbs(posts_all, aff_post_pbs),
             aff_post_pbs,
             bases[CB_GRAM_POSTS],
             "pb",
+            full_df=posts_all.withColumn("pb", _pb_col()),
         ),
-        CB_GRAM_DF: wh.stage(CB_GRAM_DF, gram_df),
+        CB_GRAM_DF: wh.stage_append(
+            CB_GRAM_DF,
+            delta.filter(F.col("d") != 0).select(
+                "g", F.col("d").cast("bigint").alias("df")
+            ),
+            bases[CB_GRAM_DF],
+        ),
         CB_CLEAN: wh.stage_partition_delta(
             CB_CLEAN,
             _only_pbs(clean_all, aff_doc_pbs),
             aff_doc_pbs,
             bases[CB_CLEAN],
             "pb",
+            full_df=clean_all.withColumn("pb", _pb_col()),
         ),
         CB_DOC_BUCKETS: wh.stage_partition_delta(
             CB_DOC_BUCKETS,
@@ -546,12 +716,24 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             aff_doc_pbs,
             bases[CB_DOC_BUCKETS],
             "pb",
+            full_df=doc_buckets.withColumn("pb", _pb_col()),
         ),
-        CB_DECISIONS: wh.stage(CB_DECISIONS, decisions),
+        CB_DECISIONS: wh.stage_partition_delta(
+            CB_DECISIONS,
+            _only_pbs(decisions, aff_dec_pbs),
+            aff_dec_pbs,
+            bases[CB_DECISIONS],
+            "pb",
+            full_df=decisions.withColumn("pb", _pb_col()),
+        ),
+        CB_CHANGELOG: wh.stage_append(CB_CHANGELOG, change_log, bases[CB_CHANGELOG]),
     }
     wh.publish(staged)
+    _write_cb_stats(
+        wh, staged[CB_MINHASH], max(batch_max_n, corpus_max_n)
+    )
     txn.commit_batch(wh, CB_DECISIONS, batch_id)
-    _lap("15_stage_publish")
+    _lap("17_stage_publish")
     return True
 
 
@@ -632,7 +814,7 @@ def prep_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     wh, docs.filter(F.col("doc_id") % 3 == i), i
                 )
             # pin the result off the parquet files before the dir goes
-            return wh.read(CB_DECISIONS).localCheckpoint(eager=True)
+            return read_decisions(wh).localCheckpoint(eager=True)
         finally:
             shutil.rmtree(root, ignore_errors=True)
 

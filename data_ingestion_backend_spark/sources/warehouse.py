@@ -169,6 +169,12 @@ class Warehouse:
             raise FileNotFoundError(
                 f"{table} v={version} not retained (vacuumed or never written)"
             )
+        if self._base_layout(path)[0] == "empty":
+            # a ZERO-ROW partitioned write leaves only success markers —
+            # no footer to infer from; the logical schema is the answer
+            # (a zero-row flat write keeps an empty footer and needs no
+            # special case)
+            return self.spark.createDataFrame([], SCHEMAS[table])
         return self.spark.read.parquet(path)
 
     def write(

@@ -10,12 +10,15 @@ from pyspark.sql import functions as F
 
 from data_ingestion_backend_spark.operators.corpus import prep_corpus_e2e
 from data_ingestion_backend_spark.operators.corpus_incremental import (
+    CB_CHANGELOG,
     CB_DECISIONS,
-    CB_GRAM_DF,
     CB_SURV,
+    DECISION_COLS,
     corpus_build_monolithic,
     extend_corpus_build,
+    gram_df_state,
     last_built_batch,
+    read_decisions,
 )
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
 from tests.conftest import SF_DIR_SMALL
@@ -52,7 +55,7 @@ def built(spark, tmp_path_factory):
     snapshots = []
     for i, (lo, hi) in enumerate(BATCH_BOUNDS):
         assert extend_corpus_build(wh, _batch(spark, lo, hi), i) is True
-        snapshots.append(_rows(wh.read(CB_DECISIONS)))
+        snapshots.append(_rows(read_decisions(wh)))
     return wh, snapshots
 
 
@@ -96,7 +99,7 @@ def test_span_state_matches_full_recount(spark, built):
         .groupBy("g")
         .agg(F.count("*").cast("bigint").alias("df"))
     )
-    assert _rows(wh.read(CB_GRAM_DF)) == want
+    assert _rows(gram_df_state(wh)) == want
 
 
 def test_redelivered_batch_is_noop(spark, built):
@@ -106,7 +109,7 @@ def test_redelivered_batch_is_noop(spark, built):
     # same id, any content — rejected before any state read
     assert extend_corpus_build(wh, _batch(spark, 0, 10), 1) is False
     assert wh.current_version(CB_DECISIONS) == v
-    assert _rows(wh.read(CB_DECISIONS)) == snapshots[-1]
+    assert _rows(read_decisions(wh)) == snapshots[-1]
 
 
 def test_streamed_build_equals_direct(spark, tmp_path):
@@ -145,7 +148,7 @@ def test_streamed_build_equals_direct(spark, tmp_path):
     q = attach_corpus_build_stream(wh, stream, str(tmp_path / "ckpt"))
     q.awaitTermination()
     assert last_built_batch(wh) == len(BATCH_BOUNDS) - 1
-    assert _rows(wh.read(CB_DECISIONS)) == _rows(wh_ref.read(CB_DECISIONS))
+    assert _rows(read_decisions(wh)) == _rows(read_decisions(wh_ref))
 
 
 def test_empty_batch_is_a_committed_noop(spark, tmp_path):
@@ -154,16 +157,16 @@ def test_empty_batch_is_a_committed_noop(spark, tmp_path):
     still committing its marker (exactly-once bookkeeping advances)."""
     wh = Warehouse(spark, str(tmp_path / "wh"))
     assert extend_corpus_build(wh, _batch(spark, 0, 200), 0) is True
-    before = _rows(wh.read(CB_DECISIONS))
+    before = _rows(read_decisions(wh))
     assert extend_corpus_build(wh, _batch(spark, 0, 0), 1) is True
     assert last_built_batch(wh) == 1
-    assert _rows(wh.read(CB_DECISIONS)) == before
+    assert _rows(read_decisions(wh)) == before
     # and the build continues normally past it
     assert extend_corpus_build(wh, _batch(spark, 200, 350), 2) is True
     want = _rows(
         corpus_build_monolithic(_docs(spark).filter(F.col("doc_id") < 350))
     )
-    assert _rows(wh.read(CB_DECISIONS)) == want
+    assert _rows(read_decisions(wh)) == want
 
 
 def test_crash_before_marker_heals_from_pinned_bases(
@@ -199,4 +202,117 @@ def test_crash_before_marker_heals_from_pinned_bases(
     want = _rows(
         corpus_build_monolithic(_docs(spark).filter(F.col("doc_id") < 350))
     )
-    assert _rows(wh.read(CB_DECISIONS)) == want
+    assert _rows(read_decisions(wh)) == want
+
+
+def test_change_log_replay_reconstructs_decisions(spark, built):
+    """cb_decision_log is the CDC product: one row per decision the
+    batch created or flipped, full new row + old_stage.  Latest-batch-
+    wins replay over the log must reconstruct the maintained table
+    exactly — a consumer can tail the log instead of re-reading."""
+    from pyspark.sql import Window
+
+    wh, snapshots = built
+    log = wh.read(CB_CHANGELOG)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    replayed = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", *DECISION_COLS)
+    )
+    assert _rows(replayed) == snapshots[-1]
+    # first appearance of each doc logs old_stage = NULL (a creation)
+    first = (
+        log.withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("batch_id")
+        ))
+        .filter("rn = 1")
+    )
+    assert first.filter(F.col("old_stage").isNotNull()).count() == 0
+
+
+def test_unflipped_label_buckets_are_linked_not_rewritten(spark, tmp_path):
+    """The write-bounding claim, physically: a doc-id bucket none of the
+    batch's label flips touched must arrive in the next cb_labels
+    version as the SAME inode (a hard link), not a rewrite.  Two
+    batches in disjoint 1024-wide doc-id buckets with disjoint texts
+    produce zero cross-batch flips, so batch 1 must carry batch 0's
+    bucket by link for every mutable per-doc table."""
+    import os
+
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        CB_CLEAN,
+        CB_DOC_BUCKETS,
+        CB_LABELS,
+        CB_SURV,
+    )
+
+    def _mk(lo):
+        # stopwords vote lang_pred='en' (KNOWN_LANGS gate); the unique
+        # tail keeps every doc its own near-dup cluster; a PER-BATCH
+        # source keeps the rank-based length band of earlier batches
+        # untouched (per-source percentiles)
+        rows = [
+            (
+                lo + i,
+                "en",
+                f"s{lo}",
+                60,
+                "the and of to in "
+                + " ".join(f"w{lo + i}x{c}" for c in "abcdefghij"),
+            )
+            for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, n_chars long, text string"
+        )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert extend_corpus_build(wh, _mk(0), 0) is True          # pb=0
+    assert extend_corpus_build(wh, _mk(10 * 1024), 1) is True  # pb=10
+    for table in (CB_LABELS, CB_SURV, CB_CLEAN, CB_DOC_BUCKETS):
+        v_cur = wh.current_version(table)
+        pdir = os.path.join(wh._version_path(table, v_cur - 1), "pb=0")
+        cdir = os.path.join(wh._version_path(table, v_cur), "pb=0")
+        prev_inodes = {
+            os.stat(os.path.join(pdir, f)).st_ino
+            for f in os.listdir(pdir)
+            if not f.startswith(("_", "."))
+        }
+        cur_inodes = {
+            os.stat(os.path.join(cdir, f)).st_ino
+            for f in os.listdir(cdir)
+            if not f.startswith(("_", "."))
+        }
+        assert prev_inodes and prev_inodes <= cur_inodes, (
+            f"{table} pb=0 was rewritten, not linked"
+        )
+    # and the maintained result still equals the monolithic rebuild
+    want = _rows(corpus_build_monolithic(_mk(0).unionByName(_mk(10 * 1024))))
+    assert _rows(read_decisions(wh)) == want
+
+
+def test_corpus_max_n_comes_from_pinned_sidecar_not_a_scan(spark, built):
+    """The monotone max-shingle scalar is maintained in the stats
+    sidecar at publish: when the sidecar matches the pinned signature
+    version, `_cb_max_n` must return it WITHOUT touching the frame —
+    killing the per-batch O(corpus) scan of cb_minhash.  A poisoned
+    frame object proves the data path is never consulted."""
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        CB_MINHASH,
+        _cb_max_n,
+    )
+
+    wh, _ = built
+
+    class Poison:
+        def agg(self, *_a, **_k):  # pragma: no cover - the assertion
+            raise AssertionError("sidecar hit must not scan the frame")
+
+    v = wh.current_version(CB_MINHASH)
+    got = _cb_max_n(wh, Poison(), v)
+    want = wh.read(CB_MINHASH).agg(F.max("n")).collect()[0][0]
+    assert got == want
+    # a version mismatch (crash replay pinned behind the stats) falls
+    # back to scanning the PINNED frame
+    assert _cb_max_n(wh, wh.read(CB_MINHASH, v), v - 1) == want

@@ -67,10 +67,10 @@ def _summarize(lat: list[float]) -> dict:
 def soak_build(spark, n_batches: int, verify: bool, decompose: bool = False) -> dict:
     import data_ingestion_backend_spark.operators.corpus_incremental as ci
     from data_ingestion_backend_spark.operators.corpus_incremental import (
-        CB_DECISIONS,
         _ALL_TABLES,
         corpus_build_monolithic,
         extend_corpus_build,
+        read_decisions,
     )
 
     docs = (
@@ -112,10 +112,10 @@ def soak_build(spark, n_batches: int, verify: bool, decompose: bool = False) -> 
                 k: round(sum(r.get(k, 0.0) for r in tail) / len(tail), 3)
                 for k in sorted({k for r in tail for k in r})
             }
-        out["decision_rows"] = wh.read(CB_DECISIONS).count()
+        out["decision_rows"] = read_decisions(wh).count()
         if verify:
             got = sorted(
-                tuple(r) for r in wh.read(CB_DECISIONS).collect()
+                tuple(r) for r in read_decisions(wh).collect()
             )
             want = sorted(
                 tuple(r) for r in corpus_build_monolithic(docs).collect()
