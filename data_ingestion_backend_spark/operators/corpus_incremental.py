@@ -180,6 +180,61 @@ def _only_pbs(df, pbs: list):
     return out.filter(F.col("pb").isin(pbs)) if pbs else out.limit(0)
 
 
+#: compaction trigger: a maintained table whose current version exceeds
+#: this many data files is rewritten into one snapshot after the commit.
+#: Each batch adds ≤ 8 files per table (the control-plane write
+#: parallelism), so the default fires roughly every 8 absorbed batches
+#: per table — reader file counts stay bounded while per-batch writes
+#: keep the append economics (soak-measured: tools/corpussoak.py
+#: records per-batch max file counts).
+COMPACT_MAX_FILES = 64
+
+#: tables whose physical layout is hive-partitioned on the doc-id range
+#: bucket — compaction must restate the layout or lose the pruning.
+_PARTITIONED_TABLES = frozenset(
+    (CB_LABELS, CB_SURV, CB_GRAM_POSTS, CB_CLEAN, CB_DOC_BUCKETS, CB_DECISIONS)
+)
+
+
+def _gram_df_collapse(df: DataFrame) -> DataFrame:
+    """Fold the gram-df delta log to one row per gram on compaction —
+    the LSM merge step.  State-invariant: the per-g sum (what
+    ``gram_df_state`` reads) is unchanged; netted-out grams drop."""
+    return (
+        df.groupBy("g")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .filter(F.col("df") != 0)
+    )
+
+
+def maintain_corpus_build(
+    wh: Warehouse, max_files: int | None = None
+) -> list[str]:
+    """Scheduled compaction over the build's state tables: rewrite any
+    table whose file count outgrew ``max_files``; return the names
+    compacted.  Runs after every committed batch (amortized — almost
+    always a cheap file-count stat), safe to run any time between
+    batches: compaction publishes EQUAL state atomically, so replay
+    from a live intent's pinned bases is unaffected (golden:
+    compact-under-intent crash heal)."""
+    if max_files is None:
+        max_files = COMPACT_MAX_FILES  # module attr: tests tighten it
+    done = []
+    for t in _ALL_TABLES:
+        pb = ["pb"] if t in _PARTITIONED_TABLES else None
+        tr = _gram_df_collapse if t == CB_GRAM_DF else None
+        prev = wh.current_version(t)
+        v = wh.compact_if_needed(t, pb, max_files, tr)
+        if v is not None:
+            done.append(t)
+            if t == CB_MINHASH:
+                # re-key the pinned max-n sidecar to the compacted
+                # version (content equal, version moved) — sidecar hit
+                # via prev, so this is itself scan-free
+                _write_cb_stats(wh, v, _cb_max_n(wh, wh.read(t, v), prev))
+    return done
+
+
 def last_built_batch(wh: Warehouse) -> int:
     return txn.last_batch(wh, CB_DECISIONS)
 
@@ -734,6 +789,8 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     )
     txn.commit_batch(wh, CB_DECISIONS, batch_id)
     _lap("17_stage_publish")
+    maintain_corpus_build(wh)
+    _lap("18_compaction")
     return True
 
 

@@ -449,6 +449,50 @@ class Warehouse:
         partition pruning."""
         return self.write(table, self.read(table), partition_by)
 
+    def data_file_count(self, table: str, version: int | None = None) -> int:
+        """Number of data files in a version (markers excluded) — the
+        reader-cost metric the compaction trigger watches: every
+        file-level append adds one file set, so after B batches an
+        uncompacted table holds O(B) files."""
+        v = self.current_version(table) if version is None else version
+        if v < 0:
+            return 0
+        n = 0
+        for _dirpath, _dirs, files in os.walk(self._version_path(table, v)):
+            n += sum(1 for f in files if not f.startswith(("_", ".")))
+        return n
+
+    def compact_if_needed(
+        self,
+        table: str,
+        partition_by: list[str] | None = None,
+        max_files: int = 64,
+        transform=None,
+    ) -> int | None:
+        """The compaction TRIGGER: rewrite ``table`` into one fresh
+        snapshot iff its current version holds more than ``max_files``
+        data files, else do nothing.  Called by the maintained gates
+        after each commit, this bounds reader file counts at O(
+        max_files + files-per-batch × batches-since-compact) while the
+        appends keep their O(batch) write economics — the scheduled
+        OPTIMIZE step of the append protocol, amortized O(table /
+        compact-interval) per batch.  ``transform`` lets log-structured
+        tables collapse on rewrite (e.g. the gram-df delta log folds to
+        one row per key; the fold is state-invariant, golden-tested).
+        Runs OUTSIDE any batch intent: the rewrite is an ordinary
+        atomic single-table publish of equal state, so a crash before,
+        during, or after it leaves every exactly-once replay argument
+        untouched (a live intent's pinned versions still exist until
+        vacuum)."""
+        if self.data_file_count(table) <= max_files:
+            return None
+        df = self.read(table)
+        if transform is not None:
+            df = transform(df)
+        nxt = self.stage(table, df, partition_by)
+        self.publish({table: nxt})
+        return nxt
+
     def vacuum(self, table: str, keep: int = 2) -> None:
         """Drop all but the newest ``keep`` versions (best-effort cleanup)."""
         cur = self.current_version(table)

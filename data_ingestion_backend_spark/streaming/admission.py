@@ -278,7 +278,36 @@ def admission_gate_batch(
     wh.publish(staged)
     _write_index_stats(wh, staged[INDEX_TABLE], max_n)
     txn.commit_batch(wh, ADMISSIONS_TABLE, batch_id)
+    compact_admission_state(wh)
     return True
+
+
+def compact_admission_state(wh: Warehouse, max_files: int = 64) -> list[str]:
+    """Scheduled compaction across ALL the composed gate's maintained
+    tables (the `compact_neardup_state` contract: post-commit trigger,
+    equal-state atomic rewrite, bounded reader file counts; the max-n
+    sidecar re-keyed scan-free when the index itself compacts)."""
+    from data_ingestion_backend_spark.streaming.neardup import (
+        _index_max_n,
+        _write_index_stats as _wis,
+    )
+
+    done = []
+    for t in (
+        INDEX_TABLE,
+        BANDS_TABLE,
+        ND_PAIRS_TABLE,
+        SEM_INDEX_TABLE,
+        SEM_PAIRS_TABLE,
+        ADMISSIONS_TABLE,
+    ):
+        prev = wh.current_version(t)
+        v = wh.compact_if_needed(t, max_files=max_files)
+        if v is not None:
+            done.append(t)
+            if t == INDEX_TABLE:
+                _wis(wh, v, _index_max_n(wh, wh.read(t, v), prev))
+    return done
 
 
 def admission_one_shot(

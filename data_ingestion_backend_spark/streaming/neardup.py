@@ -180,7 +180,31 @@ def neardup_gate_batch(
         wh.write(BANDS_TABLE, corpus_bands.unionByName(batch_bands))
     _write_index_stats(wh, new_index_v, max_n)
     txn.commit_batch(wh, PAIRS_TABLE, batch_id)
+    compact_neardup_state(wh)
     return True
+
+
+def compact_neardup_state(wh: Warehouse, max_files: int = 64) -> list[str]:
+    """Scheduled compaction for the gate's append-maintained tables:
+    file-level appends keep per-batch writes O(batch) but accumulate one
+    file set per batch; this trigger (checked after every commit —
+    normally a cheap stat) rewrites any table past ``max_files`` into
+    one snapshot, bounding reader file counts for a gate that runs for
+    months.  Compaction publishes EQUAL state atomically, so crash/
+    replay arguments are untouched.  The max-n stats sidecar is re-keyed
+    to the compacted index version (content equal, version moved) —
+    sidecar hit via the pre-compact version, so the re-key is scan-free."""
+    done = []
+    for t in (PAIRS_TABLE, INDEX_TABLE, BANDS_TABLE):
+        prev = wh.current_version(t)
+        v = wh.compact_if_needed(t, max_files=max_files)
+        if v is not None:
+            done.append(t)
+            if t == INDEX_TABLE:
+                _write_index_stats(
+                    wh, v, _index_max_n(wh, wh.read(t, v), prev)
+                )
+    return done
 
 
 def maintain_neardup_pairs(

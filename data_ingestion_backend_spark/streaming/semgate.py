@@ -207,7 +207,19 @@ def semantic_gate_batch(
     index_v = wh.stage_append(SEM_INDEX_TABLE, batch_assigned, index_base)
     wh.publish({SEM_PAIRS_TABLE: pairs_v, SEM_INDEX_TABLE: index_v})
     txn.commit_batch(wh, SEM_PAIRS_TABLE, batch_id)
+    compact_semantic_state(wh)
     return True
+
+
+def compact_semantic_state(wh: Warehouse, max_files: int = 64) -> list[str]:
+    """Scheduled compaction for the gate's append-maintained tables
+    (the neardup `compact_neardup_state` contract: post-commit trigger,
+    equal-state atomic rewrite, bounded reader file counts)."""
+    done = []
+    for t in (SEM_PAIRS_TABLE, SEM_INDEX_TABLE):
+        if wh.compact_if_needed(t, max_files=max_files) is not None:
+            done.append(t)
+    return done
 
 
 def maintain_semantic_pairs(

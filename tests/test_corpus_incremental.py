@@ -316,3 +316,77 @@ def test_corpus_max_n_comes_from_pinned_sidecar_not_a_scan(spark, built):
     # a version mismatch (crash replay pinned behind the stats) falls
     # back to scanning the PINNED frame
     assert _cb_max_n(wh, wh.read(CB_MINHASH, v), v - 1) == want
+
+
+def test_forced_compaction_every_batch_preserves_equality(
+    spark, tmp_path, monkeypatch
+):
+    """The compaction trigger under maximum pressure: threshold 0 makes
+    every state table compact after EVERY commit — appends must resume
+    on compacted bases (including the max-n sidecar re-key and the
+    gram-df log fold) and the maintained table must still be bit-equal
+    to the monolithic rebuild, with reader file counts bounded."""
+    import data_ingestion_backend_spark.operators.corpus_incremental as ci
+
+    monkeypatch.setattr(ci, "COMPACT_MAX_FILES", 0)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i, (lo, hi) in enumerate(BATCH_BOUNDS):
+        assert extend_corpus_build(wh, _batch(spark, lo, hi), i) is True
+    want = _rows(corpus_build_monolithic(_docs(spark)))
+    assert _rows(read_decisions(wh)) == want
+    # every table's reader file count is back at snapshot sizing
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        _ALL_TABLES,
+    )
+
+    for t in _ALL_TABLES:
+        assert wh.data_file_count(t) <= 16, f"{t} not compacted"
+    # the gram-df log folded to one row per gram (state unchanged —
+    # the monolithic equality above already proves the sums)
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        CB_GRAM_DF,
+    )
+
+    log_rows = wh.read(CB_GRAM_DF).count()
+    assert log_rows == gram_df_state(wh).count()
+
+
+def test_compact_under_live_intent_heals(spark, tmp_path, monkeypatch):
+    """Compaction between a crashed publish and its replay must not
+    break exactly-once: the intent's pinned bases still exist (vacuum
+    hasn't run), the replay re-runs from them, and the healed table
+    equals the monolithic rebuild."""
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        maintain_corpus_build,
+    )
+    from data_ingestion_backend_spark.streaming import txn
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert extend_corpus_build(wh, _batch(spark, 0, 200), 0) is True
+
+    class Boom(RuntimeError):
+        pass
+
+    real_write_atomic = txn.write_atomic
+
+    def crash_on_marker(path, payload):
+        if path.endswith("_last_batch"):
+            raise Boom("simulated crash before marker write")
+        real_write_atomic(path, payload)
+
+    monkeypatch.setattr(txn, "write_atomic", crash_on_marker)
+    try:
+        extend_corpus_build(wh, _batch(spark, 200, 350), 1)
+    except Boom:
+        pass
+    monkeypatch.setattr(txn, "write_atomic", real_write_atomic)
+    assert last_built_batch(wh) == 0  # intent live, marker missing
+    # maintenance fires while the intent is live (threshold 0: compact
+    # everything) — then the batch is redelivered and must heal
+    compacted = maintain_corpus_build(wh, max_files=0)
+    assert compacted  # something actually compacted
+    assert extend_corpus_build(wh, _batch(spark, 200, 350), 1) is True
+    want = _rows(
+        corpus_build_monolithic(_docs(spark).filter(F.col("doc_id") < 350))
+    )
+    assert _rows(read_decisions(wh)) == want

@@ -282,3 +282,52 @@ def test_partition_delta_legacy_flat_base_migrates_not_drops(spark, tmp_path):
     v2 = wh.stage_partition_delta("jobs", repl2, [2], v1, "pb")
     wh.publish({"jobs": v2})
     assert wh.read("jobs").filter("job_status = 'FAILED'").count() == 5
+
+
+def test_compact_trigger_fires_on_file_count_and_preserves_state(spark, tmp_path):
+    """compact_if_needed: a cheap no-op below the threshold, a full
+    atomic rewrite above it — rows identical, reader file count back to
+    the normal snapshot sizing, appends resume on the compacted base."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v = wh.write("jobs", _jobs(spark, 0, 20))
+    for i in range(6):  # six file-level appends: one file set each
+        v = wh.stage_append("jobs", _jobs(spark, 20 + 10 * i, 30 + 10 * i), v)
+        wh.publish({"jobs": v})
+    n_files = wh.data_file_count("jobs")
+    assert n_files > 8
+    assert wh.compact_if_needed("jobs", max_files=n_files) is None  # below
+    before = _rows(wh.read("jobs"))
+    assert wh.compact_if_needed("jobs", max_files=8) is not None
+    assert _rows(wh.read("jobs")) == before
+    assert wh.data_file_count("jobs") <= 8
+    # appends resume after compaction
+    v2 = wh.stage_append("jobs", _jobs(spark, 200, 210), wh.current_version("jobs"))
+    wh.publish({"jobs": v2})
+    assert wh.read("jobs").count() == 90
+
+
+def test_compact_transform_folds_log_structured_state(spark, tmp_path):
+    """The transform hook: a delta-log table (here, (g, df) partial
+    counts) folds to one row per key on compaction; the aggregate state
+    is invariant."""
+    from pyspark.sql import functions as F_
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v = -1
+    for b in range(5):
+        delta = spark.createDataFrame(
+            [(g, 1) for g in range(b, b + 10)], "g long, df long"
+        )
+        v = wh.stage_append("cb_gram_df", delta, v if v >= 0 else None)
+        wh.publish({"cb_gram_df": v})
+    state_before = _rows(
+        wh.read("cb_gram_df").groupBy("g").agg(F_.sum("df").alias("df"))
+    )
+    fold = lambda df: df.groupBy("g").agg(
+        F_.sum("df").cast("bigint").alias("df")
+    ).filter(F_.col("df") != 0)
+    assert wh.compact_if_needed("cb_gram_df", max_files=1, transform=fold)
+    got = _rows(wh.read("cb_gram_df").groupBy("g").agg(F_.sum("df").alias("df")))
+    assert got == state_before
+    # folded: exactly one row per key now
+    assert wh.read("cb_gram_df").count() == len(state_before)
