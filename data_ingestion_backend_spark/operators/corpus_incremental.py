@@ -173,6 +173,24 @@ def _affected_pbs(docs_df) -> list:
     ]
 
 
+def _affected_pbs_multi(tagged: dict[str, DataFrame]) -> dict[str, list]:
+    """The same bucket lists for SEVERAL change sets in ONE job: each
+    (doc_id,)-frame is tagged, unioned, and the distinct (tag, pb)
+    pairs collected once — five scheduling round-trips folded into one
+    (each list stays bounded by its change set's flip fan-out)."""
+    parts = [
+        df.select(F.lit(tag).alias("t"), _pb_col().alias("pb"))
+        for tag, df in tagged.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    out: dict[str, list] = {tag: [] for tag in tagged}
+    for r in u.distinct().collect():
+        out[r["t"]].append(r["pb"])
+    return out
+
+
 def _only_pbs(df, pbs: list):
     """Replacement rows for the affected partitions: the merged frame
     filtered to the affected buckets, pb materialized for the writer."""
@@ -396,7 +414,14 @@ def _lap(label: str) -> None:
 
 
 def _ckpt(df: DataFrame, label: str | None = None) -> DataFrame:
-    out = df.localCheckpoint(eager=True)
+    """Stage-boundary pin.  EAGER only under the decompose clock (each
+    boundary must be its own job for per-stage attribution); in
+    production the checkpoint is LAZY — it still truncates lineage and
+    materializes exactly once at first use, but folds into its first
+    consumer's job instead of paying a blocking job per boundary.  The
+    16-job floor this removes was the dominant share of the per-batch
+    constant at fixture scale (SCALE.md §5 decompose)."""
+    out = df.localCheckpoint(eager=STAGE_CLOCK is not None)
     if label is not None:
         _lap(label)
     return out
@@ -541,11 +566,6 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .agg(F.count("*").alias("k"))
     )
     gone = changed.unionByName(removed)
-    # affected partition buckets for the mutable per-doc state tables:
-    # clean/doc_buckets rows move for gone ∪ changed docs; postings move
-    # for membership changes only (added/removed survivors)
-    aff_doc_pbs = _affected_pbs(gone.unionByName(changed).distinct())
-    aff_post_pbs = _affected_pbs(removed.unionByName(added).distinct())
     clean_all = _ckpt(
         wh.read(CB_CLEAN, bases[CB_CLEAN]).drop("pb")
         .join(gone, "doc_id", "left_anti")
@@ -669,7 +689,6 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .filter(F.col("_old").isNull() | (F.col("lbl") != F.col("_old")))
         .select("doc_id")
     )
-    aff_lbl_pbs = _affected_pbs(lbl_changed)
     surv_changed = (
         surv.join(old_surv_full, ["doc_id", "cluster_id"], "left_anti")
         .select("doc_id")
@@ -679,7 +698,6 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         )
         .distinct()
     )
-    aff_surv_pbs = _affected_pbs(surv_changed)
     old_dec = wh.read(CB_DECISIONS, bases[CB_DECISIONS]).drop("pb")
     dec_diff = _ckpt(
         decisions.join(
@@ -703,7 +721,19 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         "16_decision_diff",
     )
-    aff_dec_pbs = _affected_pbs(dec_diff.select("doc_id"))
+    # one driver round-trip for all five bucket lists (affected
+    # partitions of every mutable table) instead of five separate jobs
+    pbs = _affected_pbs_multi(
+        {
+            "doc": gone.unionByName(changed),
+            "post": removed.unionByName(added),
+            "lbl": lbl_changed,
+            "surv": surv_changed,
+            "dec": dec_diff.select("doc_id"),
+        }
+    )
+    aff_doc_pbs, aff_post_pbs = pbs["doc"], pbs["post"]
+    aff_lbl_pbs, aff_surv_pbs, aff_dec_pbs = pbs["lbl"], pbs["surv"], pbs["dec"]
     change_log = dec_diff.select(
         F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
         "doc_id",

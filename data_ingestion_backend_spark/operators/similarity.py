@@ -637,6 +637,119 @@ STANDALONE_QUERIES["dedup_semantic"] = semantic_dedup_fixture
 # Persisted IVF index: the partition-pruned search the docstrings promise
 # --------------------------------------------------------------------------
 
+_INDEX_LEASE = "_LEASE"
+#: appenders hold the lease for one batch write; the rebuild holds it
+#: only across check+flip (microseconds) — 120 s of patience covers a
+#: slow batch encode without masking a wedged holder forever.
+_LEASE_TIMEOUT_SEC = 120.0
+_LEASE_POLL_SEC = 0.05
+#: a lease older than this is a crashed holder (no operation here holds
+#: it across human time scales) — broken on sight so one dead appender
+#: cannot wedge the index permanently.
+_LEASE_STALE_SEC = 3600.0
+
+
+def _acquire_index_lease(path: str, owner: str) -> str:
+    """Take the index's writer lease — an ``O_EXCL``-created file at the
+    index top (shared by every generation).  This is what makes the
+    append/rebuild race guard AIRTIGHT rather than merely narrow: the
+    r11 guard re-checked the append watermark before the manifest flip,
+    but check and flip were two syscalls, so an append landing in the
+    microseconds between them still vanished silently.  Now every
+    appender holds the lease from live-root resolution through its
+    codes/corpus write, and the rebuild holds it across re-check +
+    flip — the interleaving that loses an append cannot be scheduled.
+    Training itself runs WITHOUT the lease (it is minutes long; racing
+    appends during it are caught by the watermark re-check and refuse
+    the flip, as before).  Crash-safe: a holder that died leaves a file
+    whose age exceeds ``_LEASE_STALE_SEC``; the next acquirer breaks
+    it.  Contention past ``_LEASE_TIMEOUT_SEC`` raises with the
+    holder's identity rather than deadlocking."""
+    import json
+    import os
+    import time
+
+    _require_local_index_path(path)
+    os.makedirs(path, exist_ok=True)
+    lease = os.path.join(path, _INDEX_LEASE)
+    deadline = time.monotonic() + _LEASE_TIMEOUT_SEC
+    while True:
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump({"owner": owner, "pid": os.getpid()}, f)
+            return lease
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lease).st_mtime > _LEASE_STALE_SEC:
+                    os.remove(lease)  # crashed holder — break and retry
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between our check and stat
+            if time.monotonic() >= deadline:
+                try:
+                    with open(lease) as f:
+                        held = f.read()
+                except OSError:
+                    held = "<released concurrently>"
+                raise TimeoutError(
+                    f"index writer lease at {lease!r} held past "
+                    f"{_LEASE_TIMEOUT_SEC}s by {held}; if that process is "
+                    "dead, remove the lease file"
+                )
+            time.sleep(_LEASE_POLL_SEC)
+
+
+def _release_index_lease(lease: str) -> None:
+    import os
+
+    try:
+        os.remove(lease)
+    except FileNotFoundError:  # stale-broken by a contender — already free
+        pass
+
+
+def _with_index_lease(fn):
+    """Run an appender under the index writer lease: held from before
+    the live-root resolve until its codes/corpus write has fully
+    landed, so a concurrent rebuild's check+flip (also under the lease)
+    can never interleave into the window where an append would vanish
+    into a just-retired generation."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, path, *args, **kwargs):
+        lease = _acquire_index_lease(path, owner=fn.__name__)
+        try:
+            return fn(spark, path, *args, **kwargs)
+        finally:
+            _release_index_lease(lease)
+
+    return wrapper
+
+
+def _ivf_append_mark(live_root: str) -> frozenset:
+    """Append watermark for the raw-vector IVF family: the data-file
+    NAME SET of the live generation's ``corpus`` directory (a pure
+    namespace walk, O(#files), no parquet read).  ``mode=append``
+    writes have no batch protocol to count, but every append must
+    create at least one new part file, so name-set equality before the
+    flip proves no append landed after the rebuild's corpus snapshot —
+    the same guard the batch-partitioned families get from
+    ``_next_batch_id`` (r11 left this family prose-only)."""
+    import os
+
+    root = os.path.join(live_root, "corpus")
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        out += [
+            os.path.join(rel, f) for f in files if not f.startswith(("_", "."))
+        ]
+    return frozenset(out)
+
+
+
 def build_ivf_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
     """Materialize the IVF index: corpus rows written hive-partitioned by
     their nearest-centroid cluster, centroids saved beside them.
@@ -698,6 +811,7 @@ def _quantization_fit(assigned: DataFrame, centroid_df: DataFrame) -> DataFrame:
     )
 
 
+@_with_index_lease
 def append_to_ivf_index(
     spark: SparkSession,
     path: str,
@@ -1550,6 +1664,7 @@ def _next_batch_id(spark: SparkSession, codes_path: str) -> int:
     return (max(ids) + 1) if ids else 0
 
 
+@_with_index_lease
 def append_to_pq_index(
     spark: SparkSession,
     path: str,
@@ -1911,46 +2026,63 @@ def _rebuild_index(
     manifest flips; a crash before the flip leaves the old index
     untouched and the half-built directory inert.
 
-    WRITER-RACE GUARD (r11, was a docstring caveat): an append that
-    lands in the live generation AFTER the rebuild snapshots its corpus
-    would be silently absent from the new generation.  For the
-    batch-partitioned families (``codes_dir`` set — PQ, IVFADC) the
-    guard snapshots the live generation's append watermark
-    (``_next_batch_id`` — a namespace glob, O(#batches)) on entry and
-    re-checks it before the flip; if either the watermark or the live
-    generation itself advanced, the flip is REFUSED with the half-built
-    directory left inert and the live index untouched — the caller
-    re-runs the rebuild over a corpus that includes the raced batch.
-    The raw-vector IVF family (mode-append, no batch protocol) keeps
-    the single-writer prose instead (``codes_dir=None``)."""
+    WRITER-RACE GUARD (r11; made AIRTIGHT and UNIVERSAL in r12): an
+    append that lands in the live generation AFTER the rebuild
+    snapshots its corpus would be silently absent from the new
+    generation.  The guard snapshots the live generation's append
+    watermark on entry — ``_next_batch_id`` (a namespace glob,
+    O(#batches)) for the batch-partitioned families (``codes_dir`` set
+    — PQ, IVFADC), the corpus-dir data-file NAME SET
+    (``_ivf_append_mark``) for the raw-vector IVF family
+    (``codes_dir=None``; r11 left it prose-only) — and re-checks it
+    before the flip; if either the watermark or the live generation
+    itself advanced, the flip is REFUSED with the half-built directory
+    left inert and the live index untouched — the caller re-runs the
+    rebuild over a corpus that includes the raced batch.  The re-check
+    + flip run UNDER the writer lease every appender also holds across
+    its own live-root-resolve + write (``_acquire_index_lease``), so
+    the r11 residual TOCTOU — an append landing in the microseconds
+    between re-check and ``os.replace`` — cannot be scheduled at all
+    (race goldens in tests/test_ivfadc_maintenance.py)."""
     import os
 
     live = _index_root(path)
     gen = 1 if live == path else int(live.rsplit("gen=", 1)[1]) + 1
-    pre_mark = (
-        _next_batch_id(spark, os.path.join(live, codes_dir))
-        if codes_dir is not None
-        else None
-    )
+
+    def mark():
+        if codes_dir is not None:
+            return _next_batch_id(spark, os.path.join(live, codes_dir))
+        return _ivf_append_mark(live)
+
+    pre_mark = mark()
     builder(spark, os.path.join(path, "gen=%d" % gen), corpus)
-    if _index_root(path) != live:
-        raise RuntimeError(
-            f"index rebuild race: another rebuild published while this one "
-            f"was training (live root moved off {live!r}); the half-built "
-            f"gen={gen} was NOT published — re-run against the current corpus"
-        )
-    if codes_dir is not None:
-        post_mark = _next_batch_id(spark, os.path.join(live, codes_dir))
+    lease = _acquire_index_lease(path, owner=f"rebuild gen={gen}")
+    try:
+        if _index_root(path) != live:
+            raise RuntimeError(
+                f"index rebuild race: another rebuild published while this "
+                f"one was training (live root moved off {live!r}); the "
+                f"half-built gen={gen} was NOT published — re-run against "
+                f"the current corpus"
+            )
+        post_mark = mark()
         if post_mark != pre_mark:
+            detail = (
+                f"{len(pre_mark)} -> {len(post_mark)} data files"
+                if isinstance(pre_mark, frozenset)
+                else f"{pre_mark} -> {post_mark}"
+            )
             raise RuntimeError(
                 f"index rebuild race: an append advanced the live "
-                f"generation's batch watermark ({pre_mark} -> {post_mark}) "
-                f"after the rebuild's corpus snapshot — its vectors would "
-                f"be missing from gen={gen}, so the flip was REFUSED and "
-                f"the live index is untouched; re-run the rebuild over a "
-                f"corpus that includes the raced batch"
+                f"generation's append watermark ({detail}) after the "
+                f"rebuild's corpus snapshot — its vectors would be missing "
+                f"from gen={gen}, so the flip was REFUSED and the live "
+                f"index is untouched; re-run the rebuild over a corpus "
+                f"that includes the raced batch"
             )
-    _publish_index_generation(path, gen)
+        _publish_index_generation(path, gen)
+    finally:
+        _release_index_lease(lease)
     return gen
 
 
@@ -1977,9 +2109,10 @@ def rebuild_ivfadc_index(
 
 def rebuild_ivf_index(spark: SparkSession, path: str, corpus: DataFrame) -> int:
     """Retrain-and-swap for the raw-vector IVF index (same protocol;
-    no batch-partitioned layout, so the append/rebuild race guard does
-    not apply — the caller owns serializing, as the maintain_ wrapper
-    does by running them in sequence)."""
+    no batch-partitioned layout, so its append watermark is the
+    corpus-dir data-file NAME SET — ``_ivf_append_mark`` — re-checked
+    under the writer lease before the flip, exactly like the
+    batch-counted families)."""
     return _rebuild_index(spark, path, corpus, build_ivf_index, codes_dir=None)
 
 
@@ -2175,6 +2308,7 @@ def _cv_residual_recon_baseline(
     )
 
 
+@_with_index_lease
 def append_to_ivfadc_index(
     spark: SparkSession,
     path: str,

@@ -231,7 +231,7 @@ def test_append_racing_rebuild_refuses_the_flip(spark, emb, tmp_path):
         append_to_ivfadc_index(spark, path, raced, batch_id=1)
         build_ivfadc_index(s, p, c)
 
-    with pytest.raises(RuntimeError, match="batch watermark"):
+    with pytest.raises(RuntimeError, match="append watermark"):
         _rebuild_index(spark, path, base, racing_builder)
     # defined outcome: no flip, live index serves identically (the raced
     # append IS absorbed into the live generation, so base-query results
@@ -343,3 +343,85 @@ def test_ivf_and_pq_maintenance_twins(spark, emb, tmp_path):
         spark, pq, healthy, accumulated.unionByName(healthy), batch_id=2
     )
     assert rep["rebuilt"] is False and _index_root(pq).endswith("gen=1")
+
+
+def test_ivf_raw_vector_append_racing_rebuild_refuses_the_flip(
+    spark, emb, tmp_path
+):
+    """r12: the raw-vector IVF family joins the race guard — its append
+    watermark is the corpus-dir data-file NAME SET, so a mode-append
+    landing during the rebuild's training refuses the flip exactly like
+    the batch-counted families (this family was prose-only in r11)."""
+    from data_ingestion_backend_spark.operators.similarity import (
+        _rebuild_index,
+        append_to_ivf_index,
+        build_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf_race")
+    base = emb.filter(F.col("vec_id") < 300)
+    build_ivf_index(spark, path, base)
+    raced = emb.filter(F.col("vec_id") >= 450).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "e"
+    )
+
+    def racing_builder(s, p, c):
+        append_to_ivf_index(spark, path, raced)
+        build_ivf_index(s, p, c)
+
+    with pytest.raises(RuntimeError, match="append watermark"):
+        _rebuild_index(spark, path, base, racing_builder, codes_dir=None)
+    # no flip; the raced vectors live in the (still-live) flat root
+    assert _index_root(path) == path
+    got = spark.read.parquet(os.path.join(path, "corpus"))
+    assert got.filter(F.col("vec_id") >= 7000).count() > 0
+    # retry over the accumulated corpus publishes
+    gen = rebuild_ivf_index(spark, path, base.unionByName(raced))
+    assert gen == 1 and _index_root(path).endswith("gen=1")
+
+
+def test_writer_lease_serializes_append_against_flip(spark, emb, tmp_path):
+    """The airtight mechanism itself: while one writer holds the index
+    lease, a concurrent appender cannot enter its write section (it
+    times out loudly instead of silently landing in a generation about
+    to be retired), and releasing the lease unblocks it."""
+    import data_ingestion_backend_spark.operators.similarity as sim
+
+    path = str(tmp_path / "ivf_lease")
+    base = emb.filter(F.col("vec_id") < 200)
+    sim.build_ivf_index(spark, path, base)
+    batch = emb.filter(F.col("vec_id").between(200, 240))
+
+    lease = sim._acquire_index_lease(path, owner="test-holder")
+    old_timeout = sim._LEASE_TIMEOUT_SEC
+    sim._LEASE_TIMEOUT_SEC = 0.3
+    try:
+        with pytest.raises(TimeoutError, match="writer lease"):
+            sim.append_to_ivf_index(spark, path, batch)
+    finally:
+        sim._LEASE_TIMEOUT_SEC = old_timeout
+        sim._release_index_lease(lease)
+    # released: the same append proceeds
+    rep = sim.append_to_ivf_index(spark, path, batch)
+    assert rep["retrain"] is False
+    # and the lease is not left behind by a successful append
+    assert not os.path.exists(os.path.join(path, sim._INDEX_LEASE))
+
+
+def test_stale_lease_from_crashed_holder_is_broken(spark, emb, tmp_path):
+    """A holder that died leaves its lease file behind; the next writer
+    detects the stale age and breaks it instead of wedging forever."""
+    import data_ingestion_backend_spark.operators.similarity as sim
+
+    path = str(tmp_path / "ivf_stale")
+    base = emb.filter(F.col("vec_id") < 200)
+    sim.build_ivf_index(spark, path, base)
+    lease = sim._acquire_index_lease(path, owner="crashed")
+    old = os.path.getmtime(lease) - sim._LEASE_STALE_SEC - 10
+    os.utime(lease, (old, old))
+    rep = sim.append_to_ivf_index(
+        spark, path, emb.filter(F.col("vec_id").between(200, 240))
+    )
+    assert rep["retrain"] is False  # acquired by breaking the stale lease
+    assert not os.path.exists(os.path.join(path, sim._INDEX_LEASE))

@@ -64,7 +64,64 @@ def _summarize(lat: list[float]) -> dict:
     }
 
 
-def soak_build(spark, n_batches: int, verify: bool, decompose: bool = False) -> dict:
+def _grown_docs(docs, copies: int):
+    """``copies`` synthetic-disjoint clones of the documents fixture for
+    pre-growing BUILD state: tokens prefixed per copy (disjoint shingles
+    and span-grams → no cross near-dups, no gram-df coupling with the
+    measured batches), doc_ids offset far above the fixture range, a
+    per-copy SOURCE so the grown mass keeps its own length-percentile
+    windows.  The global decisions (DSIR λ, budget line) still couple —
+    that is the point: the measured batches pay the real
+    integer-recompute cost at grown state."""
+    parts = []
+    for c in range(1, copies + 1):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + 10_000_000 * c).alias("doc_id"),
+                "lang",
+                F.concat(F.lit(f"g{c}_"), F.col("source")).alias("source"),
+                "n_chars",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda x: F.concat(F.lit(f"g{c}"), x),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _table_files(wh, tables) -> dict:
+    """inode → size for every data file of each table's CURRENT version
+    (hard-linked base files keep their inode, so a batch's fresh bytes
+    are exactly the inodes that did not exist before it)."""
+    out = {}
+    for t in tables:
+        v = wh.current_version(t)
+        m = {}
+        if v >= 0:
+            for dirpath, _dirs, files in os.walk(wh._version_path(t, v)):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    st = os.stat(os.path.join(dirpath, f))
+                    m[st.st_ino] = st.st_size
+        out[t] = m
+    return out
+
+
+def soak_build(
+    spark,
+    n_batches: int,
+    verify: bool,
+    decompose: bool = False,
+    grown_copies: int = 0,
+) -> dict:
     import data_ingestion_backend_spark.operators.corpus_incremental as ci
     from data_ingestion_backend_spark.operators.corpus_incremental import (
         _ALL_TABLES,
@@ -83,8 +140,27 @@ def soak_build(spark, n_batches: int, verify: bool, decompose: bool = False) -> 
     tmp = tempfile.mkdtemp(prefix="corpussoak_")
     wh = Warehouse(spark, os.path.join(tmp, "wh"))
     lat = []
+    new_bytes = []
+    table_bytes: list[dict] = []
+    max_files = []
     stage_runs: list[dict] = []
+    grown_rows = 0
     try:
+        first_id = 0
+        if grown_copies:
+            grown = _grown_docs(docs, grown_copies).localCheckpoint(eager=True)
+            grown_rows = grown.count()
+            t0 = time.perf_counter()
+            assert extend_corpus_build(wh, grown, 0)
+            grown_seed_sec = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {"grown_seed_docs": grown_rows, "sec": round(grown_seed_sec, 1)}
+                ),
+                file=sys.stderr,
+            )
+            first_id = 1
+        prev_files = _table_files(wh, _ALL_TABLES)
         for i in range(n_batches):
             lo, hi = i * per, (i + 1) * per if i < n_batches - 1 else n_docs
             batch = docs.filter(
@@ -93,19 +169,55 @@ def soak_build(spark, n_batches: int, verify: bool, decompose: bool = False) -> 
             clocks = {} if decompose else None
             ci.STAGE_CLOCK = clocks
             t0 = time.perf_counter()
-            assert extend_corpus_build(wh, batch, i)
+            assert extend_corpus_build(wh, batch, first_id + i)
             lat.append(time.perf_counter() - t0)
             ci.STAGE_CLOCK = None
             if decompose:
                 stage_runs.append(clocks)
+            cur_files = _table_files(wh, _ALL_TABLES)
+            per_table = {
+                t: sum(
+                    sz
+                    for ino, sz in cur_files[t].items()
+                    if ino not in prev_files[t]
+                )
+                for t in _ALL_TABLES
+            }
+            new_bytes.append(sum(per_table.values()))
+            table_bytes.append(per_table)
+            max_files.append(max(len(cur_files[t]) for t in _ALL_TABLES))
+            prev_files = cur_files
             if i and i % VACUUM_EVERY == 0:
                 for t in _ALL_TABLES:
                     wh.vacuum(t)
             print(
-                json.dumps({"batch": i, "sec": round(lat[-1], 3)}),
+                json.dumps(
+                    {
+                        "batch": i,
+                        "sec": round(lat[-1], 3),
+                        "new_mb": round(new_bytes[-1] / 1e6, 2),
+                        "max_files": max_files[-1],
+                    }
+                ),
                 file=sys.stderr,
             )
         out = _summarize(lat)
+        if grown_copies:
+            out["grown_state_docs"] = grown_rows
+            out["grown_seed_sec"] = round(grown_seed_sec, 1)
+        head_b = new_bytes[1 : min(11, len(new_bytes))]
+        tail_b = new_bytes[-10:]
+        out["new_mb_first10_mean"] = round(sum(head_b) / len(head_b) / 1e6, 2)
+        out["new_mb_last10_mean"] = round(sum(tail_b) / len(tail_b) / 1e6, 2)
+        out["bytes_growth"] = round(
+            (sum(tail_b) / len(tail_b)) / max(sum(head_b) / len(head_b), 1), 2
+        )
+        out["max_files_any_table"] = max(max_files)
+        tail_t = table_bytes[-10:]
+        out["table_mb_last10_mean"] = {
+            t: round(sum(r[t] for r in tail_t) / len(tail_t) / 1e6, 3)
+            for t in _ALL_TABLES
+        }
         if decompose and stage_runs:
             tail = stage_runs[-10:]
             out["stage_mean_last10_sec"] = {
@@ -114,11 +226,14 @@ def soak_build(spark, n_batches: int, verify: bool, decompose: bool = False) -> 
             }
         out["decision_rows"] = read_decisions(wh).count()
         if verify:
+            full = (
+                docs if not grown_copies else grown.unionByName(docs)
+            )
             got = sorted(
                 tuple(r) for r in read_decisions(wh).collect()
             )
             want = sorted(
-                tuple(r) for r in corpus_build_monolithic(docs).collect()
+                tuple(r) for r in corpus_build_monolithic(full).collect()
             )
             out["monolithic_equal"] = got == want
         return out
@@ -248,13 +363,24 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=4)
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--decompose", action="store_true")
+    ap.add_argument(
+        "--grown-copies",
+        type=int,
+        default=0,
+        help="build arm: pre-grow the 12-table state with N synthetic-"
+        "disjoint fixture clones (one giant batch 0) before measuring",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="corpussoak", master="local[32]")
     out = {}
     try:
         if args.arm in ("build", "both"):
             out["incremental_build"] = soak_build(
-                spark, args.batches, args.verify, args.decompose
+                spark,
+                args.batches,
+                args.verify,
+                args.decompose,
+                args.grown_copies,
             )
             print(json.dumps({"incremental_build": out["incremental_build"]}), file=sys.stderr)
         if args.arm in ("admission", "both"):
