@@ -206,13 +206,29 @@ class Warehouse:
         vacuum eventually removes."""
         nxt = self.current_version(table) + 1
         path = self._version_path(table, nxt)
-        parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
-        out = df if parts is None else df.coalesce(parts)
+        out = self._sized(table, df, partition_by)
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         return nxt
+
+    def _sized(
+        self, table: str, df: DataFrame, partition_by: list[str] | None
+    ):
+        """Pre-write distribution: flat tables coalesce to the table's
+        write parallelism (file-count bound); hive-partitioned writes
+        REPARTITION BY the partition columns instead — with a coalesce,
+        every task holds rows of ~every partition value and writes one
+        file into each ``col=value/`` directory (tasks × dirs files per
+        version, the small-file explosion); keyed repartitioning puts
+        each directory's rows in one task → one file per affected
+        directory, which is also what keeps the compaction trigger's
+        per-directory file count meaningful."""
+        if partition_by:
+            return df.repartition(*partition_by)
+        parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
+        return df if parts is None else df.coalesce(parts)
 
     def append(self, table: str, df: DataFrame) -> int:
         cur = self.read(table)
@@ -319,9 +335,7 @@ class Warehouse:
                 "base's own partition_by"
             )
         path = self._version_path(table, nxt)
-        parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
-        out = df if parts is None else df.coalesce(parts)
-        writer = out.write.mode("overwrite")
+        writer = self._sized(table, df, partition_by).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
@@ -403,9 +417,9 @@ class Warehouse:
             return self.stage(table, full_df, [partition_col])
         nxt = self.current_version(table) + 1
         path = self._version_path(table, nxt)
-        parts = self.write_partitions.get(table, _CONTROL_PLANE_DEFAULT)
-        out = df_replaced if parts is None else df_replaced.coalesce(parts)
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        self._sized(table, df_replaced, [partition_col]).write.mode(
+            "overwrite"
+        ).partitionBy(partition_col).parquet(path)
         skip = {f"{partition_col}={v}" for v in affected}
         base_path = self._version_path(table, base_version)
         for entry in os.listdir(base_path):
@@ -462,6 +476,28 @@ class Warehouse:
             n += sum(1 for f in files if not f.startswith(("_", ".")))
         return n
 
+    def max_files_per_leaf(self, table: str, version: int | None = None) -> int:
+        """Max data-file count in any one LEAF directory — the metric
+        the compaction trigger actually compares.  Readers of a
+        hive-partitioned table prune to partition directories, so their
+        scan cost is per-DIRECTORY file count, and a compacted
+        partitioned table can never hold fewer total files than it has
+        partition values — a TOTAL-count trigger would fire forever and
+        thrash a full rewrite every batch (measured: the r12 grown soak
+        caught exactly this).  For a flat table the version root is the
+        single leaf, so this equals :meth:`data_file_count` and the
+        trigger semantics are unchanged."""
+        v = self.current_version(table) if version is None else version
+        if v < 0:
+            return 0
+        worst = 0
+        for _dirpath, _dirs, files in os.walk(self._version_path(table, v)):
+            worst = max(
+                worst,
+                sum(1 for f in files if not f.startswith(("_", "."))),
+            )
+        return worst
+
     def compact_if_needed(
         self,
         table: str,
@@ -470,8 +506,10 @@ class Warehouse:
         transform=None,
     ) -> int | None:
         """The compaction TRIGGER: rewrite ``table`` into one fresh
-        snapshot iff its current version holds more than ``max_files``
-        data files, else do nothing.  Called by the maintained gates
+        snapshot iff any leaf directory of its current version holds
+        more than ``max_files`` data files (see
+        :meth:`max_files_per_leaf` for why per-leaf, not total), else
+        do nothing.  Called by the maintained gates
         after each commit, this bounds reader file counts at O(
         max_files + files-per-batch × batches-since-compact) while the
         appends keep their O(batch) write economics — the scheduled
@@ -484,7 +522,7 @@ class Warehouse:
         during, or after it leaves every exactly-once replay argument
         untouched (a live intent's pinned versions still exist until
         vacuum)."""
-        if self.data_file_count(table) <= max_files:
+        if self.max_files_per_leaf(table) <= max_files:
             return None
         df = self.read(table)
         if transform is not None:

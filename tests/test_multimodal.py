@@ -87,3 +87,155 @@ def test_frame_sample_fanout_and_determinism(spark):
         assert [r["frame_idx"] for r in rows] == list(range(expected))
         assert all(r["t_ms"] == r["frame_idx"] * FRAME_STRIDE_MS for r in rows)
         assert len({r["frame_md5"] for r in rows}) == expected  # distinct frames
+
+
+# --------------------------------------------------------------------------
+# r12: REAL decode kernels — byte-exact goldens on hand-written blobs
+# --------------------------------------------------------------------------
+
+def _hand_ppm():
+    # 2x1 image, pixels (1,2,3) (4,5,6); a header comment exercises the
+    # spec's comment rule
+    return b"P6\n# hand-made\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+
+
+def _hand_bmp(top_down=False):
+    # 3x2 24-bit BI_RGB; pixels in IMAGE order (row 0 = top):
+    #   (10,20,30) (40,50,60) (70,80,90)
+    #   (11,21,31) (41,51,61) (71,81,91)
+    import struct
+
+    w, h = 3, 2
+    rows = [
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+        [(11, 21, 31), (41, 51, 61), (71, 81, 91)],
+    ]
+    order = rows if top_down else rows[::-1]  # bottom-up storage
+    body = b""
+    for row in order:
+        line = b"".join(bytes((b, g, r)) for r, g, b in row)  # BGR
+        body += line + b"\x00" * (((w * 3 + 3) // 4) * 4 - w * 3)
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+            len(body), 2835, 2835, 0, 0,
+        )
+        + body
+    )
+
+
+_BMP_SUMS = dict(
+    sum_r=10 + 40 + 70 + 11 + 41 + 71,
+    sum_g=20 + 50 + 80 + 21 + 51 + 81,
+    sum_b=30 + 60 + 90 + 31 + 61 + 91,
+)
+
+
+def _hand_wav():
+    # PCM16 mono 44.1k, samples [1000, -1000, 32767, -32768]; a LIST
+    # chunk BEFORE data exercises the chunk walk
+    import struct
+
+    data = struct.pack("<4h", 1000, -1000, 32767, -32768)
+    list_chunk = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(list_chunk) + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 44100, 88200, 2, 16)
+        + list_chunk
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def test_real_ppm_decode_is_byte_exact():
+    from data_ingestion_backend_spark.operators.multimodal import _decode_ppm
+
+    got = _decode_ppm(_hand_ppm())
+    assert got == {
+        "kind": "ppm", "width": 2, "height": 1,
+        "sum_r": 1 + 4, "sum_g": 2 + 5, "sum_b": 3 + 6,
+    }
+
+
+def test_real_bmp_decode_handles_bottom_up_bgr_and_padding():
+    from data_ingestion_backend_spark.operators.multimodal import _decode_bmp
+
+    for td in (False, True):  # bottom-up AND top-down (negative height)
+        got = _decode_bmp(_hand_bmp(top_down=td))
+        assert got == {"kind": "bmp", "width": 3, "height": 2, **_BMP_SUMS}, td
+
+
+def test_real_wav_decode_walks_chunks_and_signs_samples():
+    from data_ingestion_backend_spark.operators.multimodal import _decode_wav
+
+    got = _decode_wav(_hand_wav())
+    assert got == {
+        "kind": "wav", "sample_rate": 44100, "n_samples": 4,
+        "sum_abs": 1000 + 1000 + 32767 + 32768,
+    }
+
+
+def test_real_decode_rejects_corrupt_loudly():
+    import pytest
+
+    from data_ingestion_backend_spark.operators.multimodal import (
+        decode_media_bytes,
+    )
+
+    for blob, msg in (
+        (b"GARBAGE!", "unknown media magic"),
+        (b"P6\n2 1\n255\n\x01\x02", "truncated PPM pixel"),
+        (b"BM" + b"\x00" * 10, "truncated BMP header"),
+        (b"RIFF\x10\x00\x00\x00WAVEjunk", "missing fmt/data"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            decode_media_bytes(blob)
+
+
+def test_decode_media_real_stage_quarantines_corrupt_rows(spark):
+    """The Arrow stage: real rows decode, the corrupt row surfaces as an
+    err column instead of failing the pass."""
+    from data_ingestion_backend_spark.operators.multimodal import (
+        decode_media_real,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_hand_ppm())),
+            (2, bytearray(_hand_bmp())),
+            (3, bytearray(_hand_wav())),
+            (4, bytearray(b"NOTMEDIA")),
+        ],
+        "media_id long, media binary",
+    )
+    rows = {r["media_id"]: r.asDict() for r in decode_media_real(df).collect()}
+    assert rows[1]["kind"] == "ppm" and rows[1]["sum_r"] == 5
+    assert rows[2]["kind"] == "bmp" and rows[2]["sum_b"] == _BMP_SUMS["sum_b"]
+    assert rows[3]["kind"] == "wav" and rows[3]["n_samples"] == 4
+    assert rows[4]["kind"] is None and "unknown media magic" in rows[4]["err"]
+    assert rows[1]["err"] is None
+
+
+def test_media_decode_query_matches_duckdb_oracle(spark):
+    """The registered differential, run locally: the real decoders over
+    md5-derived PPM/BMP/WAV blobs vs DuckDB recomputing every statistic
+    from the hex digest (also the driver's oracle gate for
+    `media_decode`)."""
+    import duckdb
+
+    from data_ingestion_backend_spark.operators.multimodal import (
+        _media_decode_oracle,
+        media_decode_fixture,
+    )
+
+    got = [
+        tuple(r)
+        for r in media_decode_fixture(spark, SF_DIR_SMALL).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR_SMALL}/documents.parquet'"
+    )
+    want = con.execute(_media_decode_oracle()).fetchall()
+    assert got == [tuple(r) for r in want]

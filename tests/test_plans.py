@@ -83,6 +83,11 @@ SANCTIONED_PANDAS = {
     "dedup_semantic",
     "media_resize",
     "media_frame_sample",
+    # round-12: the REAL decode path (PPM/BMP/WAV kernels + the
+    # blob-fixture generator) is the same documented map-only Arrow
+    # media surface; byte-exact hand-blob goldens + a full DuckDB
+    # differential in test_multimodal.py
+    "media_decode",
     # round-8: the PCA pair's Gram partials and projection are the same
     # documented Arrow-batched GEMM surface as the IVF quantizer
     "emb_gram_matrix",

@@ -331,3 +331,29 @@ def test_compact_transform_folds_log_structured_state(spark, tmp_path):
     assert got == state_before
     # folded: exactly one row per key now
     assert wh.read("cb_gram_df").count() == len(state_before)
+
+
+def test_compact_trigger_is_per_leaf_not_total(spark, tmp_path):
+    """A hive-partitioned table can never hold fewer total files than
+    partition values, so the trigger compares the worst LEAF directory:
+    many one-file partitions must NOT fire (a total-count trigger would
+    thrash a full rewrite every batch — the r12 grown-soak lesson),
+    while a hot partition accumulating appends must."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _pjobs(spark, 0, 100)  # 10 partitions, ~1 file each
+    v = wh.write("jobs", base, ["pb"])
+    assert wh.data_file_count("jobs") >= 10
+    assert wh.max_files_per_leaf("jobs") <= 3
+    # total exceeds 8, worst leaf does not: no compaction
+    assert wh.compact_if_needed("jobs", ["pb"], max_files=8) is None
+    # grow ONE hot partition past the leaf threshold via appends
+    for i in range(9):
+        v = wh.stage_append(
+            "jobs", _pjobs(spark, 5, 8), v, partition_by=["pb"]
+        )
+        wh.publish({"jobs": v})
+    assert wh.max_files_per_leaf("jobs") > 8
+    before = wh.read("jobs").count()
+    assert wh.compact_if_needed("jobs", ["pb"], max_files=8) is not None
+    assert wh.max_files_per_leaf("jobs") <= 3
+    assert wh.read("jobs").count() == before
