@@ -751,12 +751,24 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     # twelve tables — never O(corpus).  full_df on the partition deltas
     # is the legacy-layout migration escape: a pre-delta flat snapshot
     # is rewritten partitioned ONCE, then bounded forever.
-    staged = {
-        CB_DOCS: wh.stage_append(CB_DOCS, sig_batch, bases[CB_DOCS]),
-        CB_MINHASH: wh.stage_append(CB_MINHASH, per_doc_new, bases[CB_MINHASH]),
-        CB_BANDS: wh.stage_append(CB_BANDS, bands_new, bases[CB_BANDS]),
-        CB_PAIRS: wh.stage_append(CB_PAIRS, new_pairs, bases[CB_PAIRS]),
-        CB_LABELS: wh.stage_partition_delta(
+    #
+    # The twelve stage writes are INDEPENDENT (different tables, next-
+    # version slots fixed before any write, nothing published until the
+    # single manifest swap below), so they submit CONCURRENTLY — the
+    # stage wall-clock is the slowest write, not the sum of twelve
+    # small-job floors (the r11 decompose showed stage_publish as the
+    # largest single slice of the per-batch constant).  Every frame a
+    # stage consumes was already materialized by the diff/collect
+    # passes above or is consumed by exactly ONE stage, so no lazy
+    # checkpoint is raced by two threads.
+    stage_jobs = {
+        CB_DOCS: lambda: wh.stage_append(CB_DOCS, sig_batch, bases[CB_DOCS]),
+        CB_MINHASH: lambda: wh.stage_append(
+            CB_MINHASH, per_doc_new, bases[CB_MINHASH]
+        ),
+        CB_BANDS: lambda: wh.stage_append(CB_BANDS, bands_new, bases[CB_BANDS]),
+        CB_PAIRS: lambda: wh.stage_append(CB_PAIRS, new_pairs, bases[CB_PAIRS]),
+        CB_LABELS: lambda: wh.stage_partition_delta(
             CB_LABELS,
             _only_pbs(labels, aff_lbl_pbs),
             aff_lbl_pbs,
@@ -764,7 +776,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             "pb",
             full_df=labels.withColumn("pb", _pb_col()),
         ),
-        CB_SURV: wh.stage_partition_delta(
+        CB_SURV: lambda: wh.stage_partition_delta(
             CB_SURV,
             _only_pbs(surv, aff_surv_pbs),
             aff_surv_pbs,
@@ -772,7 +784,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             "pb",
             full_df=surv.withColumn("pb", _pb_col()),
         ),
-        CB_GRAM_POSTS: wh.stage_partition_delta(
+        CB_GRAM_POSTS: lambda: wh.stage_partition_delta(
             CB_GRAM_POSTS,
             _only_pbs(posts_all, aff_post_pbs),
             aff_post_pbs,
@@ -780,14 +792,14 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             "pb",
             full_df=posts_all.withColumn("pb", _pb_col()),
         ),
-        CB_GRAM_DF: wh.stage_append(
+        CB_GRAM_DF: lambda: wh.stage_append(
             CB_GRAM_DF,
             delta.filter(F.col("d") != 0).select(
                 "g", F.col("d").cast("bigint").alias("df")
             ),
             bases[CB_GRAM_DF],
         ),
-        CB_CLEAN: wh.stage_partition_delta(
+        CB_CLEAN: lambda: wh.stage_partition_delta(
             CB_CLEAN,
             _only_pbs(clean_all, aff_doc_pbs),
             aff_doc_pbs,
@@ -795,7 +807,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             "pb",
             full_df=clean_all.withColumn("pb", _pb_col()),
         ),
-        CB_DOC_BUCKETS: wh.stage_partition_delta(
+        CB_DOC_BUCKETS: lambda: wh.stage_partition_delta(
             CB_DOC_BUCKETS,
             _only_pbs(doc_buckets, aff_doc_pbs),
             aff_doc_pbs,
@@ -803,7 +815,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             "pb",
             full_df=doc_buckets.withColumn("pb", _pb_col()),
         ),
-        CB_DECISIONS: wh.stage_partition_delta(
+        CB_DECISIONS: lambda: wh.stage_partition_delta(
             CB_DECISIONS,
             _only_pbs(decisions, aff_dec_pbs),
             aff_dec_pbs,
@@ -811,8 +823,15 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             "pb",
             full_df=decisions.withColumn("pb", _pb_col()),
         ),
-        CB_CHANGELOG: wh.stage_append(CB_CHANGELOG, change_log, bases[CB_CHANGELOG]),
+        CB_CHANGELOG: lambda: wh.stage_append(
+            CB_CHANGELOG, change_log, bases[CB_CHANGELOG]
+        ),
     }
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(stage_jobs)) as pool:
+        futures = {t: pool.submit(fn) for t, fn in stage_jobs.items()}
+        staged = {t: f.result() for t, f in futures.items()}
     wh.publish(staged)
     _write_cb_stats(
         wh, staged[CB_MINHASH], max(batch_max_n, corpus_max_n)

@@ -121,8 +121,19 @@ def soak_build(
     verify: bool,
     decompose: bool = False,
     grown_copies: int = 0,
+    part_range: int | None = None,
 ) -> dict:
     import data_ingestion_backend_spark.operators.corpus_incremental as ci
+
+    if part_range is not None:
+        # Size the doc-id range bucket to the soak corpus.  The default
+        # (1024) is tuned for production id densities; the 5 000-doc
+        # fixture collapses into ~5 buckets under it, so every flip
+        # rewrites a fifth of each mutable table and the write-bytes
+        # curve measures BUCKET COARSENESS, not the delta mechanism.
+        # The knob is the same mechanism at a corpus-appropriate
+        # granularity; constant for the lifetime of the warehouse.
+        ci.CB_PART_RANGE = part_range
     from data_ingestion_backend_spark.operators.corpus_incremental import (
         _ALL_TABLES,
         corpus_build_monolithic,
@@ -370,6 +381,14 @@ def main() -> None:
         help="build arm: pre-grow the 12-table state with N synthetic-"
         "disjoint fixture clones (one giant batch 0) before measuring",
     )
+    ap.add_argument(
+        "--part-range",
+        type=int,
+        default=None,
+        help="build arm: doc-id range per state-table bucket (default "
+        "CB_PART_RANGE=1024; pass a smaller value to match the fixture's "
+        "id density)",
+    )
     args = ap.parse_args()
     spark = get_spark(app_name="corpussoak", master="local[32]")
     out = {}
@@ -381,6 +400,7 @@ def main() -> None:
                 args.verify,
                 args.decompose,
                 args.grown_copies,
+                args.part_range,
             )
             print(json.dumps({"incremental_build": out["incremental_build"]}), file=sys.stderr)
         if args.arm in ("admission", "both"):
