@@ -452,10 +452,16 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
 
     # ----- per-doc static signals (batch-only raw-text work) ---------------
     sig_batch = _ckpt(_static_signals(batch), "01_signals_batch")
-    docs_all = _ckpt(
-        wh.read(CB_DOCS, bases[CB_DOCS]).unionByName(sig_batch),
-        "02_docs_state_pin",
-    )
+    # The accumulated signal table stays a LAZY plan (parquet ∪ pinned
+    # batch), never checkpointed: materializing it would re-write the
+    # corpus's RAW TEXT to local storage every batch — an O(corpus-text)
+    # pass the whole architecture exists to avoid (measured: the r12
+    # grown soak climbed 20 → 99 s/batch under exactly that) — and
+    # would also defeat column pruning: each consumer below reads only
+    # its 2-3 integer/metadata columns from the parquet scan; only the
+    # span re-cut pass touches `text`, and only for the CHANGED docs.
+    docs_all = wh.read(CB_DOCS, bases[CB_DOCS]).unionByName(sig_batch)
+    _lap("02_docs_state_pin")
 
     # ----- near-dup pairs + labels (persisted-index probe, star-CC) --------
     per_doc_new = _ckpt(
