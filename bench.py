@@ -207,6 +207,37 @@ def _calibration_sec() -> float:
     return round(statistics.median(samples), 4)
 
 
+def _parallel_calibration_sec() -> float:
+    """Fixed-work PARALLEL CPU reference (r12): 32 processes each
+    burning a fixed integer loop, wall-clock of the slowest.  The
+    4-thread matmul above cannot see the failure mode that invalidated
+    the first r12 sweep — the hypervisor throttling the VM to a few
+    EFFECTIVE cores while low-parallelism work (and therefore the
+    matmul calibration) stays fast: that session measured 0.21 s
+    single-proc vs 2.76 s for 32 procs (≈2.4 effective cores of 32)
+    with loadavg 0.3 and calibration_sec a healthy 1.06.  Spark's
+    32-slot stages live or die on this axis, so the artifact records
+    both references; compare sweeps only when BOTH are in band
+    (parallel reference ≈0.4-0.7 s on a healthy 32-core host)."""
+    import multiprocessing as mp
+
+    samples = []
+    ctx = mp.get_context("fork")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ctx.Pool(32) as p:
+            p.map(_cal_burn, range(32))
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def _cal_burn(_):
+    s = 0
+    for i in range(3_000_000):
+        s += i * i
+    return s
+
+
 def _sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -310,6 +341,10 @@ def main() -> None:
         # fixed-work CPU reference for cross-boot normalization (see
         # _calibration_sec); ~1.1 s on the round-6 reference host
         "calibration_sec": calibration,
+        # fixed-work PARALLEL reference (r12): effective-core capacity;
+        # ~0.4-0.7 s healthy, multiples of that = hypervisor throttling
+        # the parallel axis the matmul calibration cannot see
+        "calibration_parallel_sec": _parallel_calibration_sec(),
     }
     # Full detail (queries + spread + loadavg) to a file: the full JSON
     # line outgrew the driver's stdout tail-capture in round 5
