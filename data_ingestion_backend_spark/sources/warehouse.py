@@ -531,14 +531,45 @@ class Warehouse:
         self.publish({table: nxt})
         return nxt
 
+    def _intent_pinned_versions(self, table: str) -> set[int]:
+        """Versions of ``table`` pinned by a LIVE txn intent (a crashed
+        batch awaiting redelivery): every ``*/_intent`` file in the
+        warehouse whose bases name this table exactly.  Gates that pin
+        under ALIAS keys (the admission gate's ``nd_index`` etc.) are
+        not matched — their replay safety rests on vacuum's ``keep``
+        window exceeding the in-flight batch window, which their own
+        soaks honor."""
+        out: set[int] = set()
+        if not os.path.isdir(self.root):
+            return out
+        for sub in os.listdir(self.root):
+            p = os.path.join(self.root, sub, "_intent")
+            if not os.path.isfile(p):
+                continue
+            try:
+                with open(p) as f:
+                    bases = json.load(f).get("bases", {})
+            except (OSError, ValueError):
+                continue
+            if table in bases:
+                out.add(int(bases[table]))
+        return out
+
     def vacuum(self, table: str, keep: int = 2) -> None:
-        """Drop all but the newest ``keep`` versions (best-effort cleanup)."""
+        """Drop all but the newest ``keep`` versions (best-effort
+        cleanup) — EXCEPT versions a live crash-replay intent pins:
+        a batch that published but crashed before its marker re-runs
+        from its intent-recorded base versions, and vacuuming one of
+        those out from under it would turn the heal into a read of a
+        deleted directory (golden: crash → aggressive vacuum →
+        redelivery still heals)."""
         cur = self.current_version(table)
         tdir = self._table_dir(table)
         if cur < 0 or not os.path.isdir(tdir):
             return
+        pinned = self._intent_pinned_versions(table)
         for entry in os.listdir(tdir):
             if entry.startswith("v="):
                 v = int(entry.split("=", 1)[1])
-                if v <= cur - keep:
+                if v <= cur - keep and v not in pinned:
                     shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)

@@ -390,3 +390,52 @@ def test_compact_under_live_intent_heals(spark, tmp_path, monkeypatch):
         corpus_build_monolithic(_docs(spark).filter(F.col("doc_id") < 350))
     )
     assert _rows(read_decisions(wh)) == want
+
+
+def test_vacuum_never_removes_intent_pinned_bases(spark, tmp_path, monkeypatch):
+    """A crash after publish but before the marker leaves a live intent
+    pinning the pre-batch base versions; an aggressive vacuum in that
+    window must KEEP the pinned versions so the redelivered batch still
+    heals from them (vacuum honors `_intent_pinned_versions`)."""
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        _ALL_TABLES,
+    )
+    from data_ingestion_backend_spark.streaming import txn
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    assert extend_corpus_build(wh, _batch(spark, 0, 200), 0) is True
+    assert extend_corpus_build(wh, _batch(spark, 200, 350), 1) is True
+
+    class Boom(RuntimeError):
+        pass
+
+    real_write_atomic = txn.write_atomic
+
+    def crash_on_marker(path, payload):
+        if path.endswith("_last_batch"):
+            raise Boom("simulated crash before marker write")
+        real_write_atomic(path, payload)
+
+    monkeypatch.setattr(txn, "write_atomic", crash_on_marker)
+    try:
+        extend_corpus_build(wh, _batch(spark, 350, 500), 2)
+    except Boom:
+        pass
+    monkeypatch.setattr(txn, "write_atomic", real_write_atomic)
+    assert last_built_batch(wh) == 1  # intent live for batch 2
+
+    # aggressive vacuum inside the hazard window: keep=1 would remove
+    # every pre-crash version without the pin guard
+    import os
+
+    for t in _ALL_TABLES:
+        wh.vacuum(t, keep=1)
+    pinned = wh._intent_pinned_versions(CB_DECISIONS)
+    assert pinned, "intent should pin the decision base"
+    for v in pinned:
+        assert os.path.isdir(wh._version_path(CB_DECISIONS, v))
+
+    # the redelivered batch heals to the monolithic truth
+    assert extend_corpus_build(wh, _batch(spark, 350, 500), 2) is True
+    want = _rows(corpus_build_monolithic(_docs(spark)))
+    assert _rows(read_decisions(wh)) == want
