@@ -638,33 +638,65 @@ STANDALONE_QUERIES["dedup_semantic"] = semantic_dedup_fixture
 # --------------------------------------------------------------------------
 
 _INDEX_LEASE = "_LEASE"
-#: appenders hold the lease for one batch write; the rebuild holds it
-#: only across check+flip (microseconds) — 120 s of patience covers a
-#: slow batch encode without masking a wedged holder forever.
-_LEASE_TIMEOUT_SEC = 120.0
+#: acquisition patience — must exceed the worst live batch append
+#: (seconds locally; minutes at production batch sizes), because a LIVE
+#: holder genuinely owns the lock for its whole write and a contender
+#: can only wait.  A long timeout is safe now that crashed holders cost
+#: ZERO wait: the kernel drops their ``flock`` the instant the process
+#: dies, so patience never means waiting on a corpse (r12's
+#: mtime-staleness heuristic — and its stat→remove break race, where
+#: two contenders could both judge a lease stale and the loser's
+#: ``os.remove`` deleted the winner's FRESH lease — are gone entirely;
+#: there is no break path left to race).
+_LEASE_TIMEOUT_SEC = 600.0
 _LEASE_POLL_SEC = 0.05
-#: a lease older than this is a crashed holder (no operation here holds
-#: it across human time scales) — broken on sight so one dead appender
-#: cannot wedge the index permanently.
-_LEASE_STALE_SEC = 3600.0
 
 
-def _acquire_index_lease(path: str, owner: str) -> str:
-    """Take the index's writer lease — an ``O_EXCL``-created file at the
-    index top (shared by every generation).  This is what makes the
-    append/rebuild race guard AIRTIGHT rather than merely narrow: the
-    r11 guard re-checked the append watermark before the manifest flip,
-    but check and flip were two syscalls, so an append landing in the
-    microseconds between them still vanished silently.  Now every
-    appender holds the lease from live-root resolution through its
-    codes/corpus write, and the rebuild holds it across re-check +
-    flip — the interleaving that loses an append cannot be scheduled.
-    Training itself runs WITHOUT the lease (it is minutes long; racing
-    appends during it are caught by the watermark re-check and refuse
-    the flip, as before).  Crash-safe: a holder that died leaves a file
-    whose age exceeds ``_LEASE_STALE_SEC``; the next acquirer breaks
-    it.  Contention past ``_LEASE_TIMEOUT_SEC`` raises with the
-    holder's identity rather than deadlocking."""
+class _IndexLease:
+    """A held writer lease: the ``flock``-ed fd plus the lease path.
+    Opaque token — create via ``_acquire_index_lease``, dispose via
+    ``_release_index_lease``."""
+
+    __slots__ = ("path", "fd")
+
+    def __init__(self, path: str, fd: int):
+        self.path = path
+        self.fd = fd
+
+
+def _acquire_index_lease(path: str, owner: str) -> _IndexLease:
+    """Take the index's writer lease — an exclusive kernel ``flock`` on
+    a permanent ``_LEASE`` file at the index top (shared by every
+    generation).  This is what makes the append/rebuild race guard
+    AIRTIGHT rather than merely narrow: every appender holds the lease
+    from live-root resolution through its codes/corpus write, and the
+    rebuild holds it across watermark re-check + manifest flip — the
+    interleaving that loses an append cannot be scheduled.  Training
+    itself runs WITHOUT the lease (it is minutes long; racing appends
+    during it are caught by the watermark re-check and refuse the
+    flip).
+
+    The lock is kernel-managed (``fcntl.flock``), which buys the two
+    properties a filename protocol cannot give:
+
+    * **crash release is instant and automatic** — a holder that dies
+      drops its lock with its last fd, so there is no staleness window
+      to guess at and no break path for contenders to race on (the r12
+      ``O_EXCL``+mtime scheme let two contenders both judge a lease
+      stale; after the first broke and re-created it, the second's
+      queued ``os.remove`` deleted the FRESH lease — two holders);
+    * **mutual exclusion is per open-file-description**, so it holds
+      across processes and within one (two ``open()`` calls conflict).
+
+    The ``_LEASE`` file is created once and NEVER unlinked (unlinking
+    a lock file reopens the classic two-holders-via-orphaned-inode
+    race); its json body records the current holder purely for the
+    timeout diagnostic.  Local-path-only, like the manifest it guards
+    (``flock`` on NFS/object stores is not trustworthy — the same
+    documented extension point as ``_require_local_index_path``).
+    Contention past ``_LEASE_TIMEOUT_SEC`` raises with the holder's
+    identity rather than deadlocking."""
+    import fcntl
     import json
     import os
     import time
@@ -672,41 +704,48 @@ def _acquire_index_lease(path: str, owner: str) -> str:
     _require_local_index_path(path)
     os.makedirs(path, exist_ok=True)
     lease = os.path.join(path, _INDEX_LEASE)
+    fd = os.open(lease, os.O_CREAT | os.O_RDWR)
     deadline = time.monotonic() + _LEASE_TIMEOUT_SEC
-    while True:
-        try:
-            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                json.dump({"owner": owner, "pid": os.getpid()}, f)
-            return lease
-        except FileExistsError:
+    try:
+        while True:
             try:
-                if time.time() - os.stat(lease).st_mtime > _LEASE_STALE_SEC:
-                    os.remove(lease)  # crashed holder — break and retry
-                    continue
-            except FileNotFoundError:
-                continue  # holder released between our check and stat
-            if time.monotonic() >= deadline:
-                try:
-                    with open(lease) as f:
-                        held = f.read()
-                except OSError:
-                    held = "<released concurrently>"
-                raise TimeoutError(
-                    f"index writer lease at {lease!r} held past "
-                    f"{_LEASE_TIMEOUT_SEC}s by {held}; if that process is "
-                    "dead, remove the lease file"
-                )
-            time.sleep(_LEASE_POLL_SEC)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                if time.monotonic() >= deadline:
+                    try:
+                        with open(lease) as f:
+                            held = f.read() or "<unidentified holder>"
+                    except OSError:
+                        held = "<unidentified holder>"
+                    raise TimeoutError(
+                        f"index writer lease at {lease!r} held past "
+                        f"{_LEASE_TIMEOUT_SEC}s by {held}; the holder is "
+                        "alive (a dead holder's lock releases instantly) — "
+                        "wait for its write to finish or raise the timeout"
+                    )
+                time.sleep(_LEASE_POLL_SEC)
+                continue
+            # lock held — record holder identity for the diagnostic
+            os.ftruncate(fd, 0)
+            os.write(
+                fd, json.dumps({"owner": owner, "pid": os.getpid()}).encode()
+            )
+            return _IndexLease(lease, fd)
+    except BaseException:
+        os.close(fd)
+        raise
 
 
-def _release_index_lease(lease: str) -> None:
+def _release_index_lease(lease: _IndexLease) -> None:
+    """Drop the lease: clear the holder record, then close the fd
+    (closing releases the ``flock``).  The lease FILE stays — see
+    ``_acquire_index_lease`` on why it is never unlinked."""
     import os
 
     try:
-        os.remove(lease)
-    except FileNotFoundError:  # stale-broken by a contender — already free
-        pass
+        os.ftruncate(lease.fd, 0)
+    finally:
+        os.close(lease.fd)
 
 
 def _with_index_lease(fn):

@@ -405,23 +405,96 @@ def test_writer_lease_serializes_append_against_flip(spark, emb, tmp_path):
     # released: the same append proceeds
     rep = sim.append_to_ivf_index(spark, path, batch)
     assert rep["retrain"] is False
-    # and the lease is not left behind by a successful append
-    assert not os.path.exists(os.path.join(path, sim._INDEX_LEASE))
+    # the lease FILE persists by design (unlinking a lock file reopens
+    # the orphaned-inode two-holders race) but is UNLOCKED — a fresh
+    # acquisition succeeds instantly
+    probe = sim._acquire_index_lease(path, owner="probe")
+    sim._release_index_lease(probe)
 
 
-def test_stale_lease_from_crashed_holder_is_broken(spark, emb, tmp_path):
-    """A holder that died leaves its lease file behind; the next writer
-    detects the stale age and breaks it instead of wedging forever."""
+def test_crashed_holder_lease_releases_instantly(spark, emb, tmp_path):
+    """A holder PROCESS that dies mid-write drops its kernel flock with
+    its last fd: the next writer acquires immediately — no staleness
+    window, no break heuristic, and therefore no break race (the r12
+    advice finding: two contenders could both judge an mtime-stale
+    lease dead, and the loser's os.remove deleted the winner's fresh
+    lease — with flock there is no remove path at all)."""
+    import subprocess
+    import sys
+    import time
+
     import data_ingestion_backend_spark.operators.similarity as sim
 
-    path = str(tmp_path / "ivf_stale")
+    path = str(tmp_path / "ivf_crash")
     base = emb.filter(F.col("vec_id") < 200)
     sim.build_ivf_index(spark, path, base)
-    lease = sim._acquire_index_lease(path, owner="crashed")
-    old = os.path.getmtime(lease) - sim._LEASE_STALE_SEC - 10
-    os.utime(lease, (old, old))
+    # a real second process acquires the lease, then dies holding it
+    # (os._exit: no cleanup code runs — the kernel alone frees the lock)
+    child = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            """
+import fcntl, os, sys
+fd = os.open(sys.argv[1], os.O_CREAT | os.O_RDWR)
+fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+os.write(fd, b'{"owner": "crashed-child"}')
+os._exit(0)
+""",
+            os.path.join(path, sim._INDEX_LEASE),
+        ],
+        capture_output=True,
+    )
+    assert child.returncode == 0, child.stderr.decode()
+    # stale owner json is still in the file; the lock is already free
+    t0 = time.monotonic()
     rep = sim.append_to_ivf_index(
         spark, path, emb.filter(F.col("vec_id").between(200, 240))
     )
-    assert rep["retrain"] is False  # acquired by breaking the stale lease
-    assert not os.path.exists(os.path.join(path, sim._INDEX_LEASE))
+    assert rep["retrain"] is False
+    # acquisition waited on nothing (well under any staleness window)
+    assert time.monotonic() - t0 < 60
+
+
+def test_live_holder_in_another_process_blocks_acquisition(tmp_path):
+    """Cross-process mutual exclusion: while a live child process holds
+    the flock, acquisition times out loudly with the holder's identity;
+    once the child exits, the same acquisition succeeds."""
+    import subprocess
+    import sys
+
+    import data_ingestion_backend_spark.operators.similarity as sim
+
+    path = str(tmp_path / "ivf_xproc")
+    os.makedirs(path, exist_ok=True)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            """
+import fcntl, os, sys
+fd = os.open(sys.argv[1], os.O_CREAT | os.O_RDWR)
+fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+os.write(fd, b'{"owner": "live-child"}')
+print("held", flush=True)
+sys.stdin.readline()  # hold until the parent says so
+""",
+            os.path.join(path, sim._INDEX_LEASE),
+        ],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+    )
+    try:
+        assert child.stdout.readline().strip() == b"held"
+        old_timeout = sim._LEASE_TIMEOUT_SEC
+        sim._LEASE_TIMEOUT_SEC = 0.3
+        try:
+            with pytest.raises(TimeoutError, match="live-child"):
+                sim._acquire_index_lease(path, owner="blocked-parent")
+        finally:
+            sim._LEASE_TIMEOUT_SEC = old_timeout
+    finally:
+        child.stdin.close()
+        child.wait(timeout=30)
+    lease = sim._acquire_index_lease(path, owner="after-child")
+    sim._release_index_lease(lease)
