@@ -234,15 +234,37 @@ def maintain_corpus_build(
     always a cheap file-count stat), safe to run any time between
     batches: compaction publishes EQUAL state atomically, so replay
     from a live intent's pinned bases is unaffected (golden:
-    compact-under-intent crash heal)."""
+    compact-under-intent crash heal).
+
+    Each table takes the compaction path matching its write shape, so
+    a FIRED compaction's cost is bounded by what actually fragmented —
+    never the accumulated table:
+
+    * grow-only flat tables (``cb_docs`` raw text, signatures, bands,
+      pairs, the decision change log) → size-tiered small-file merge
+      (``compact_smallfiles``): settled files hard-link unread.  A full
+      rewrite here would re-pay the whole corpus TEXT every trigger
+      interval forever — the exact O(corpus-text)-per-batch term the
+      incremental build exists to delete (r12 advice finding);
+    * doc-id-bucketed mutable tables → hot-LEAF rewrite
+      (``compact_hot_leaves``): only leaves over threshold re-file,
+      cold leaves hard-link (inode golden);
+    * the gram-df delta LOG → full rewrite with the fold transform
+      (the state is a per-g sum over the log; folding must see every
+      delta row, and the folded result is corpus-bounded, not
+      batch-count-bounded — the one table where a full pass is the
+      point)."""
     if max_files is None:
         max_files = COMPACT_MAX_FILES  # module attr: tests tighten it
     done = []
     for t in _ALL_TABLES:
-        pb = ["pb"] if t in _PARTITIONED_TABLES else None
-        tr = _gram_df_collapse if t == CB_GRAM_DF else None
         prev = wh.current_version(t)
-        v = wh.compact_if_needed(t, pb, max_files, tr)
+        if t == CB_GRAM_DF:
+            v = wh.compact_if_needed(t, None, max_files, _gram_df_collapse)
+        elif t in _PARTITIONED_TABLES:
+            v = wh.compact_hot_leaves(t, "pb", max_files)
+        else:
+            v = wh.compact_smallfiles(t, max_files)
         if v is not None:
             done.append(t)
             if t == CB_MINHASH:

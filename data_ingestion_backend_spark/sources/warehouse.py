@@ -36,6 +36,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_ingestion_backend_spark.models import SCHEMAS
 
@@ -528,6 +529,142 @@ class Warehouse:
         if transform is not None:
             df = transform(df)
         nxt = self.stage(table, df, partition_by)
+        self.publish({table: nxt})
+        return nxt
+
+    #: a data file at least this large is SETTLED — exempt from the
+    #: small-file merge, because rewriting it buys no reader economics
+    #: (it is already one task's worth of scan) while costing its full
+    #: bytes again.  128 MiB ≈ one Spark scan split at the default
+    #: ``maxPartitionBytes``.
+    SETTLED_BYTES = 128 << 20
+
+    def compact_smallfiles(
+        self,
+        table: str,
+        max_files: int = 64,
+        settled_bytes: int | None = None,
+    ) -> int | None:
+        """Size-tiered small-file merge for grow-only FLAT tables — the
+        compaction path whose write cost is bounded by the SMALL-file
+        tail, never the table.  ``compact_if_needed`` rewrites the whole
+        current version when it fires; for a grow-only corpus-text
+        table (``cb_docs``) that is an O(corpus-text) pass recurring
+        every trigger interval forever — unbounded write amplification
+        at the 100 TB design point, and exactly the economics the
+        incremental build exists to avoid.  Here, when the UNSETTLED
+        file count outgrows ``max_files``, only files smaller than
+        ``settled_bytes`` are read and merged (into
+        ``ceil(unsettled_bytes / settled_bytes)`` outputs); files at or
+        above the threshold are hard-linked unread — the LSM
+        size-tiered merge: a byte is rewritten only until its file
+        reaches the settled size (O(log) merges), after which it is
+        never touched again.  Reader file counts stay bounded at
+        O(corpus_bytes / settled_bytes + max_files), the physical floor
+        for a table that big.  Atomic equal-state publish like every
+        compaction; no ``transform`` (a fold would change settled files'
+        rows — log-structured tables keep the full-rewrite path)."""
+        if settled_bytes is None:
+            settled_bytes = self.SETTLED_BYTES
+        cur = self.current_version(table)
+        if cur < 0:
+            return None
+        base_path = self._version_path(table, cur)
+        layout, cols = self._base_layout(base_path)
+        if layout == "empty":
+            return None
+        if layout != "flat":
+            raise ValueError(
+                f"{table} v={cur} layout is {layout}:{cols} — the "
+                "small-file merge is for flat grow-only tables; "
+                "hive-partitioned tables compact per leaf "
+                "(compact_hot_leaves)"
+            )
+        sized = [
+            (e, os.path.getsize(os.path.join(base_path, e)))
+            for e in os.listdir(base_path)
+            if not e.startswith(("_", "."))
+            and os.path.isfile(os.path.join(base_path, e))
+        ]
+        small = [(e, s) for e, s in sized if s < settled_bytes]
+        if len(small) <= max_files:
+            return None
+        small_bytes = sum(s for _e, s in small)
+        n_out = max(1, -(-small_bytes // settled_bytes))  # ceil
+        nxt = cur + 1
+        path = self._version_path(table, nxt)
+        merged = self.spark.read.parquet(
+            *[os.path.join(base_path, e) for e, _s in small]
+        )
+        merged.coalesce(n_out).write.mode("overwrite").parquet(path)
+        small_names = {e for e, _s in small}
+        for e, _s in sized:
+            if e in small_names:
+                continue
+            dst = os.path.join(path, e)
+            if os.path.exists(dst):
+                dst = os.path.join(path, f"b{cur}-{e}")
+            try:
+                os.link(os.path.join(base_path, e), dst)
+            except OSError:
+                shutil.copy2(os.path.join(base_path, e), dst)
+        self.publish({table: nxt})
+        return nxt
+
+    def compact_hot_leaves(
+        self, table: str, partition_col: str, max_files: int = 64
+    ) -> int | None:
+        """Per-PARTITION compaction for hive-partitioned tables: when
+        any leaf directory outgrows ``max_files`` data files, rewrite
+        ONLY those hot leaves (one ``stage_partition_delta`` whose
+        replacement rows are the table partition-pruned to the hot
+        values) and hard-link every cold leaf untouched.  The full
+        ``compact_if_needed`` rewrite is O(table) when it fires; since
+        append activity concentrates in the newest doc-id range buckets,
+        the leaves that trip the trigger are the hot few — this keeps a
+        fired compaction's cost proportional to THEM, which is what lets
+        the trigger stay on the batch critical path at a 10⁹-row state
+        table.  Equal state by construction (same rows, re-filed);
+        atomic publish; cold-leaf links golden-tested by inode."""
+        cur = self.current_version(table)
+        if cur < 0:
+            return None
+        base_path = self._version_path(table, cur)
+        layout, cols = self._base_layout(base_path)
+        if layout == "empty":
+            return None
+        if layout == "flat":
+            # legacy flat snapshot: one full partitioned rewrite
+            # migrates it (the stage_partition_delta migration rule)
+            return self.compact_if_needed(table, [partition_col], max_files)
+        if layout != "partitioned" or cols != [partition_col]:
+            raise ValueError(
+                f"{table} v={cur} layout {layout}:{cols} is not "
+                f"hive-partitioned on [{partition_col!r}]"
+            )
+        hot = []
+        for entry in os.listdir(base_path):
+            src = os.path.join(base_path, entry)
+            if not entry.startswith(partition_col + "=") or not os.path.isdir(
+                src
+            ):
+                continue
+            n = sum(
+                1
+                for _dp, _d, files in os.walk(src)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+            if n > max_files:
+                raw = entry.split("=", 1)[1]
+                try:
+                    hot.append(int(raw))
+                except ValueError:
+                    hot.append(raw)
+        if not hot:
+            return None
+        repl = self.read(table).filter(F.col(partition_col).isin(hot))
+        nxt = self.stage_partition_delta(table, repl, hot, cur, partition_col)
         self.publish({table: nxt})
         return nxt
 

@@ -439,3 +439,50 @@ def test_vacuum_never_removes_intent_pinned_bases(spark, tmp_path, monkeypatch):
     assert extend_corpus_build(wh, _batch(spark, 350, 500), 2) is True
     want = _rows(corpus_build_monolithic(_docs(spark)))
     assert _rows(read_decisions(wh)) == want
+
+
+def test_docs_compaction_links_settled_text_unread(spark, tmp_path):
+    """The r12 advice finding, closed: maintenance must never re-pay
+    settled raw corpus text.  cb_docs compacts by size-tiered small-file
+    merge — with the settled threshold set between the large early text
+    files and the small batch tail, a fired maintenance pass merges only
+    the tail while every settled file arrives in the new version as the
+    SAME inode (linked, never read), and the decision table still equals
+    the monolithic rebuild."""
+    import os
+
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        CB_DOCS,
+        maintain_corpus_build,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i, (lo, hi) in enumerate(BATCH_BOUNDS):
+        assert extend_corpus_build(wh, _batch(spark, lo, hi), i) is True
+    v = wh.current_version(CB_DOCS)
+    path = wh._version_path(CB_DOCS, v)
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    sizes = sorted(os.path.getsize(p) for p in files)
+    settled = sizes[-1]  # only the largest text file(s) are settled
+    settled_files = [p for p in files if os.path.getsize(p) >= settled]
+    assert settled_files and len(settled_files) < len(files)
+    wh.SETTLED_BYTES = settled  # instance override of the class default
+    compacted = maintain_corpus_build(wh, max_files=0)
+    assert CB_DOCS in compacted
+    new_path = wh._version_path(CB_DOCS, wh.current_version(CB_DOCS))
+    new_inodes = {
+        os.stat(os.path.join(dp, f)).st_ino
+        for dp, _d, fs in os.walk(new_path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    }
+    for p in settled_files:  # settled text re-linked, unread
+        assert os.stat(p).st_ino in new_inodes
+        assert os.stat(p).st_nlink >= 2
+    want = _rows(corpus_build_monolithic(_docs(spark)))
+    assert _rows(read_decisions(wh)) == want

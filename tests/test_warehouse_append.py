@@ -357,3 +357,96 @@ def test_compact_trigger_is_per_leaf_not_total(spark, tmp_path):
     assert wh.compact_if_needed("jobs", ["pb"], max_files=8) is not None
     assert wh.max_files_per_leaf("jobs") <= 3
     assert wh.read("jobs").count() == before
+
+
+def test_compact_smallfiles_links_settled_files_unread(spark, tmp_path):
+    """Size-tiered merge for grow-only flat tables: files at or above
+    the settled size must arrive in the compacted version as the SAME
+    inode (linked, never read or rewritten), while the small-file tail
+    merges — the economics that keep compacting a raw-text corpus table
+    from re-paying O(corpus-text) every trigger interval."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v = wh.write("jobs", _jobs(spark, 0, 400))
+    for i in range(6):
+        v = wh.stage_append("jobs", _jobs(spark, 400 + i, 401 + i), v)
+        wh.publish({"jobs": v})
+    base_path = wh._version_path("jobs", v)
+    sizes = sorted(os.path.getsize(p) for p in _data_files(base_path))
+    # settle threshold between the tiny 1-row deltas and the big base
+    # files: the base files are exempt, the delta tail merges
+    settled = sizes[-1]  # only the largest file(s) are settled
+    settled_files = [
+        p for p in _data_files(base_path) if os.path.getsize(p) >= settled
+    ]
+    assert settled_files and len(settled_files) < len(_data_files(base_path))
+    before = _rows(wh.read("jobs"))
+    unsettled_n = len(_data_files(base_path)) - len(settled_files)
+    # below threshold: no-op
+    assert (
+        wh.compact_smallfiles("jobs", max_files=unsettled_n, settled_bytes=settled)
+        is None
+    )
+    v2 = wh.compact_smallfiles(
+        "jobs", max_files=unsettled_n - 1, settled_bytes=settled
+    )
+    assert v2 is not None
+    assert _rows(wh.read("jobs")) == before  # equal state
+    new_files = _data_files(wh._version_path("jobs", v2))
+    new_inodes = {os.stat(p).st_ino for p in new_files}
+    for p in settled_files:  # every settled file re-linked, unread
+        assert os.stat(p).st_ino in new_inodes
+        assert os.stat(p).st_nlink >= 2
+    # the unsettled tail merged down
+    fresh = [p for p in new_files
+             if os.stat(p).st_ino not in {os.stat(q).st_ino for q in settled_files}]
+    assert len(fresh) < unsettled_n
+    # appends resume on the compacted base
+    v3 = wh.stage_append("jobs", _jobs(spark, 500, 510), v2)
+    wh.publish({"jobs": v3})
+    assert wh.read("jobs").count() == 416
+
+
+def test_compact_smallfiles_refuses_partitioned_layout(spark, tmp_path):
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("jobs", _pjobs(spark, 0, 50), ["pb"])
+    with pytest.raises(ValueError, match="flat grow-only"):
+        wh.compact_smallfiles("jobs", max_files=0)
+
+
+def test_compact_hot_leaves_rewrites_only_hot(spark, tmp_path):
+    """Per-partition compaction: a fired compaction re-files ONLY the
+    leaves over threshold; every cold leaf's data files arrive by hard
+    link (same inode) — cost proportional to the hot leaves, never the
+    table."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _pjobs(spark, 0, 100)  # pb ∈ 0..9, ~1 file each
+    v = wh.write("jobs", base, ["pb"])
+    # fragment ONE leaf (pb=0) with many appends
+    for i in range(9):
+        v = wh.stage_append("jobs", _pjobs(spark, 0, 3), v, partition_by=["pb"])
+        wh.publish({"jobs": v})
+    base_path = wh._version_path("jobs", v)
+    cold = [
+        p for p in _data_files(base_path) if f"{os.sep}pb=0{os.sep}" not in p
+    ]
+    assert cold
+    before = _rows(wh.read("jobs"))
+    # cold leaves alone are under threshold: no-op at a high bar
+    assert wh.compact_hot_leaves("jobs", "pb", max_files=64) is None
+    v2 = wh.compact_hot_leaves("jobs", "pb", max_files=8)
+    assert v2 is not None
+    assert _rows(wh.read("jobs")) == before  # equal state (incl. dupes)
+    new_path = wh._version_path("jobs", v2)
+    new_inodes = {os.stat(p).st_ino for p in _data_files(new_path)}
+    for p in cold:  # every cold-leaf file re-linked, unread
+        assert os.stat(p).st_ino in new_inodes
+        assert os.stat(p).st_nlink >= 2
+    # the hot leaf collapsed to the normal per-directory sizing
+    hot_files = [
+        p
+        for p in _data_files(new_path)
+        if f"{os.sep}pb=0{os.sep}" in p
+    ]
+    assert 1 <= len(hot_files) <= 3
