@@ -1553,7 +1553,11 @@ def append_to_dsir_state(
         if batch_id <= txn.last_batch(wh, DSIR_STATE_TABLE):
             return
         bases = txn.begin_batch(
-            wh, DSIR_STATE_TABLE, batch_id, {"state": base}
+            wh,
+            DSIR_STATE_TABLE,
+            batch_id,
+            {"state": base},
+            tables={"state": DSIR_STATE_TABLE},
         )
         base = bases["state"]
     merged = (

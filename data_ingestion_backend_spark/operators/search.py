@@ -458,6 +458,10 @@ def append_to_search_index(wh, new_docs: DataFrame, batch_id: int | None = None)
             SEARCH_POSTINGS_TABLE,
             batch_id,
             {"postings": postings_base, "stats": stats_base},
+            tables={
+                "postings": SEARCH_POSTINGS_TABLE,
+                "stats": SEARCH_STATS_TABLE,
+            },
         )
         postings_base, stats_base = bases["postings"], bases["stats"]
     new_postings, new_stats = _postings_and_int_stats(new_docs)

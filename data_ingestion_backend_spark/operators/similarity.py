@@ -1329,7 +1329,11 @@ def append_to_pca_state(wh, batch: DataFrame, batch_id: int | None = None) -> No
         if batch_id <= txn.last_batch(wh, PCA_STATE_TABLE):
             return
         bases = txn.begin_batch(
-            wh, PCA_STATE_TABLE, batch_id, {"state": base}
+            wh,
+            PCA_STATE_TABLE,
+            batch_id,
+            {"state": base},
+            tables={"state": PCA_STATE_TABLE},
         )
         base = bases["state"]
     merged = (

@@ -671,11 +671,14 @@ class Warehouse:
     def _intent_pinned_versions(self, table: str) -> set[int]:
         """Versions of ``table`` pinned by a LIVE txn intent (a crashed
         batch awaiting redelivery): every ``*/_intent`` file in the
-        warehouse whose bases name this table exactly.  Gates that pin
-        under ALIAS keys (the admission gate's ``nd_index`` etc.) are
-        not matched — their replay safety rests on vacuum's ``keep``
-        window exceeding the in-flight batch window, which their own
-        soaks honor."""
+        warehouse whose bases resolve to this table — either keyed by
+        the table's own name, or by an alias the intent's ``tables``
+        map (written by ``txn.begin_batch``) resolves to it.  This makes
+        the pin ALIAS-PROOF: the admission gate's ``nd_index``-style
+        keys are matched like everything else, so no gate's crash-replay
+        safety rests on the vacuum keep window any more (the window
+        remains defense-in-depth for legacy intents written before the
+        map existed)."""
         out: set[int] = set()
         if not os.path.isdir(self.root):
             return out
@@ -685,11 +688,14 @@ class Warehouse:
                 continue
             try:
                 with open(p) as f:
-                    bases = json.load(f).get("bases", {})
+                    intent = json.load(f)
+                bases = intent.get("bases", {})
+                tmap = intent.get("tables", {})
             except (OSError, ValueError):
                 continue
-            if table in bases:
-                out.add(int(bases[table]))
+            for alias, v in bases.items():
+                if tmap.get(alias, alias) == table:
+                    out.add(int(v))
         return out
 
     def vacuum(self, table: str, keep: int = 2) -> None:

@@ -106,6 +106,16 @@ def admission_gate_batch(
             "dsir": wh.current_version(DSIR_STATE_TABLE),
             "adm": wh.current_version(ADMISSIONS_TABLE),
         },
+        tables={
+            "nd_index": INDEX_TABLE,
+            "nd_bands": BANDS_TABLE,
+            "nd_pairs": ND_PAIRS_TABLE,
+            "sem_index": SEM_INDEX_TABLE,
+            "sem_pairs": SEM_PAIRS_TABLE,
+            "sem_cent": SEM_CENTROIDS_TABLE,
+            "dsir": DSIR_STATE_TABLE,
+            "adm": ADMISSIONS_TABLE,
+        },
     )
     spark = batch.sparkSession
     batch = batch.localCheckpoint(eager=True)

@@ -61,7 +61,11 @@ def apply_delta_batch(
     if batch_id <= last_applied_batch(wh, table):
         return False
     bases = txn.begin_batch(
-        wh, table, batch_id, {"state": wh.current_version(table)}
+        wh,
+        table,
+        batch_id,
+        {"state": wh.current_version(table)},
+        tables={"state": table},
     )
     base = bases["state"]
     delta = aggregate_user_totals(batch_df)

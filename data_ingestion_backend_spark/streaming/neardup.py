@@ -133,6 +133,11 @@ def neardup_gate_batch(
             "index": wh.current_version(INDEX_TABLE),
             "bands": wh.current_version(BANDS_TABLE),
         },
+        tables={
+            "pairs": PAIRS_TABLE,
+            "index": INDEX_TABLE,
+            "bands": BANDS_TABLE,
+        },
     )
     pairs_base, index_base = bases["pairs"], bases["index"]
     bands_base = bases.get("bands", -1)

@@ -177,6 +177,7 @@ def semantic_gate_batch(
             "pairs": wh.current_version(SEM_PAIRS_TABLE),
             "index": wh.current_version(SEM_INDEX_TABLE),
         },
+        tables={"pairs": SEM_PAIRS_TABLE, "index": SEM_INDEX_TABLE},
     )
     pairs_base, index_base = bases["pairs"], bases["index"]
     corpus = wh.read(SEM_INDEX_TABLE, index_base)

@@ -52,13 +52,27 @@ def last_batch(wh: Warehouse, table: str) -> int:
         return int(f.read().strip())
 
 
-def begin_batch(wh: Warehouse, table: str, batch_id: int, bases: dict[str, int]) -> dict[str, int]:
+def begin_batch(
+    wh: Warehouse,
+    table: str,
+    batch_id: int,
+    bases: dict[str, int],
+    tables: dict[str, str] | None = None,
+) -> dict[str, int]:
     """Record (or recover) the pre-batch base versions for ``batch_id``.
 
     Returns the base versions this batch must build on: the caller's
     ``bases`` on first delivery, or the versions recorded by a crashed
     earlier delivery of the SAME batch — so the re-run rebuilds from the
     same point instead of stacking onto its own partial commit.
+
+    ``tables`` maps each alias key in ``bases`` to the PHYSICAL table
+    name it versions (identity where omitted).  It is persisted in the
+    intent so vacuum's ``_intent_pinned_versions`` can pin alias-keyed
+    bases: a gate recording ``{"nd_index": v}`` was previously invisible
+    to the pin matcher, leaving its crash-replay safety resting on the
+    vacuum keep window — a convention, not a guarantee.  Every gate
+    whose base keys differ from its table names must pass the map.
     """
     p = _intent_path(wh, table)
     if os.path.exists(p):
@@ -66,7 +80,10 @@ def begin_batch(wh: Warehouse, table: str, batch_id: int, bases: dict[str, int])
             intent = json.loads(f.read())
         if intent.get("batch_id") == batch_id:
             return {k: int(v) for k, v in intent["bases"].items()}
-    write_atomic(p, json.dumps({"batch_id": batch_id, "bases": bases}))
+    payload: dict = {"batch_id": batch_id, "bases": bases}
+    if tables:
+        payload["tables"] = tables
+    write_atomic(p, json.dumps(payload))
     return bases
 
 

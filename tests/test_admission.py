@@ -264,3 +264,71 @@ def test_empty_first_epoch_is_a_committed_noop(spark, tmp_path):
     for doc, (adm, reason) in EXPECT.items():
         if doc in led and doc < 40:
             assert led[doc][1:] == (adm, reason)
+
+
+def test_vacuum_in_crash_window_keeps_alias_pinned_bases(
+    spark, tmp_path, monkeypatch
+):
+    """The alias-path version of the vacuum pin golden: the admission
+    gate records its intent bases under ALIAS keys (nd_index, sem_pairs,
+    ...), so before the intent carried a table-name map an aggressive
+    vacuum inside the crash window could delete a pinned base and turn
+    the heal into a read of a removed directory.  Now the intent's
+    `tables` map makes `_intent_pinned_versions` match every gate:
+    crash → vacuum(keep=1) on every state table → redelivery still heals
+    to the reference ledger and index."""
+    from data_ingestion_backend_spark.streaming import txn
+    from data_ingestion_backend_spark.streaming.neardup import (
+        BANDS_TABLE,
+        PAIRS_TABLE as ND_PAIRS_TABLE_RAW,
+    )
+
+    wh_ref = Warehouse(spark, str(tmp_path / "wh_ref"))
+    _run_direct(spark, wh_ref)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    b0, b1, b2 = _batches(spark)
+    assert admission_gate_batch(wh, b0, 0) is True
+
+    class Boom(RuntimeError):
+        pass
+
+    real_write_atomic = txn.write_atomic
+
+    def crash_on_marker(path, payload):
+        if path.endswith("_last_batch"):
+            raise Boom("simulated crash before marker write")
+        real_write_atomic(path, payload)
+
+    monkeypatch.setattr(txn, "write_atomic", crash_on_marker)
+    try:
+        admission_gate_batch(wh, b1, 1)
+    except Boom:
+        pass
+    monkeypatch.setattr(txn, "write_atomic", real_write_atomic)
+    assert last_admitted_batch(wh) == 0  # intent live, marker missing
+
+    # the partial commit advanced the state tables past their pinned
+    # bases — an aggressive vacuum must keep the pinned versions
+    intent_pinned = wh._intent_pinned_versions(INDEX_TABLE)
+    assert intent_pinned, "alias-keyed intent must pin the index base"
+    for t in (
+        INDEX_TABLE,
+        BANDS_TABLE,
+        ND_PAIRS_TABLE_RAW,
+        SEM_INDEX_TABLE,
+        ADMISSIONS_TABLE,
+        DSIR_STATE_TABLE,
+    ):
+        wh.vacuum(t, keep=1)
+    for v in intent_pinned:
+        assert os.path.isdir(wh._version_path(INDEX_TABLE, v)), (
+            "vacuum removed an alias-pinned base version"
+        )
+
+    assert admission_gate_batch(wh, b1, 1) is True  # heals from pinned bases
+    assert admission_gate_batch(wh, b2, 2) is True
+    assert _ledger(wh) == _ledger(wh_ref)
+    assert {r["doc_id"] for r in wh.read(INDEX_TABLE).collect()} == {
+        r["doc_id"] for r in wh_ref.read(INDEX_TABLE).collect()
+    }
