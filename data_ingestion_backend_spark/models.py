@@ -345,6 +345,30 @@ CB_CHANGELOG_SCHEMA = T.StructType(
     ]
 )
 
+#: DSIR source/target bucket histograms of the incremental corpus
+#: build, persisted as a mergeable DELTA LOG ((b, cs, ct) partial
+#: counts; state = the per-b sums) — ≤ DSIR_BUCKETS rows after folding,
+#: the bounded state that replaces the per-batch O(corpus-buckets)
+#: aggregation over cb_doc_buckets.
+CB_DSIR_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("b", T.LongType(), True),
+        T.StructField("cs", T.LongType(), True),
+        T.StructField("ct", T.LongType(), True),
+    ]
+)
+
+#: maintained per-doc DSIR rate state (integer sufficient statistics of
+#: `_dsir_score`): updated only for docs whose buckets changed and for
+#: docs holding a bucket whose whole-bit λ flipped.
+CB_RATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_grams", T.LongType(), True),
+        T.StructField("w_bits", T.LongType(), True),
+    ]
+)
+
 SCHEMAS = {
     "jobs": JOBS_SCHEMA,
     "admissions": ADMISSIONS_SCHEMA,
@@ -374,4 +398,6 @@ SCHEMAS = {
     "cb_doc_buckets": CB_DOC_BUCKETS_SCHEMA,
     "cb_decisions": CB_DECISIONS_SCHEMA,
     "cb_decision_log": CB_CHANGELOG_SCHEMA,
+    "cb_dsir_hist": CB_DSIR_HIST_SCHEMA,
+    "cb_rate": CB_RATE_SCHEMA,
 }

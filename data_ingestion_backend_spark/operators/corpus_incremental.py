@@ -93,10 +93,10 @@ from data_ingestion_backend_spark.operators.dedup import (
 )
 from data_ingestion_backend_spark.operators.mlprep import (
     BUDGET_PCT,
+    DSIR_BUCKETS,
     PACK_BUDGET_TOKENS,
     PACK_SHARDS,
     _dsir_grams,
-    _dsir_lambda,
     _dsir_score,
     length_deciles_frame,
     repetition_frame,
@@ -122,6 +122,8 @@ CB_CLEAN = "cb_clean"
 CB_DOC_BUCKETS = "cb_doc_buckets"
 CB_DECISIONS = "cb_decisions"
 CB_CHANGELOG = "cb_decision_log"
+CB_DSIR_HIST = "cb_dsir_hist"
+CB_RATE = "cb_rate"
 
 _ALL_TABLES = (
     CB_DOCS,
@@ -136,6 +138,8 @@ _ALL_TABLES = (
     CB_DOC_BUCKETS,
     CB_DECISIONS,
     CB_CHANGELOG,
+    CB_DSIR_HIST,
+    CB_RATE,
 )
 
 #: decision-table payload columns (everything but doc_id), in schema
@@ -198,6 +202,40 @@ def _only_pbs(df, pbs: list):
     return out.filter(F.col("pb").isin(pbs)) if pbs else out.limit(0)
 
 
+def _doc_subset(state_df: DataFrame, ids_df: DataFrame, pbs: list) -> DataFrame:
+    """Rows of a maintained per-doc state table belonging to a (small)
+    doc-id set — partition-pruned to the set's doc-id buckets when the
+    physical layout carries them (a legacy flat snapshot falls back to
+    the join alone, which the migration rewrite then retires)."""
+    base = state_df
+    if "pb" in base.columns:
+        base = base.filter(F.col("pb").isin(pbs)) if pbs else base.limit(0)
+    return base.drop("pb").join(ids_df, "doc_id")
+
+
+def _lam_py(cs: int, ct: int, ts: int, tt: int) -> int:
+    """Driver-side twin of ``mlprep._dsir_lambda``'s per-bucket integer
+    arithmetic (golden-pinned equal over a count grid): the whole-bit
+    log2 likelihood ratio.  Python ints are exact, so evaluating the
+    ≤ DSIR_BUCKETS-row λ table in the driver costs no Spark job — and
+    the OLD-vs-NEW λ diff that bounds the per-doc rate updates falls
+    out of the same pass."""
+    a = (ct + 1) * (ts + DSIR_BUCKETS)
+    c = (cs + 1) * (tt + DSIR_BUCKETS)
+    if a >= c:
+        return (a // c).bit_length() - 1
+    return 1 - (c // a).bit_length()
+
+
+def _lam_map(hist_rows) -> dict[int, int]:
+    """λ per bucket from collected (b, cs, ct) histogram rows."""
+    ts = sum(r["cs"] for r in hist_rows)
+    tt = sum(r["ct"] for r in hist_rows)
+    return {
+        r["b"]: _lam_py(r["cs"], r["ct"], ts, tt) for r in hist_rows
+    }
+
+
 #: compaction trigger: a maintained table whose current version exceeds
 #: this many data files is rewritten into one snapshot after the commit.
 #: Each batch adds ≤ 8 files per table (the control-plane write
@@ -210,7 +248,15 @@ COMPACT_MAX_FILES = 64
 #: tables whose physical layout is hive-partitioned on the doc-id range
 #: bucket — compaction must restate the layout or lose the pruning.
 _PARTITIONED_TABLES = frozenset(
-    (CB_LABELS, CB_SURV, CB_GRAM_POSTS, CB_CLEAN, CB_DOC_BUCKETS, CB_DECISIONS)
+    (
+        CB_LABELS,
+        CB_SURV,
+        CB_GRAM_POSTS,
+        CB_CLEAN,
+        CB_DOC_BUCKETS,
+        CB_DECISIONS,
+        CB_RATE,
+    )
 )
 
 
@@ -222,6 +268,40 @@ def _gram_df_collapse(df: DataFrame) -> DataFrame:
         df.groupBy("g")
         .agg(F.sum("df").cast("bigint").alias("df"))
         .filter(F.col("df") != 0)
+    )
+
+
+def _dsir_hist_collapse(df: DataFrame) -> DataFrame:
+    """Fold the DSIR histogram delta log to one row per bucket (same
+    LSM shape as ``_gram_df_collapse``); buckets whose counts netted
+    to zero drop out."""
+    return (
+        df.groupBy("b")
+        .agg(
+            F.sum("cs").cast("bigint").alias("cs"),
+            F.sum("ct").cast("bigint").alias("ct"),
+        )
+        .filter((F.col("cs") != 0) | (F.col("ct") != 0))
+    )
+
+
+#: delta-LOG tables: compaction must fold the log (the fold needs every
+#: delta row, so these keep the full-rewrite path — their folded state
+#: is histogram/key-bounded, not batch-count-bounded).
+_LOG_TABLE_FOLDS = {
+    CB_GRAM_DF: _gram_df_collapse,
+    CB_DSIR_HIST: _dsir_hist_collapse,
+}
+
+
+def dsir_hist_state(wh: Warehouse, version: int | None = None) -> DataFrame:
+    """The build's DSIR source/target bucket histograms — ≤ DSIR_BUCKETS
+    (b, cs, ct) rows, the per-b sum over the ``cb_dsir_hist`` delta log.
+    This is the maintained BOUNDED state that replaced the per-batch
+    O(corpus-buckets) ``cb_doc_buckets`` aggregation (r12 verdict item:
+    the integer-state tier's per-batch compute)."""
+    return _dsir_hist_collapse(wh.read(CB_DSIR_HIST, version)).filter(
+        F.col("cs") > 0
     )
 
 
@@ -259,8 +339,8 @@ def maintain_corpus_build(
     done = []
     for t in _ALL_TABLES:
         prev = wh.current_version(t)
-        if t == CB_GRAM_DF:
-            v = wh.compact_if_needed(t, None, max_files, _gram_df_collapse)
+        if t in _LOG_TABLE_FOLDS:
+            v = wh.compact_if_needed(t, None, max_files, _LOG_TABLE_FOLDS[t])
         elif t in _PARTITIONED_TABLES:
             v = wh.compact_hot_leaves(t, "pb", max_files)
         else:
@@ -585,13 +665,16 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     clean_changed = cut.select(
         "doc_id", F.size("t_clean").cast("bigint").alias("n_clean")
     )
-    buckets_changed = (
+    # consumed three ways (doc_buckets merge, histogram delta, changed-doc
+    # re-score) — pin once
+    buckets_changed = _ckpt(
         _dsir_grams(
             cut.select("doc_id", F.array_join("t_clean", " ").alias("text")),
             "doc_id",
         )
         .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("k"))
+        .agg(F.count("*").alias("k")),
+        "11_recut_changed",
     )
     gone = changed.unionByName(removed)
     clean_all = _ckpt(
@@ -611,27 +694,134 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         "12_span_state_merge",
     )
 
-    # ----- DSIR λ + scores (bounded histograms + per-doc bucket state) -----
-    src = doc_buckets.groupBy("b").agg(F.sum("k").cast("bigint").alias("cs"))
-    en_ids = docs_all.filter(F.col("lang") == "en").select("doc_id")
-    tgt = (
-        doc_buckets.join(en_ids, "doc_id")
-        .groupBy("b")
-        .agg(F.sum("k").cast("bigint").alias("ct"))
+    # ----- DSIR λ + scores (maintained bounded state — r13) ----------------
+    # The r12 path re-aggregated the WHOLE cb_doc_buckets table into the
+    # source/target histograms and re-scored every doc per batch —
+    # O(corpus-buckets) twice over.  Now the histograms are maintained
+    # state (``cb_dsir_hist``, ≤ DSIR_BUCKETS rows after folding): the
+    # batch's histogram delta is (changed docs' new bucket rows) minus
+    # (gone docs' old rows, partition-pruned fetch), λ old/new evaluate
+    # in the DRIVER from the collected histograms (exact ints), and the
+    # per-doc (n_grams, w_bits) state table ``cb_rate`` updates only for
+    # (a) changed/gone docs and (b) docs holding a bucket whose
+    # whole-bit λ actually flipped — λ flips need a count ratio to cross
+    # a power of two, so each bucket flips O(log corpus) times EVER and
+    # the flip-scan amortizes to zero as the corpus grows.
+    gone_pbs = _affected_pbs(gone)
+    gone_b = _doc_subset(
+        wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS]), gone, gone_pbs
     )
-    totals = {
-        r["s"]: r["t"]
-        for r in doc_buckets.join(
-            en_ids.withColumn("_en", F.lit(True)), "doc_id", "left"
+    langs = docs_all.select(
+        "doc_id", (F.col("lang") == F.lit("en")).alias("_en")
+    )
+    delta_rows = buckets_changed.select(
+        "doc_id", "b", F.col("k").cast("bigint").alias("k")
+    ).unionByName(
+        gone_b.select("doc_id", "b", (-F.col("k")).cast("bigint").alias("k"))
+    )
+    hist_delta = (
+        delta_rows.join(langs, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum("k").cast("bigint").alias("cs"),
+            F.sum(F.when(F.col("_en"), F.col("k")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("ct"),
         )
-        .groupBy(F.coalesce("_en", F.lit(False)).alias("s"))
-        .agg(F.sum("k").alias("t"))
-        .collect()
-    }
-    tt = int(totals.get(True, 0))
-    ts = tt + int(totals.get(False, 0))
-    lam = _dsir_lambda(src, tgt, ts, tt)
-    rate = _dsir_score(doc_buckets, lam).select("doc_id", "rate_mbits")
+        .filter((F.col("cs") != 0) | (F.col("ct") != 0))
+    )
+    hist_delta = _ckpt(hist_delta, "13_dsir_hist_delta")
+    if bases[CB_DSIR_HIST] < 0 and bases[CB_DOC_BUCKETS] >= 0:
+        # legacy warehouse (pre-histogram builds): ONE full aggregation
+        # seeds the log — the stage_partition_delta migration rule
+        seed = _ckpt(
+            wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
+            .drop("pb")
+            .join(langs, "doc_id")
+            .groupBy("b")
+            .agg(
+                F.sum("k").cast("bigint").alias("cs"),
+                F.sum(F.when(F.col("_en"), F.col("k")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("ct"),
+            ),
+            "13_dsir_hist_delta",
+        )
+        old_hist = seed.filter(F.col("cs") > 0)
+        hist_log_delta = seed.unionByName(hist_delta)
+    else:
+        old_hist = dsir_hist_state(wh, bases[CB_DSIR_HIST])
+        hist_log_delta = hist_delta
+    oh_rows = old_hist.collect()  # ≤ DSIR_BUCKETS control-plane rows
+    lam_old = _lam_map(oh_rows)
+    counts = {r["b"]: [r["cs"], r["ct"]] for r in oh_rows}
+    for r in hist_delta.collect():  # ≤ DSIR_BUCKETS rows
+        c = counts.setdefault(r["b"], [0, 0])
+        c[0] += r["cs"]
+        c[1] += r["ct"]
+    nh_rows = [
+        {"b": b, "cs": cs, "ct": ct}
+        for b, (cs, ct) in counts.items()
+        if cs > 0
+    ]
+    lam_new = _lam_map(nh_rows)
+    lam_new_df = spark.createDataFrame(
+        [(int(b), int(l)) for b, l in lam_new.items()],
+        "b bigint, lam bigint",
+    )
+    dlam = [
+        (int(b), int(lam_new[b] - lam_old[b]))
+        for b in lam_old
+        if b in lam_new and lam_new[b] != lam_old[b]
+    ]
+    rate_changed = _dsir_score(buckets_changed, lam_new_df).select(
+        "doc_id", "n_grams", "w_bits"
+    )
+    old_rate = wh.read(CB_RATE, bases[CB_RATE]).drop("pb")
+    if bases[CB_RATE] < 0 and bases[CB_DOC_BUCKETS] >= 0:
+        # legacy migration: rebuild the per-doc rate state once from the
+        # merged buckets under the NEW λ (then bounded forever)
+        rate_state = _ckpt(
+            _dsir_score(doc_buckets.drop("pb"), lam_new_df).select(
+                "doc_id", "n_grams", "w_bits"
+            ),
+            "13_dsir_scoring",
+        )
+        rate_touched = None  # full table (first partitioned stage)
+    elif dlam:
+        dl_df = spark.createDataFrame(dlam, "b bigint, dl bigint")
+        aff_w = _ckpt(
+            wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
+            .drop("pb")
+            .join(F.broadcast(dl_df), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("k") * F.col("dl")).cast("bigint").alias("dw"))
+            .join(gone, "doc_id", "left_anti"),
+            "13_dsir_scoring",
+        )
+        adj = old_rate.join(aff_w, "doc_id").select(
+            "doc_id",
+            "n_grams",
+            (F.col("w_bits") + F.col("dw")).cast("bigint").alias("w_bits"),
+        )
+        rate_state = (
+            old_rate.join(gone, "doc_id", "left_anti")
+            .join(aff_w.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(adj)
+            .unionByName(rate_changed)
+        )
+        rate_touched = gone.unionByName(aff_w.select("doc_id"))
+    else:
+        rate_state = old_rate.join(gone, "doc_id", "left_anti").unionByName(
+            rate_changed
+        )
+        rate_touched = gone
+    rate = rate_state.select(
+        "doc_id",
+        F.expr("(1000 * w_bits) div n_grams").cast("bigint").alias(
+            "rate_mbits"
+        ),
+    )
 
     # ----- budget cut / split / pack (corpus_build_frame verbatim) ---------
     scored = _ckpt(
@@ -751,17 +941,19 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     )
     # one driver round-trip for all five bucket lists (affected
     # partitions of every mutable table) instead of five separate jobs
-    pbs = _affected_pbs_multi(
-        {
-            "doc": gone.unionByName(changed),
-            "post": removed.unionByName(added),
-            "lbl": lbl_changed,
-            "surv": surv_changed,
-            "dec": dec_diff.select("doc_id"),
-        }
-    )
+    tagged = {
+        "doc": gone.unionByName(changed),
+        "post": removed.unionByName(added),
+        "lbl": lbl_changed,
+        "surv": surv_changed,
+        "dec": dec_diff.select("doc_id"),
+    }
+    if rate_touched is not None:
+        tagged["rate"] = rate_touched
+    pbs = _affected_pbs_multi(tagged)
     aff_doc_pbs, aff_post_pbs = pbs["doc"], pbs["post"]
     aff_lbl_pbs, aff_surv_pbs, aff_dec_pbs = pbs["lbl"], pbs["surv"], pbs["dec"]
+    aff_rate_pbs = pbs.get("rate", [])
     change_log = dec_diff.select(
         F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
         "doc_id",
@@ -853,6 +1045,25 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         CB_CHANGELOG: lambda: wh.stage_append(
             CB_CHANGELOG, change_log, bases[CB_CHANGELOG]
+        ),
+        CB_DSIR_HIST: lambda: wh.stage_append(
+            CB_DSIR_HIST, hist_log_delta, bases[CB_DSIR_HIST]
+        ),
+        CB_RATE: (
+            # legacy migration (rate table absent, corpus present): one
+            # full partitioned stage; bounded partition deltas after
+            (lambda: wh.stage(CB_RATE, rate_state.withColumn("pb", _pb_col()), ["pb"]))
+            if rate_touched is None
+            else (
+                lambda: wh.stage_partition_delta(
+                    CB_RATE,
+                    _only_pbs(rate_state, aff_rate_pbs),
+                    aff_rate_pbs,
+                    bases[CB_RATE],
+                    "pb",
+                    full_df=rate_state.withColumn("pb", _pb_col()),
+                )
+            )
         ),
     }
     from concurrent.futures import ThreadPoolExecutor

@@ -486,3 +486,34 @@ def test_docs_compaction_links_settled_text_unread(spark, tmp_path):
         assert os.stat(p).st_nlink >= 2
     want = _rows(corpus_build_monolithic(_docs(spark)))
     assert _rows(read_decisions(wh)) == want
+
+
+def test_lam_py_matches_dsir_lambda_over_count_grid(spark):
+    """`_lam_py` (the driver-side twin that lets λ old/new evaluate
+    without a Spark job) must be bit-equal to `mlprep._dsir_lambda`'s
+    SQL arithmetic — pinned over a grid spanning both CASE branches,
+    ct-absent buckets, and large-count ratios."""
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        _lam_py,
+    )
+    from data_ingestion_backend_spark.operators.mlprep import _dsir_lambda
+
+    grid = []
+    vals = [0, 1, 2, 3, 7, 50, 1000, 123456]
+    for cs in vals[1:]:  # cs >= 1 (src rows exist by construction)
+        for ct in vals:
+            grid.append((cs, ct))
+    totals = [(100, 30), (7868, 2691), (10**7, 10**6), (5, 5)]
+    for ts, tt in totals:
+        src = spark.createDataFrame(
+            [(i, cs) for i, (cs, _ct) in enumerate(grid)], "b bigint, cs bigint"
+        )
+        tgt = spark.createDataFrame(
+            [(i, ct) for i, (_cs, ct) in enumerate(grid) if ct > 0],
+            "b bigint, ct bigint",
+        )
+        ref = {
+            r["b"]: r["lam"] for r in _dsir_lambda(src, tgt, ts, tt).collect()
+        }
+        for i, (cs, ct) in enumerate(grid):
+            assert _lam_py(cs, ct, ts, tt) == ref[i], (cs, ct, ts, tt)
