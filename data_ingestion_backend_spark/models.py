@@ -369,6 +369,34 @@ CB_RATE_SCHEMA = T.StructType(
     ]
 )
 
+#: per-source document-length histogram of the incremental corpus build,
+#: persisted as a grow-only delta log ((source, n_chars, cnt) partial
+#: counts; state = the per-key sums) — the bounded state that replaces
+#: the per-batch percent_rank window over every doc's metadata.
+CB_LEN_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+        T.StructField("cnt", T.LongType(), True),
+    ]
+)
+
+#: per-source keep-band CUT PAIRS: the (n_chars, doc_id) order
+#: statistics at the 5th/95th percent_rank boundaries.  With these, the
+#: per-doc length filter is a row-local comparison instead of a window,
+#: and the docs whose keep status flipped in a batch are exactly those
+#: between the old and new cut pairs.
+CB_LEN_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), True),
+        T.StructField("keep_any", T.BooleanType(), True),
+        T.StructField("lo_n", T.LongType(), True),
+        T.StructField("lo_id", T.LongType(), True),
+        T.StructField("hi_n", T.LongType(), True),
+        T.StructField("hi_id", T.LongType(), True),
+    ]
+)
+
 SCHEMAS = {
     "jobs": JOBS_SCHEMA,
     "admissions": ADMISSIONS_SCHEMA,
@@ -400,4 +428,6 @@ SCHEMAS = {
     "cb_decision_log": CB_CHANGELOG_SCHEMA,
     "cb_dsir_hist": CB_DSIR_HIST_SCHEMA,
     "cb_rate": CB_RATE_SCHEMA,
+    "cb_len_hist": CB_LEN_HIST_SCHEMA,
+    "cb_len_cut": CB_LEN_CUT_SCHEMA,
 }

@@ -94,11 +94,11 @@ from data_ingestion_backend_spark.operators.dedup import (
 from data_ingestion_backend_spark.operators.mlprep import (
     BUDGET_PCT,
     DSIR_BUCKETS,
+    length_deciles_frame,
     PACK_BUDGET_TOKENS,
     PACK_SHARDS,
     _dsir_grams,
     _dsir_score,
-    length_deciles_frame,
     repetition_frame,
     split_leakage_free,
     token_budget_select,
@@ -124,6 +124,8 @@ CB_DECISIONS = "cb_decisions"
 CB_CHANGELOG = "cb_decision_log"
 CB_DSIR_HIST = "cb_dsir_hist"
 CB_RATE = "cb_rate"
+CB_LEN_HIST = "cb_len_hist"
+CB_LEN_CUT = "cb_len_cut"
 
 _ALL_TABLES = (
     CB_DOCS,
@@ -140,6 +142,8 @@ _ALL_TABLES = (
     CB_CHANGELOG,
     CB_DSIR_HIST,
     CB_RATE,
+    CB_LEN_HIST,
+    CB_LEN_CUT,
 )
 
 #: decision-table payload columns (everything but doc_id), in schema
@@ -285,13 +289,73 @@ def _dsir_hist_collapse(df: DataFrame) -> DataFrame:
     )
 
 
+def _len_hist_collapse(df: DataFrame) -> DataFrame:
+    """Fold the per-source length-histogram delta log (same LSM shape)."""
+    return (
+        df.groupBy("source", "n_chars")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
 #: delta-LOG tables: compaction must fold the log (the fold needs every
 #: delta row, so these keep the full-rewrite path — their folded state
 #: is histogram/key-bounded, not batch-count-bounded).
 _LOG_TABLE_FOLDS = {
     CB_GRAM_DF: _gram_df_collapse,
     CB_DSIR_HIST: _dsir_hist_collapse,
+    CB_LEN_HIST: _len_hist_collapse,
 }
+
+
+def _keep_rank_range(n: int) -> tuple[int, int] | None:
+    """The 1-based rank window [r_lo, r_hi] a doc's (n_chars, doc_id)
+    rank must fall in to pass the per-source length band — the exact
+    integer form of ``percent_rank() ∈ [0.05, 0.95]``.  The comparisons
+    replicate Spark's IEEE-double ``(rank-1)/(N-1)`` arithmetic (Python
+    floats ARE IEEE doubles), adjusted by local search so no
+    floor-rounding edge can disagree with the window.  ``None`` = the
+    band is empty (including N == 1, where percent_rank is defined 0
+    and 0 >= 0.05 fails — a single-doc source keeps nothing, exactly
+    like the window)."""
+    if n <= 1:
+        return None
+    d = n - 1
+    r_lo = int(0.05 * d) + 1
+    while r_lo <= n and (r_lo - 1) / d < 0.05:
+        r_lo += 1
+    while r_lo > 1 and (r_lo - 2) / d >= 0.05:
+        r_lo -= 1
+    r_hi = int(0.95 * d) + 1
+    while r_hi >= 1 and (r_hi - 1) / d > 0.95:
+        r_hi -= 1
+    while r_hi < n and r_hi / d <= 0.95:
+        r_hi += 1
+    if r_lo > r_hi or r_lo > n or r_hi < 1:
+        return None
+    return r_lo, r_hi
+
+
+def _q_ok_from_cuts(docs: DataFrame, cuts: DataFrame) -> DataFrame:
+    """(doc_id, q_ok) via the maintained cut pairs: the per-source
+    length band reduces to a ROW-LOCAL lexicographic comparison of
+    (n_chars, doc_id) against the band's two order statistics — no
+    window, no shuffle (r13; replaces ``_q_ok``'s percent_rank pass).
+    Equality with the window form is golden-pinned batch by batch
+    through the monolithic equality."""
+    j = docs.select("doc_id", "source", "n_chars", "static_ok").join(
+        F.broadcast(cuts), "source", "left"
+    )
+    ge_lo = (F.col("n_chars") > F.col("lo_n")) | (
+        (F.col("n_chars") == F.col("lo_n"))
+        & (F.col("doc_id") >= F.col("lo_id"))
+    )
+    le_hi = (F.col("n_chars") < F.col("hi_n")) | (
+        (F.col("n_chars") == F.col("hi_n"))
+        & (F.col("doc_id") <= F.col("hi_id"))
+    )
+    len_ok = F.coalesce(F.col("keep_any"), F.lit(False)) & ge_lo & le_hi
+    return j.select("doc_id", (F.col("static_ok") & len_ok).alias("q_ok"))
 
 
 def dsir_hist_state(wh: Warehouse, version: int | None = None) -> DataFrame:
@@ -457,10 +521,12 @@ def _static_signals(batch: DataFrame) -> DataFrame:
 
 
 def _q_ok(docs_all: DataFrame) -> DataFrame:
-    """(doc_id, q_ok) over the accumulated per-doc signal table: the
-    static signal AND the per-source length band — the latter recomputed
-    exactly (one window over (source, n_chars, doc_id) metadata) because
-    a batch can move any source's 5th/95th percentile."""
+    """(doc_id, q_ok) the MONOLITHIC way — static signal AND the
+    per-source length band via the full percent_rank window.  Since r13
+    this is the comparator/bootstrap path only: the incremental build
+    evaluates the band row-locally against its maintained cut pairs
+    (``_q_ok_from_cuts``), and the monolithic equality goldens diff the
+    two strategies batch by batch."""
     lf = length_deciles_frame(
         docs_all.select("doc_id", "source", "n_chars")
     ).select("doc_id", (F.col("length_filter") == "keep").alias("_len_ok"))
@@ -594,8 +660,193 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         "06_cc_incremental",
     )
 
-    # ----- keep (integer window over state) --------------------------------
-    q_ok = _ckpt(_q_ok(docs_all), "07_length_window_state")
+    # ----- per-source length band (maintained histogram + cut pairs; r13) --
+    # The r12 path recomputed a percent_rank window over EVERY doc's
+    # (source, n_chars) metadata each batch.  Now the per-source length
+    # histogram is maintained state (``cb_len_hist`` delta log); the
+    # keep band's two order statistics — the (n_chars, doc_id) cut
+    # pairs at the 5th/95th rank boundaries — are found by a cumulative
+    # pass over the HISTOGRAM (O(distinct lengths), not O(docs)) plus
+    # one boundary-value probe into the doc metadata, and the per-doc
+    # length filter becomes a row-local comparison against the
+    # broadcast cut pairs.  The probe's fetch also bounds the q_ok FLIP
+    # SET exactly: a doc's keep status changed iff it lies between the
+    # old and new cut pairs (or its source's band appeared/vanished).
+    batch_counts = sig_batch.groupBy("source", "n_chars").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    if bases[CB_LEN_HIST] < 0 and bases[CB_DOCS] >= 0:
+        # legacy warehouse: one full metadata aggregation seeds the log
+        len_seed = _ckpt(
+            wh.read(CB_DOCS, bases[CB_DOCS])
+            .groupBy("source", "n_chars")
+            .agg(F.count("*").cast("bigint").alias("cnt")),
+            "07_length_window_state",
+        )
+        len_log_delta = len_seed.unionByName(batch_counts)
+        len_hist = _len_hist_collapse(len_seed.unionByName(batch_counts))
+    else:
+        len_log_delta = batch_counts
+        len_hist = _len_hist_collapse(
+            wh.read(CB_LEN_HIST, bases[CB_LEN_HIST]).unionByName(batch_counts)
+        )
+    len_hist = _ckpt(len_hist, "07_length_window_state")
+    src_totals = len_hist.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    ).collect()
+    ranks = []
+    no_band = []
+    for r in src_totals:
+        rng = _keep_rank_range(int(r["n"]))
+        if rng is None:
+            no_band.append(r["source"])
+        else:
+            ranks.append((r["source"], rng[0], rng[1]))
+    old_cuts_rows = (
+        wh.read(CB_LEN_CUT, bases[CB_LEN_CUT]).collect()
+        if bases[CB_LEN_CUT] >= 0
+        else []
+    )
+    old_cut = {r["source"]: r for r in old_cuts_rows}
+    #: legacy corpus without cut state: the flip set cannot be bounded
+    #: this once — downstream consumers fall back to a full recompute
+    len_flips_full = not old_cuts_rows and bases[CB_DOCS] >= 0
+    if ranks:
+        ranks_df = spark.createDataFrame(
+            ranks, "source string, r_lo bigint, r_hi bigint"
+        )
+        w_cum = (
+            Window.partitionBy("source")
+            .orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = len_hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        b = cum.join(F.broadcast(ranks_df), "source")
+        bound_rows = (
+            b.select(
+                "source",
+                "n_chars",
+                "cnt",
+                "cum",
+                "r_lo",
+                "r_hi",
+                ((F.col("cum") - F.col("cnt") < F.col("r_lo")) & (F.col("r_lo") <= F.col("cum"))).alias("is_lo"),
+                ((F.col("cum") - F.col("cnt") < F.col("r_hi")) & (F.col("r_hi") <= F.col("cum"))).alias("is_hi"),
+            )
+            .filter(F.col("is_lo") | F.col("is_hi"))
+            .collect()
+        )
+    else:
+        bound_rows = []
+    bnd = {}
+    for r in bound_rows:
+        e = bnd.setdefault(r["source"], {})
+        if r["is_lo"]:
+            e["lo_n"], e["lo_k"] = int(r["n_chars"]), int(r["r_lo"] - (r["cum"] - r["cnt"]))
+        if r["is_hi"]:
+            e["hi_n"], e["hi_k"] = int(r["n_chars"]), int(r["r_hi"] - (r["cum"] - r["cnt"]))
+    # ONE metadata probe fetches (a) the boundary-value rows that
+    # resolve the doc_id tie-breaks and (b) the old↔new flip-zone
+    # superset, per source
+    iv = []  # (source, n_lo, n_hi) inclusive n_chars intervals to fetch
+    for s, e in bnd.items():
+        o = old_cut.get(s)
+        if o is not None and o["keep_any"]:
+            iv.append((s, min(e["lo_n"], o["lo_n"]), max(e["lo_n"], o["lo_n"])))
+            iv.append((s, min(e["hi_n"], o["hi_n"]), max(e["hi_n"], o["hi_n"])))
+        else:
+            # band appeared (or no old state): the whole new band flips
+            iv.append((s, e["lo_n"], e["hi_n"]))
+    for s in no_band:
+        o = old_cut.get(s)
+        if o is not None and o["keep_any"]:
+            iv.append((s, o["lo_n"], o["hi_n"]))  # band vanished: all flip
+    if iv:
+        iv_df = spark.createDataFrame(iv, "source string, a bigint, z bigint")
+        fetched = _ckpt(
+            docs_all.select("doc_id", "source", "n_chars", "static_ok")
+            .join(F.broadcast(iv_df), "source")
+            .filter(
+                (F.col("n_chars") >= F.col("a"))
+                & (F.col("n_chars") <= F.col("z"))
+            )
+            .select("doc_id", "source", "n_chars", "static_ok")
+            .distinct(),
+            "07_length_window_state",
+        )
+    else:
+        fetched = spark.createDataFrame(
+            [], "doc_id bigint, source string, n_chars bigint, static_ok boolean"
+        )
+    # resolve the k-th-smallest-doc_id tie-breaks from the fetched rows
+    need = [
+        (s, e["lo_n"], e["lo_k"], e["hi_n"], e["hi_k"]) for s, e in bnd.items()
+    ]
+    cut_rows = []
+    if need:
+        need_df = spark.createDataFrame(
+            need, "source string, lo_n bigint, lo_k bigint, hi_n bigint, hi_k bigint"
+        )
+        w_tie = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+        tie = (
+            fetched.withColumn("rn", F.row_number().over(w_tie))
+            .join(F.broadcast(need_df), "source")
+            .filter(
+                ((F.col("n_chars") == F.col("lo_n")) & (F.col("rn") == F.col("lo_k")))
+                | ((F.col("n_chars") == F.col("hi_n")) & (F.col("rn") == F.col("hi_k")))
+            )
+            .collect()
+        )
+        ids = {}
+        for r in tie:
+            e = ids.setdefault(r["source"], {})
+            if r["n_chars"] == r["lo_n"] and r["rn"] == r["lo_k"]:
+                e["lo_id"] = int(r["doc_id"])
+            if r["n_chars"] == r["hi_n"] and r["rn"] == r["hi_k"]:
+                e["hi_id"] = int(r["doc_id"])
+        for s, e in bnd.items():
+            cut_rows.append(
+                (s, True, e["lo_n"], ids[s]["lo_id"], e["hi_n"], ids[s]["hi_id"])
+            )
+    for s in no_band:
+        cut_rows.append((s, False, None, None, None, None))
+    cuts_df = spark.createDataFrame(
+        cut_rows,
+        "source string, keep_any boolean, lo_n bigint, lo_id bigint, "
+        "hi_n bigint, hi_id bigint",
+    )
+    # exact q_ok flip set: fetched docs whose keep status differs under
+    # old vs new cut pairs (static-fail docs can never flip q_ok)
+    old_cuts_df = spark.createDataFrame(
+        [
+            (
+                r["source"],
+                bool(r["keep_any"]),
+                r["lo_n"],
+                r["lo_id"],
+                r["hi_n"],
+                r["hi_id"],
+            )
+            for r in old_cuts_rows
+        ],
+        "source string, keep_any boolean, lo_n bigint, lo_id bigint, "
+        "hi_n bigint, hi_id bigint",
+    )
+    q_flips = (
+        _q_ok_from_cuts(fetched, cuts_df)
+        .withColumnRenamed("q_ok", "_new")
+        .join(
+            _q_ok_from_cuts(fetched, old_cuts_df).withColumnRenamed(
+                "q_ok", "_old"
+            ),
+            "doc_id",
+        )
+        .filter(F.col("_new") != F.col("_old"))
+        .select("doc_id")
+    )
+
+    # ----- keep (row-local length filter over state) -----------------------
+    q_ok = _ckpt(_q_ok_from_cuts(docs_all, cuts_df), "07_length_window_state")
     surv = _ckpt(_survivors(docs_all, q_ok, labels), "08_keep_window_state")
 
     # ----- span-state delta + affected re-cut ------------------------------
@@ -1049,6 +1300,11 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         CB_DSIR_HIST: lambda: wh.stage_append(
             CB_DSIR_HIST, hist_log_delta, bases[CB_DSIR_HIST]
         ),
+        CB_LEN_HIST: lambda: wh.stage_append(
+            CB_LEN_HIST, len_log_delta, bases[CB_LEN_HIST]
+        ),
+        # the cut pairs are a #sources-row control-plane snapshot
+        CB_LEN_CUT: lambda: wh.stage(CB_LEN_CUT, cuts_df),
         CB_RATE: (
             # legacy migration (rate table absent, corpus present): one
             # full partitioned stage; bounded partition deltas after

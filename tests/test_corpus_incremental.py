@@ -517,3 +517,33 @@ def test_lam_py_matches_dsir_lambda_over_count_grid(spark):
         }
         for i, (cs, ct) in enumerate(grid):
             assert _lam_py(cs, ct, ts, tt) == ref[i], (cs, ct, ts, tt)
+
+
+def test_tie_heavy_lengths_match_monolithic(spark, tmp_path):
+    """Cut-pair order statistics under stress: many docs SHARE n_chars
+    values (the rank boundary lands inside tie groups, where the
+    doc_id tie-break decides), single-doc and two-doc sources, and a
+    source whose keep band APPEARS between batches — the maintained
+    row-local length filter must still reproduce the percent_rank
+    window bit-for-bit through the full build."""
+    rows = []
+    # source A: 40 docs over only 5 distinct lengths (heavy ties)
+    for i in range(40):
+        rows.append((i, "en", "A", 100 + (i % 5), "tie doc " + " ".join(f"a{i}w{j}" for j in range(12))))
+    # source B: single doc (empty band: percent_rank 0 fails >= 0.05)
+    rows.append((100, "en", "B", 50, "lone doc " + " ".join(f"b{j}" for j in range(12))))
+    # source C: starts with 1 doc, grows to 3 (band appears mid-build)
+    rows.append((200, "de", "C", 70, "c first " + " ".join(f"c0w{j}" for j in range(12))))
+    rows.append((201, "de", "C", 71, "c second " + " ".join(f"c1w{j}" for j in range(12))))
+    rows.append((202, "de", "C", 69, "c third " + " ".join(f"c2w{j}" for j in range(12))))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long, text string"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    bounds = [(0, 20), (20, 201), (201, 1000)]
+    for i, (lo, hi) in enumerate(bounds):
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        assert extend_corpus_build(wh, b, i) is True
+        prefix = docs.filter(F.col("doc_id") < hi)
+        want = _rows(corpus_build_monolithic(prefix))
+        assert _rows(read_decisions(wh)) == want, f"batch {i} diverged"
