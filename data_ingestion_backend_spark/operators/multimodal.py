@@ -348,6 +348,7 @@ WAV_RATE = 8000
 _PPM_DIMS = (4, 2)   # fixture image dims (w, h)
 _BMP_DIMS = (3, 2)   # w=3 forces a 3-byte row pad — the format's trap
 _WAV_SAMPLES = 8
+_PNG_DIMS = (4, 5)   # h=5: the fixture writes one scanline per filter type
 
 DECODE_SCHEMA = (
     "media_id bigint, kind string, width int, height int, "
@@ -466,10 +467,102 @@ def _decode_wav(blob: bytes) -> dict:
     }
 
 
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): pick whichever of left/up/
+    up-left is closest to a+b-c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(blob: bytes) -> dict:
+    """PNG with stdlib ``zlib`` alone (r13): walk the chunk stream,
+    inflate the concatenated IDAT bodies, and UNFILTER each scanline —
+    None/Sub/Up/Average/Paeth, the five per-row predictors real encoders
+    mix freely.  8-bit truecolor (RGB) and truecolor+alpha (RGBA) only;
+    interlaced images are refused into quarantine (Adam7 needs seven
+    sub-images — out of scope for a codec-free kernel), as are palette/
+    grayscale depths.  RGBA alpha is ignored by the channel sums (the
+    stats contract is color energy, same as the other image kinds)."""
+    import struct
+    import zlib
+
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(blob):
+        ln, ctype = struct.unpack_from(">I4s", blob, pos)
+        body = blob[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload's trailing CRC
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0:
+        raise ValueError("only 8-bit RGB/RGBA PNG supported")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    bpp = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"bad PNG deflate stream: {e}")
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG scanline length")
+    prev = bytearray(stride)
+    sum_r = sum_g = sum_b = 0
+    for row in range(h):
+        off = row * (stride + 1)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _png_paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        sum_r += sum(line[0::bpp])
+        sum_g += sum(line[1::bpp])
+        sum_b += sum(line[2::bpp])
+        prev = line
+    return {
+        "kind": "png",
+        "width": w,
+        "height": h,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
 _MEDIA_DECODERS = (
     (b"P6", _decode_ppm),
     (b"BM", _decode_bmp),
     (b"RIFF", _decode_wav),
+    (b"\x89PNG", _decode_png),
 )
 
 
@@ -521,20 +614,42 @@ def _digest_bytes_expr_sql(k: str) -> str:
 
 def media_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic REAL-format media fixture: each document becomes a
-    PPM / BMP / WAV blob (by ``doc_id % 3``) whose payload bytes cycle
-    the md5(text) digest — so a SQL oracle can recompute every decoded
-    channel sum from the hex digest without decoding anything.  The
-    writer intentionally exercises the format traps the decoders must
-    survive: BMP rows are emitted bottom-up, BGR, padded; WAV samples
-    are signed little-endian."""
+    PPM / BMP / WAV / PNG blob (by ``doc_id % 4``) whose payload bytes
+    cycle the md5(text) digest — so a SQL oracle can recompute every
+    decoded channel sum from the hex digest without decoding anything.
+    The writer intentionally exercises the format traps the decoders
+    must survive: BMP rows are emitted bottom-up, BGR, padded; WAV
+    samples are signed little-endian; PNG scanlines cycle ALL FIVE
+    filter types (row % 5), so the oracle differential covers the
+    whole unfilter matrix plus the deflate round-trip."""
     import struct
+
+    import zlib
+
+    def _png_filter_row(line: bytes, prev: bytes, ft: int, bpp: int) -> bytes:
+        """Apply PNG filter ``ft`` to one raw scanline (the encoder-side
+        inverse of `_decode_png`'s unfilter)."""
+        out = bytearray(len(line))
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = (
+                0 if ft == 0
+                else a if ft == 1
+                else b if ft == 2
+                else (a + b) >> 1 if ft == 3
+                else _png_paeth(a, b, c)
+            )
+            out[i] = (line[i] - pred) & 0xFF
+        return bytes(out)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.md5(str(text).encode()).digest()
-                kind = did % 3
+                kind = did % 4
                 if kind == 0:
                     w, h = _PPM_DIMS
                     pix = bytes(digest[i % 16] for i in range(w * h * 3))
@@ -559,7 +674,7 @@ def media_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                         + body
                     )
-                else:
+                elif kind == 2:
                     data = digest[: 2 * _WAV_SAMPLES]
                     blob = (
                         struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
@@ -569,6 +684,31 @@ def media_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                         + struct.pack("<4sI", b"data", len(data))
                         + data
+                    )
+                else:  # PNG: one scanline per filter type (0..4)
+                    w, h = _PNG_DIMS
+                    pix = bytes(digest[i % 16] for i in range(w * h * 3))
+                    raw, prev = b"", bytes(w * 3)
+                    for row in range(h):
+                        line = pix[row * w * 3 : (row + 1) * w * 3]
+                        ft = row % 5
+                        raw += bytes([ft]) + _png_filter_row(line, prev, ft, 3)
+                        prev = line
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+                    def _chunk(t: bytes, d: bytes) -> bytes:
+                        return (
+                            struct.pack(">I", len(d))
+                            + t
+                            + d
+                            + struct.pack(">I", zlib.crc32(t + d))
+                        )
+
+                    blob = (
+                        b"\x89PNG\r\n\x1a\n"
+                        + _chunk(b"IHDR", ihdr)
+                        + _chunk(b"IDAT", zlib.compress(raw))
+                        + _chunk(b"IEND", b"")
                     )
                 ids.append(did)
                 blobs.append(blob)
@@ -586,14 +726,16 @@ def _media_decode_oracle() -> str:
     b = _digest_bytes_expr_sql
     pw, ph = _PPM_DIMS
     bw, bh = _BMP_DIMS
-    ppm_n, bmp_n = pw * ph * 3, bw * bh * 3
+    gw, gh = _PNG_DIMS
+    ppm_n, bmp_n, png_n = pw * ph * 3, bw * bh * 3, gw * gh * 3
     return f"""WITH img AS (
-         SELECT doc_id AS media_id, text, doc_id % 3 AS k FROM documents
+         SELECT doc_id AS media_id, text, doc_id % 4 AS k FROM documents
        ),
        px AS (  -- pixel byte i of the cycled digest, per image kind
          SELECT media_id, k, i.i AS i, {b("i.i % 16")} AS v
-         FROM img, (SELECT unnest(range({max(ppm_n, bmp_n)})) AS i) i
+         FROM img, (SELECT unnest(range({max(ppm_n, bmp_n, png_n)})) AS i) i
          WHERE (k = 0 AND i.i < {ppm_n}) OR (k = 1 AND i.i < {bmp_n})
+            OR (k = 3 AND i.i < {png_n})
        ),
        sums AS (
          SELECT media_id,
@@ -614,9 +756,12 @@ def _media_decode_oracle() -> str:
          ) GROUP BY media_id
        )
        SELECT i.media_id,
-              CASE i.k WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
-              CASE i.k WHEN 0 THEN {pw} WHEN 1 THEN {bw} END AS width,
-              CASE i.k WHEN 0 THEN {ph} WHEN 1 THEN {bh} END AS height,
+              CASE i.k WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                       WHEN 2 THEN 'wav' ELSE 'png' END AS kind,
+              CASE i.k WHEN 0 THEN {pw} WHEN 1 THEN {bw}
+                       WHEN 3 THEN {gw} END AS width,
+              CASE i.k WHEN 0 THEN {ph} WHEN 1 THEN {bh}
+                       WHEN 3 THEN {gh} END AS height,
               CASE i.k WHEN 2 THEN {WAV_RATE} END AS sample_rate,
               CASE i.k WHEN 2 THEN CAST({_WAV_SAMPLES} AS BIGINT) END AS n_samples,
               s.sum_r, s.sum_g, s.sum_b, w.sum_abs,

@@ -239,3 +239,99 @@ def test_media_decode_query_matches_duckdb_oracle(spark):
     )
     want = con.execute(_media_decode_oracle()).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def _png_chunk(t, d):
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+
+def _hand_png(color=2, interlace=0, filters=(0, 1, 2, 3, 4), corrupt_len=False):
+    """2x5 PNG, one scanline per filter type, encoded with an
+    independent in-test filter implementation (spec arithmetic written
+    out directly, NOT the fixture writer's helper)."""
+    import struct
+    import zlib
+
+    w, h = 2, len(filters)
+    bpp = 3 if color == 2 else 4
+    # deterministic pixels: channel c of pixel (row, x) = 7*row+13*x+c+1
+    def px(row, x, c):
+        return (7 * row + 13 * x + c + 1) & 0xFF
+
+    raw = b""
+    prev = [0] * (w * bpp)
+    for row, ft in enumerate(filters):
+        line = [px(row, x, c) for x in range(w) for c in range(bpp)]
+        out = []
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc2 = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc2 else (b if pb <= pc2 else cc)
+            out.append((line[i] - pred) & 0xFF)
+        raw += bytes([ft]) + bytes(out)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
+    body = zlib.compress(raw)
+    if corrupt_len:
+        body = body[:-3]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", body)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_unfilters_all_five_types():
+    from data_ingestion_backend_spark.operators.multimodal import _decode_png
+
+    for color, bpp in ((2, 3), (6, 4)):  # RGB and RGBA
+        got = _decode_png(_hand_png(color=color))
+        want = {
+            c: sum(
+                (7 * row + 13 * x + ci + 1) & 0xFF
+                for row in range(5)
+                for x in range(2)
+            )
+            for ci, c in enumerate(("sum_r", "sum_g", "sum_b"))
+        }
+        assert got == {
+            "kind": "png", "width": 2, "height": 5, **want
+        }, color  # alpha (bpp=4) ignored by the sums
+
+
+def test_real_png_decode_rejects_unsupported_into_quarantine():
+    import pytest
+
+    from data_ingestion_backend_spark.operators.multimodal import _decode_png
+
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_png(_hand_png(interlace=1))
+    with pytest.raises(ValueError, match="deflate"):
+        _decode_png(_hand_png(corrupt_len=True))
+    # palette color type refused (codec-free kernel scope)
+    import struct
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", b"x")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="RGB/RGBA"):
+        _decode_png(bad)
