@@ -397,6 +397,17 @@ CB_LEN_CUT_SCHEMA = T.StructType(
     ]
 )
 
+#: score-tier token histogram of the incremental corpus build (delta
+#: log; state = per-score sum of survivor tokens) — the bounded state
+#: the budget line is computed from, replacing a full aggregation over
+#: every survivor per batch.
+CB_TIER_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("score", T.LongType(), True),
+        T.StructField("st", T.LongType(), True),
+    ]
+)
+
 SCHEMAS = {
     "jobs": JOBS_SCHEMA,
     "admissions": ADMISSIONS_SCHEMA,
@@ -430,4 +441,22 @@ SCHEMAS = {
     "cb_rate": CB_RATE_SCHEMA,
     "cb_len_hist": CB_LEN_HIST_SCHEMA,
     "cb_len_cut": CB_LEN_CUT_SCHEMA,
+    "cb_tier_hist": CB_TIER_HIST_SCHEMA,
+    "corpus_pack_members": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("shard", T.LongType(), True),
+            T.StructField("pack_id", T.LongType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+        ]
+    ),
+    "corpus_packs_live": T.StructType(
+        [
+            T.StructField("shard", T.LongType(), True),
+            T.StructField("pack_id", T.LongType(), True),
+            T.StructField("packed_text", T.StringType(), True),
+            T.StructField("pack_tokens", T.LongType(), True),
+            T.StructField("n_docs", T.LongType(), True),
+        ]
+    ),
 }

