@@ -15,16 +15,28 @@ the graded fixture cert).  The cost split is the design:
   actually changed — never over the accumulated corpus.  At 100 TB the
   raw text IS the 100 TB; these are the passes that cannot re-run per
   batch.
-- **integer-state passes are allowed to RECOMPUTE, never to REWRITE.**
-  The globally-coupled stages (per-source length percentiles,
-  per-cluster canonical keep, the DSIR λ table, the token-budget cut
-  line, split hashing, pack running sums) are recomputed each batch
-  FROM MAINTAINED STATE — per-doc scalars and bounded histograms, ~3
-  orders of magnitude smaller than the text.  This is the "signals
-  cached, decisions recomputed" architecture: exact (the monolithic
-  equality is bit-level, not approximate), while the per-batch cost
-  curve tracks the batch for everything text-proportional (measured in
-  the soak arm, tools/corpussoak.py).
+- **integer-state passes are CHANGE-SCOPED over maintained bounded
+  state (r13).**  The globally-coupled stages no longer rescan the
+  per-doc scalars each batch; each owns a maintained sufficient
+  statistic plus an exactly-characterized flip set:
+  per-source length percentiles = a length HISTOGRAM (``cb_len_hist``)
+  whose 5th/95th order statistics become broadcast CUT PAIRS — the
+  per-doc filter is row-local, and the docs whose status flipped are
+  exactly those between the old and new pairs; the canonical-keep
+  window recomputes only over clusters whose membership or member q_ok
+  changed; DSIR λ evaluates in the driver from a ≤DSIR_BUCKETS-row
+  histogram (``cb_dsir_hist``) and per-doc rates (``cb_rate``) update
+  only for changed docs and whole-bit λ flips (each bucket flips
+  O(log corpus) times EVER); the budget line comes from a score-tier
+  token histogram (``cb_tier_hist``) with the within-tier cut an order
+  statistic of the cut tier alone, selection a row-local cut-pair
+  predicate whose flips one selective scan of the stored flags finds;
+  pack ids recompute per shard from the first changed contribution
+  only.  Exact (the monolithic equality stays bit-level); the residual
+  per-batch corpus-proportional terms are a handful of COLUMN-PRUNED
+  integer scans (label-member fetch, selective decision scans, the
+  length boundary probe) — no window, shuffle, or sort ever spans the
+  corpus (measured in the soak arm, tools/corpussoak.py).
 - **per-batch WRITES are bounded by what the batch changed, for ALL
   twelve state tables.**  Grow-only tables (docs, signatures, bands,
   pairs, the decision change log, the gram-df delta log) stage as
@@ -208,14 +220,24 @@ def _only_pbs(df, pbs: list):
     return out.filter(F.col("pb").isin(pbs)) if pbs else out.limit(0)
 
 
-def _doc_subset(state_df: DataFrame, ids_df: DataFrame, pbs: list) -> DataFrame:
+def _doc_subset(
+    state_df: DataFrame, ids_df: DataFrame, pbs: list | None
+) -> DataFrame:
     """Rows of a maintained per-doc state table belonging to a (small)
-    doc-id set — partition-pruned to the set's doc-id buckets when the
-    physical layout carries them (a legacy flat snapshot falls back to
-    the join alone, which the migration rewrite then retires)."""
+    doc-id set.  With ``pbs`` (the set's doc-id buckets), the read is
+    partition-pruned — mandatory for TEXT-bearing fetches, where a scan
+    would re-read corpus text.  With ``pbs=None`` the lookup is a
+    broadcast-semi join over the (column-pruned) table scan instead:
+    for integer-only state tables the scan is a few bytes per doc and
+    skipping the up-front bucket collect saves one driver round-trip
+    per lookup — the per-batch job-count floor is the measured constant
+    at small batch sizes (SCALE.md §5)."""
     base = state_df
-    if "pb" in base.columns:
+    if pbs is not None and "pb" in base.columns:
         base = base.filter(F.col("pb").isin(pbs)) if pbs else base.limit(0)
+    # no static broadcast hint: steady-state id sets are change-sized
+    # and AQE picks the broadcast side at runtime, while migration /
+    # first-call paths can pass corpus-sized id sets
     return base.drop("pb").join(ids_df, "doc_id")
 
 
@@ -732,10 +754,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .distinct(),
         "06_cc_incremental",
     )
-    ep_pbs = _affected_pbs(ep)
     ep_lbl = (
         ep.join(
-            _doc_subset(old_labels_t, ep, ep_pbs).select("doc_id", "lbl"),
+            _doc_subset(old_labels_t, ep, None).select("doc_id", "lbl"),
             "doc_id",
             "left",
         )
@@ -749,10 +770,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         cc_incremental(touched_members, new_pairs.select("doc_a", "doc_b")),
         "06_cc_incremental",
     )
-    cc_pbs = _affected_pbs(cc_out.select("doc_id"))
     lbl_new_rows = _ckpt(
         cc_out.join(
-            _doc_subset(old_labels_t, cc_out.select("doc_id"), cc_pbs)
+            _doc_subset(old_labels_t, cc_out.select("doc_id"), None)
             .select("doc_id", F.col("lbl").alias("_old")),
             "doc_id",
             "left",
@@ -805,17 +825,15 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             wh.read(CB_LEN_HIST, bases[CB_LEN_HIST]).unionByName(batch_counts)
         )
     len_hist = _ckpt(len_hist, "07_length_window_state")
-    src_totals = len_hist.groupBy("source").agg(
-        F.sum("cnt").cast("bigint").alias("n")
-    ).collect()
-    ranks = []
-    no_band = []
-    for r in src_totals:
-        rng = _keep_rank_range(int(r["n"]))
-        if rng is None:
-            no_band.append(r["source"])
-        else:
-            ranks.append((r["source"], rng[0], rng[1]))
+    # ONE collect of the (source, n_chars, cnt) histogram; totals, rank
+    # windows and boundary rows all resolve in the driver (the
+    # histogram is value-bounded — distinct lengths per source — not
+    # doc-bounded, so the collect is control-plane-sized)
+    from collections import defaultdict
+
+    per_src: dict = defaultdict(list)
+    for r in len_hist.collect():
+        per_src[r["source"]].append((int(r["n_chars"]), int(r["cnt"])))
     old_cuts_rows = (
         wh.read(CB_LEN_CUT, bases[CB_LEN_CUT]).collect()
         if bases[CB_LEN_CUT] >= 0
@@ -825,40 +843,25 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     #: legacy corpus without cut state: the flip set cannot be bounded
     #: this once — downstream consumers fall back to a full recompute
     len_flips_full = not old_cuts_rows and bases[CB_DOCS] >= 0
-    if ranks:
-        ranks_df = spark.createDataFrame(
-            ranks, "source string, r_lo bigint, r_hi bigint"
-        )
-        w_cum = (
-            Window.partitionBy("source")
-            .orderBy("n_chars")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = len_hist.withColumn("cum", F.sum("cnt").over(w_cum))
-        b = cum.join(F.broadcast(ranks_df), "source")
-        bound_rows = (
-            b.select(
-                "source",
-                "n_chars",
-                "cnt",
-                "cum",
-                "r_lo",
-                "r_hi",
-                ((F.col("cum") - F.col("cnt") < F.col("r_lo")) & (F.col("r_lo") <= F.col("cum"))).alias("is_lo"),
-                ((F.col("cum") - F.col("cnt") < F.col("r_hi")) & (F.col("r_hi") <= F.col("cum"))).alias("is_hi"),
-            )
-            .filter(F.col("is_lo") | F.col("is_hi"))
-            .collect()
-        )
-    else:
-        bound_rows = []
     bnd = {}
-    for r in bound_rows:
-        e = bnd.setdefault(r["source"], {})
-        if r["is_lo"]:
-            e["lo_n"], e["lo_k"] = int(r["n_chars"]), int(r["r_lo"] - (r["cum"] - r["cnt"]))
-        if r["is_hi"]:
-            e["hi_n"], e["hi_k"] = int(r["n_chars"]), int(r["r_hi"] - (r["cum"] - r["cnt"]))
+    no_band = []
+    for s, rows in per_src.items():
+        rows.sort()
+        n = sum(c for _v, c in rows)
+        rng = _keep_rank_range(n)
+        if rng is None:
+            no_band.append(s)
+            continue
+        r_lo, r_hi = rng
+        e: dict = {}
+        cum = 0
+        for v, cnt in rows:
+            cum += cnt
+            if cum - cnt < r_lo <= cum:
+                e["lo_n"], e["lo_k"] = v, r_lo - (cum - cnt)
+            if cum - cnt < r_hi <= cum:
+                e["hi_n"], e["hi_k"] = v, r_hi - (cum - cnt)
+        bnd[s] = e
     # ONE metadata probe fetches (a) the boundary-value rows that
     # resolve the doc_id tie-breaks and (b) the old↔new flip-zone
     # superset, per source
@@ -1004,13 +1007,12 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             .distinct(),
             "08_keep_window_state",
         )
-        fm_pbs = _affected_pbs(fm)
         # each flip doc's cluster under the NEW labeling, plus the old
         # clusters relabeled docs LEFT
         fm_lbls = (
             fm.join(lbl_new_rows, "doc_id", "left")
             .join(
-                _doc_subset(old_labels_t, fm, fm_pbs).select(
+                _doc_subset(old_labels_t, fm, None).select(
                     "doc_id", F.col("lbl").alias("_ol")
                 ),
                 "doc_id",
@@ -1021,8 +1023,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             )
         )
         left_lbls = (
-            _doc_subset(old_labels_t, lbl_changed, _affected_pbs(lbl_changed))
-            .select("lbl")
+            _doc_subset(old_labels_t, lbl_changed, None).select("lbl")
         )
         aff_c = _ckpt(
             fm_lbls.unionByName(left_lbls).distinct(), "08_keep_window_state"
@@ -1036,8 +1037,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             "08_keep_window_state",
         )
         mem_ids = members.select("doc_id")
-        mem_pbs = _affected_pbs(mem_ids)
-        meta = docs_for(mem_ids, mem_pbs)
+        # metadata-only fetch (no text column): the scan is column-
+        # pruned ints, so the join-only lookup skips a bucket collect
+        meta = docs_for(mem_ids, None)
         winners = _ckpt(
             _survivors(
                 meta,
@@ -1129,9 +1131,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .join(added, "doc_id", "left_anti")
     )
     changed = _ckpt(added.unionByName(affected_old).distinct(), "09_span_delta")
-
-    changed_pbs = _affected_pbs(changed)
-    changed_docs = docs_for(changed, changed_pbs).select("doc_id", "text")
+    gone = changed.unionByName(removed)
+    gone_pbs = _affected_pbs(gone)  # superset-prunes every text fetch below
+    changed_docs = docs_for(changed, gone_pbs).select("doc_id", "text")
     repeated = gram_df.filter(F.col("df") >= 2).select("g")
     hits = (
         span_gram_table(changed_docs)
@@ -1156,7 +1158,6 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         .agg(F.count("*").alias("k")),
         "11_recut_changed",
     )
-    gone = changed.unionByName(removed)
     old_clean_t = wh.read(CB_CLEAN, bases[CB_CLEAN])
     old_buckets_t = wh.read(CB_DOC_BUCKETS, bases[CB_DOC_BUCKETS])
     # full logical merges — evaluated only for legacy full_df migration
@@ -1190,7 +1191,6 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     # whole-bit λ actually flipped — λ flips need a count ratio to cross
     # a power of two, so each bucket flips O(log corpus) times EVER and
     # the flip-scan amortizes to zero as the corpus grows.
-    gone_pbs = _affected_pbs(gone)
     gone_b = _doc_subset(old_buckets_t, gone, gone_pbs)
     langs = docs_for(gone, gone_pbs).select(
         "doc_id", (F.col("lang") == F.lit("en")).alias("_en")
@@ -1238,13 +1238,21 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     else:
         old_hist = dsir_hist_state(wh, bases[CB_DSIR_HIST])
         hist_log_delta = hist_delta
-    oh_rows = old_hist.collect()  # ≤ DSIR_BUCKETS control-plane rows
+    # ONE tagged collect for both the old state and the batch delta
+    # (≤ 2·DSIR_BUCKETS control-plane rows)
+    both = old_hist.select(
+        F.lit(0).alias("_t"), "b", "cs", "ct"
+    ).unionByName(
+        hist_delta.select(F.lit(1).alias("_t"), "b", "cs", "ct")
+    ).collect()
+    oh_rows = [r for r in both if r["_t"] == 0]
     lam_old = _lam_map(oh_rows)
     counts = {r["b"]: [r["cs"], r["ct"]] for r in oh_rows}
-    for r in hist_delta.collect():  # ≤ DSIR_BUCKETS rows
-        c = counts.setdefault(r["b"], [0, 0])
-        c[0] += r["cs"]
-        c[1] += r["ct"]
+    for r in both:
+        if r["_t"] == 1:
+            c = counts.setdefault(r["b"], [0, 0])
+            c[0] += r["cs"]
+            c[1] += r["ct"]
     nh_rows = [
         {"b": b, "cs": cs, "ct": ct}
         for b, (cs, ct) in counts.items()
@@ -1417,7 +1425,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         )
     else:
         cand0 = _ckpt(rate_touched.distinct(), "14_budget_cut")
-        cand0_pbs = _affected_pbs(cand0)
+        cand0_pbs = None  # int-only lookups: join-only, no bucket collect
 
         def scored_rows_for(ids_df, pbs):
             """Current (doc_id, cluster_id, score, n_tokens) of the ids
@@ -1542,7 +1550,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             .distinct(),
             "15_decisions_assemble",
         )
-        cand1_pbs = _affected_pbs(cand1)
+        cand1_pbs = None  # metadata/int lookups below: join-only
         q1 = _q_ok_from_cuts(docs_for(cand1, cand1_pbs), cuts_df)
         scored_c1 = _ckpt(
             scored_rows_for(cand1, cand1_pbs).withColumn(
@@ -1696,9 +1704,8 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             )
         )
         pack_flips = _ckpt(pack_flips, "15_decisions_assemble")
-        pf_pbs = _affected_pbs(pack_flips)
         dec_new_flips = (
-            _doc_subset(old_dec_t, pack_flips, pf_pbs)
+            _doc_subset(old_dec_t, pack_flips, None)
             .drop("pack_id")
             .join(
                 packed_zone.select(
@@ -1718,8 +1725,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ).unionByName(dec_new)
     # null-safe diff of the (candidate-restricted) new rows vs pinned base
     if dec_cand_keys is not None:
-        cand_pbs_d = _affected_pbs(dec_cand_keys)
-        old_for_diff = _doc_subset(old_dec_t, dec_cand_keys, cand_pbs_d)
+        old_for_diff = _doc_subset(old_dec_t, dec_cand_keys, None)
     else:
         old_for_diff = old_dec
     dec_diff = _ckpt(

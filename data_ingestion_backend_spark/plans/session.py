@@ -56,6 +56,14 @@ ENGINE_CONF: dict[str, str] = {
     # Deterministic parquet reads regardless of host default.
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    # Hive-partitioned maintained state grows to thousands of leaf
+    # directories; above this threshold Spark schedules a LISTING JOB
+    # per table read, and the incremental build's ~25 actions per batch
+    # each paid one at grown state (seconds of pure scheduling).  Local
+    # driver-side listing walks the same directories in milliseconds;
+    # a real cluster deployment reading a manifest-based table format
+    # (Delta/Iceberg) doesn't list at all.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "100000",
     # Quieter driver logs in test runs.
     "spark.ui.showConsoleProgress": "false",
 }

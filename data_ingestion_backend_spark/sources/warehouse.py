@@ -251,29 +251,41 @@ class Warehouse:
         order), ``("empty", [])`` when neither exists (a zero-row
         write leaves only markers — no layout to conflict with), and
         ``("mixed", cols)`` when both appear (always a corrupt write;
-        every caller rejects it)."""
+        every caller rejects it).
+
+        EVERY sibling at every depth is checked (r13): the earlier form
+        descended only the first partition directory per level, so a
+        corruption living in a SIBLING branch — data files mixed under
+        one ``pb=`` value, or inconsistent nesting depth — classified
+        from one unrepresentative branch and slipped past the mixed-
+        layout refusal in the append/delta writers.  The check is a
+        pure namespace walk, the same cost class as the per-batch file
+        counters."""
         cols: list[str] = []
-        path = base_path
+        level = [base_path]
         while True:
-            entries = os.listdir(path)
-            part_dirs = [
-                e
-                for e in entries
-                if "=" in e and os.path.isdir(os.path.join(path, e))
-            ]
-            data_files = [
-                e
-                for e in entries
-                if not e.startswith(("_", "."))
-                and os.path.isfile(os.path.join(path, e))
-            ]
-            if part_dirs and data_files:
-                return "mixed", cols + [part_dirs[0].split("=", 1)[0]]
+            part_dirs: list[str] = []
+            keys: set[str] = set()
+            data_files = False
+            for path in level:
+                for e in os.listdir(path):
+                    full = os.path.join(path, e)
+                    if "=" in e and os.path.isdir(full):
+                        part_dirs.append(full)
+                        keys.add(e.split("=", 1)[0])
+                    elif not e.startswith(("_", ".")) and os.path.isfile(
+                        full
+                    ):
+                        data_files = True
+            if part_dirs and (data_files or len(keys) > 1):
+                # files beside partition dirs at the same depth (in ANY
+                # branch), or sibling dirs keyed on different columns
+                return "mixed", cols + sorted(keys)
             if part_dirs:
-                cols.append(part_dirs[0].split("=", 1)[0])
-                path = os.path.join(path, part_dirs[0])
+                cols.append(next(iter(keys)))
+                level = part_dirs
                 continue
-            if data_files:  # leaf files: flat table or a partition leaf
+            if data_files:  # leaf files: flat table or partition leaves
                 return ("partitioned", cols) if cols else ("flat", [])
             return ("partitioned", cols) if cols else ("empty", [])
 

@@ -450,3 +450,35 @@ def test_compact_hot_leaves_rewrites_only_hot(spark, tmp_path):
         if f"{os.sep}pb=0{os.sep}" in p
     ]
     assert 1 <= len(hot_files) <= 3
+
+
+def test_base_layout_detects_sibling_branch_corruption(spark, tmp_path):
+    """_base_layout must classify from EVERY branch: a version whose
+    corruption lives in a sibling partition directory (a data file
+    dropped beside deeper nesting, or sibling dirs keyed on different
+    columns) is 'mixed' even when the first branch looks clean — so
+    stage_append / stage_partition_delta refuse it instead of silently
+    linking around it."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v = wh.write("jobs", _pjobs(spark, 0, 50), ["pb"])
+    base = wh._version_path("jobs", v)
+    assert wh._base_layout(base) == ("partitioned", ["pb"])
+    # corruption in a SIBLING branch: a stray data file inside pb=4,
+    # beside its parquet leaves is fine (that IS the leaf level) — so
+    # instead nest a bogus deeper dir under pb=4 while pb=0 stays clean
+    bogus = os.path.join(base, "pb=4", "x=1")
+    os.makedirs(bogus)
+    with open(os.path.join(bogus, "part-bogus.parquet"), "wb") as f:
+        f.write(b"junk")
+    kind, _cols = wh._base_layout(base)
+    assert kind == "mixed"
+    import shutil as _sh
+
+    _sh.rmtree(bogus)
+    # sibling dirs keyed on DIFFERENT columns at one level
+    other = os.path.join(base, "zz=9")
+    os.makedirs(other)
+    with open(os.path.join(other, "part-bogus.parquet"), "wb") as f:
+        f.write(b"junk")
+    kind, _cols = wh._base_layout(base)
+    assert kind == "mixed"

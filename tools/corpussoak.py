@@ -155,6 +155,8 @@ def soak_build(
     table_bytes: list[dict] = []
     max_files = []
     stage_runs: list[dict] = []
+    gram_read = []   # read-side cost of the log-structured gram-df state
+    gram_files = []  # its physical file count (compaction-cycle sawtooth)
     grown_rows = 0
     try:
         first_id = 0
@@ -198,6 +200,14 @@ def soak_build(
             table_bytes.append(per_table)
             max_files.append(max(len(cur_files[t]) for t in _ALL_TABLES))
             prev_files = cur_files
+            # r13 verdict item: READ-side cost of the log-structured
+            # tables across compaction cycles — time one full fold of
+            # the gram-df delta log (what every consumer pays) and its
+            # file count; the curve must stay flat across fold cycles
+            t0 = time.perf_counter()
+            ci.gram_df_state(wh).count()
+            gram_read.append(time.perf_counter() - t0)
+            gram_files.append(len(cur_files[ci.CB_GRAM_DF]))
             if i and i % VACUUM_EVERY == 0:
                 for t in _ALL_TABLES:
                     wh.vacuum(t)
@@ -224,6 +234,17 @@ def soak_build(
             (sum(tail_b) / len(tail_b)) / max(sum(head_b) / len(head_b), 1), 2
         )
         out["max_files_any_table"] = max(max_files)
+        gr_head = gram_read[1 : min(11, len(gram_read))]
+        gr_tail = gram_read[-10:]
+        out["gramdf_read_first10_sec"] = round(
+            statistics.mean(gr_head), 3
+        )
+        out["gramdf_read_last10_sec"] = round(statistics.mean(gr_tail), 3)
+        out["gramdf_read_growth"] = round(
+            statistics.mean(gr_tail) / max(statistics.mean(gr_head), 1e-9), 2
+        )
+        out["gramdf_files_per_batch"] = gram_files
+        out["gramdf_read_per_batch_sec"] = [round(x, 3) for x in gram_read]
         tail_t = table_bytes[-10:]
         out["table_mb_last10_mean"] = {
             t: round(sum(r[t] for r in tail_t) / len(tail_t) / 1e6, 3)
