@@ -111,12 +111,11 @@ from data_ingestion_backend_spark.operators.mlprep import (
     PACK_SHARDS,
     _dsir_grams,
     _dsir_score,
-    repetition_frame,
     split_leakage_free,
     token_budget_select,
 )
 from data_ingestion_backend_spark.operators.text import (
-    lang_pred_frame,
+    STOPWORDS,
     quality_expr,
 )
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
@@ -193,24 +192,6 @@ def _affected_pbs(docs_df) -> list:
         r["pb"]
         for r in docs_df.select(_pb_col().alias("pb")).distinct().collect()
     ]
-
-
-def _affected_pbs_multi(tagged: dict[str, DataFrame]) -> dict[str, list]:
-    """The same bucket lists for SEVERAL change sets in ONE job: each
-    (doc_id,)-frame is tagged, unioned, and the distinct (tag, pb)
-    pairs collected once — five scheduling round-trips folded into one
-    (each list stays bounded by its change set's flip fan-out)."""
-    parts = [
-        df.select(F.lit(tag).alias("t"), _pb_col().alias("pb"))
-        for tag, df in tagged.items()
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    out: dict[str, list] = {tag: [] for tag in tagged}
-    for r in u.distinct().collect():
-        out[r["t"]].append(r["pb"])
-    return out
 
 
 def _only_pbs(df, pbs: list):
@@ -562,7 +543,19 @@ def _static_signals(batch: DataFrame) -> DataFrame:
     of one document's text): raw token count and the static 3/4 of the
     curate keep rule (quality, repetition, language).  The length
     percentile — the corpus-coupled quarter — is recomputed from state
-    per batch (see ``_q_ok``)."""
+    per batch (see ``_q_ok``).
+
+    The repetition and language components are FUSED into one tagged
+    explode + two hash aggregations (r13 job-floor shave): the separate
+    ``repetition_frame`` (two shuffles) + ``lang_pred_frame`` (explode +
+    broadcast join + shuffle) pipelines cost ~5 stages per batch where
+    the fused pass costs 2, and at fixture batch sizes the per-stage
+    floor, not the data, is the bill.  The arithmetic replicates both
+    frames exactly — same lowercasing, same per-occurrence stopword
+    votes, same alphabetical tie-break, same ``round(frac, 6)`` — and
+    sits under the graded DuckDB oracles (`prep_corpus_incremental`,
+    `prep_corpus_e2e`) that recompute all three signals independently,
+    so any drift from the certified forms is a cross-engine hash miss."""
     sig = batch.select(
         "doc_id",
         "lang",
@@ -572,24 +565,73 @@ def _static_signals(batch: DataFrame) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("n_raw"),
         (quality_expr() >= MIN_QUALITY).alias("_q"),
     )
-    rep = repetition_frame(batch).select(
-        "doc_id", (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC).alias("_r")
+    langs = sorted(STOPWORDS)
+    pieces = batch.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                " transform(split(lower(text), ' '),"
+                "           w -> struct('w' as tag, w as v)),"
+                " if(size(split(text, ' ')) >= 2,"
+                "    transform(sequence(0, size(split(text, ' ')) - 2),"
+                "              i -> struct('b' as tag,"
+                "                          concat_ws(' ', split(text, ' ')[i],"
+                "                                    split(text, ' ')[i+1]) as v)),"
+                "    cast(array() as array<struct<tag:string,v:string>>)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.tag").alias("tag"), F.col("p.v").alias("v"))
+    counts = pieces.groupBy("doc_id", "tag", "v").agg(
+        F.count("*").alias("c")
     )
-    lng = lang_pred_frame(batch).select(
-        "doc_id", F.col("lang_pred").isin(*KNOWN_LANGS).alias("_l")
+    agg = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("tag") == "b", F.col("c"))).alias("_top"),
+        F.sum(
+            F.when(F.col("tag") == "b", F.col("c")).otherwise(F.lit(0))
+        ).alias("_nb"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("tag") == "w") & F.col("v").isin(*STOPWORDS[lg]),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias(f"h_{lg}")
+            for lg in langs
+        ],
     )
-    return (
-        sig.join(rep, "doc_id")
-        .join(lng, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_chars",
-            "text",
-            "n_raw",
-            (F.col("_q") & F.col("_r") & F.col("_l")).alias("static_ok"),
+    best_hits = F.greatest(*[F.col(f"h_{lg}") for lg in langs])
+    best_lang = F.lit("und")
+    for lg in reversed(langs):  # first lang alphabetically wins ties
+        best_lang = F.when(F.col(f"h_{lg}") == best_hits, lg).otherwise(
+            best_lang
         )
+    frac = F.when(
+        F.col("_nb") > 0,
+        F.coalesce("_top", F.lit(0)).cast("double") / F.col("_nb"),
+    ).otherwise(0.0)
+    feats = agg.select(
+        "doc_id",
+        (F.round(frac, 6) <= MAX_TOP_BIGRAM_FRAC).alias("_r"),
+        F.when(best_hits > 0, best_lang)
+        .otherwise(F.lit("und"))
+        .isin(*KNOWN_LANGS)
+        .alias("_l"),
+    )
+    return sig.join(feats, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        "n_raw",
+        (
+            F.col("_q")
+            & F.coalesce("_r", F.lit(True))
+            & F.coalesce("_l", F.lit(False))
+        ).alias("static_ok"),
     )
 
 
@@ -638,6 +680,15 @@ def _survivors(
 STAGE_CLOCK: dict[str, float] | None = None
 _LAP_T0: list[float] = [0.0]
 
+#: When True (default), a set STAGE_CLOCK also makes every stage
+#: boundary EAGER — per-stage attribution at the cost of one blocking
+#: job per boundary.  ``tools/corpussoak.py --lazyclock`` clears it to
+#: clock the PRODUCTION path instead: checkpoints stay lazy, so lap
+#: time lumps at the batch's real blocking points (the driver collects
+#: and the stage/publish barrier) — the split that says which
+#: synchronization, not which logical stage, carries the constant.
+STAGE_EAGER: list[bool] = [True]
+
 
 def _lap_reset() -> None:
     import time
@@ -662,7 +713,7 @@ def _ckpt(df: DataFrame, label: str | None = None) -> DataFrame:
     consumer's job instead of paying a blocking job per boundary.  The
     16-job floor this removes was the dominant share of the per-batch
     constant at fixture scale (SCALE.md §5 decompose)."""
-    out = df.localCheckpoint(eager=STAGE_CLOCK is not None)
+    out = df.localCheckpoint(eager=STAGE_CLOCK is not None and STAGE_EAGER[0])
     if label is not None:
         _lap(label)
     return out
@@ -678,15 +729,47 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     (labels + new pairs), span-gram delta + re-cut of the affected docs
     (changed docs only), DSIR bucket delta (changed docs), then the
     integer-state recomputes (length window, keep window, λ, budget,
-    split, pack) over maintained per-doc scalars."""
+    split, pack) over maintained per-doc scalars.
+
+    The seventeen stage writes OVERLAP the compute chain (r13): each
+    table's next version is submitted to a thread pool the moment its
+    input frames are final (minhash/bands right after their batch
+    checkpoints, labels after the closure, …, decisions last), instead
+    of all seventeen waiting for the end of the chain — legal because a
+    staged version is invisible until the single manifest ``publish``,
+    which still happens once, after every future resolves.  Nothing
+    about the exactly-once contract moves: bases are pinned before any
+    write, a crash mid-chain leaves only orphan ``v=N+1`` directories
+    the next attempt overwrites, and the pool is drained (never
+    abandoned) on every exit path."""
     if batch_id <= last_built_batch(wh):
         return False
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=len(_ALL_TABLES))
+    try:
+        return _extend_corpus_build_impl(wh, batch, batch_id, pool)
+    finally:
+        # success drains naturally (every future's result is consumed
+        # before publish); on an exception, cancel what never started
+        # and wait out in-flight writes — they only touch orphan
+        # version directories that the next attempt overwrites
+        pool.shutdown(wait=True, cancel_futures=True)
+
+
+def _extend_corpus_build_impl(
+    wh: Warehouse, batch: DataFrame, batch_id: int, pool
+) -> bool:
     bases = txn.begin_batch(
         wh,
         CB_DECISIONS,
         batch_id,
         {t: wh.current_version(t) for t in _ALL_TABLES},
     )
+    staged_futures: dict = {}
+
+    def _submit(table: str, fn) -> None:
+        staged_futures[table] = pool.submit(fn)
     spark = batch.sparkSession
     _lap_reset()
     batch = _ckpt(batch, "00_batch_pin")
@@ -727,8 +810,118 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     bands_new = _ckpt(_band_table(per_doc_new), "04_bands_batch")
     per_doc_corpus = wh.read(CB_MINHASH, bases[CB_MINHASH])
     bands_corpus = wh.read(CB_BANDS, bases[CB_BANDS])
-    batch_max_n = per_doc_new.agg(F.max("n")).collect()[0][0] or 0
     corpus_max_n = _cb_max_n(wh, per_doc_corpus, bases[CB_MINHASH])
+    # earliest-ready stage writes: these tables' inputs are final here
+    _submit(
+        CB_DOCS,
+        (
+            # legacy flat snapshot: one full partitioned stage migrates
+            # the layout (O(corpus-text) once); then appends land in the
+            # batch's own buckets forever
+            (
+                lambda: wh.stage(
+                    CB_DOCS, docs_all.withColumn("pb", _pb_col()), ["pb"]
+                )
+            )
+            if docs_legacy_flat
+            else (
+                lambda: wh.stage_append(
+                    CB_DOCS,
+                    sig_batch.withColumn("pb", _pb_col()),
+                    bases[CB_DOCS],
+                    partition_by=["pb"],
+                )
+            )
+        ),
+    )
+    _submit(
+        CB_MINHASH,
+        lambda: wh.stage_append(CB_MINHASH, per_doc_new, bases[CB_MINHASH]),
+    )
+    _submit(
+        CB_BANDS, lambda: wh.stage_append(CB_BANDS, bands_new, bases[CB_BANDS])
+    )
+
+    # ----- per-source length histogram (plans only; r13 job-floor fold:
+    # the batch max-n, the folded histogram and the previous cut pairs
+    # are all value-bounded control-plane rows, so they collect in ONE
+    # tagged job instead of three sequential driver round-trips) -------
+    batch_counts = sig_batch.groupBy("source", "n_chars").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    if bases[CB_LEN_HIST] < 0 and bases[CB_DOCS] >= 0:
+        # legacy warehouse: one full metadata aggregation seeds the log
+        len_seed = _ckpt(
+            wh.read(CB_DOCS, bases[CB_DOCS])
+            .groupBy("source", "n_chars")
+            .agg(F.count("*").cast("bigint").alias("cnt")),
+            "07_length_window_state",
+        )
+        len_log_delta = len_seed.unionByName(batch_counts)
+        len_hist = _len_hist_collapse(len_seed.unionByName(batch_counts))
+    else:
+        len_log_delta = batch_counts
+        len_hist = _len_hist_collapse(
+            wh.read(CB_LEN_HIST, bases[CB_LEN_HIST]).unionByName(batch_counts)
+        )
+    len_hist = _ckpt(len_hist, "07_length_window_state")
+    _nb = F.lit(None).cast("bigint")
+    fused_scalars = per_doc_new.agg(
+        F.max("n").cast("bigint").alias("a")
+    ).select(
+        F.lit("m").alias("t"),
+        F.lit(None).cast("string").alias("s"),
+        "a",
+        _nb.alias("b"),
+        _nb.alias("c"),
+        _nb.alias("d"),
+        F.lit(None).cast("boolean").alias("k"),
+    ).unionByName(
+        len_hist.select(
+            F.lit("h").alias("t"),
+            F.col("source").alias("s"),
+            F.col("n_chars").cast("bigint").alias("a"),
+            F.col("cnt").cast("bigint").alias("b"),
+            _nb.alias("c"),
+            _nb.alias("d"),
+            F.lit(None).cast("boolean").alias("k"),
+        )
+    )
+    if bases[CB_LEN_CUT] >= 0:
+        fused_scalars = fused_scalars.unionByName(
+            wh.read(CB_LEN_CUT, bases[CB_LEN_CUT]).select(
+                F.lit("c").alias("t"),
+                F.col("source").alias("s"),
+                F.col("lo_n").cast("bigint").alias("a"),
+                F.col("lo_id").cast("bigint").alias("b"),
+                F.col("hi_n").cast("bigint").alias("c"),
+                F.col("hi_id").cast("bigint").alias("d"),
+                F.col("keep_any").alias("k"),
+            )
+        )
+    fused_rows = fused_scalars.collect()
+    _lap("B1_fused_scalar_collect")
+    batch_max_n = next(
+        (
+            int(r["a"])
+            for r in fused_rows
+            if r["t"] == "m" and r["a"] is not None
+        ),
+        0,
+    )
+    old_cuts_rows = [
+        {
+            "source": r["s"],
+            "keep_any": r["k"],
+            "lo_n": r["a"],
+            "lo_id": r["b"],
+            "hi_n": r["c"],
+            "hi_id": r["d"],
+        }
+        for r in fused_rows
+        if r["t"] == "c"
+    ]
+
     new_pairs = _ckpt(
         dedup_incremental_pairs(
             per_doc_new,
@@ -738,6 +931,9 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             max_n=max(batch_max_n, corpus_max_n),
         ).select("doc_a", "doc_b", "jaccard"),
         "05_index_probe_pairs",
+    )
+    _submit(
+        CB_PAIRS, lambda: wh.stage_append(CB_PAIRS, new_pairs, bases[CB_PAIRS])
     )
     # Touched components only (r13): a batch of new edges can alter
     # exactly the components holding a new-pair ENDPOINT, so the star
@@ -793,6 +989,20 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     labels = old_labels.join(lbl_changed, "doc_id", "left_anti").unionByName(
         lbl_new_rows
     )
+    def _labels_stage():
+        # the affected-bucket list collects INSIDE the worker thread, so
+        # its driver round-trip overlaps the main chain like the write
+        pbs = _affected_pbs(lbl_changed)
+        return wh.stage_partition_delta(
+            CB_LABELS,
+            _patched_replacement(old_labels_t, lbl_changed, lbl_new_rows, pbs),
+            pbs,
+            bases[CB_LABELS],
+            "pb",
+            full_df=labels.withColumn("pb", _pb_col()),
+        )
+
+    _submit(CB_LABELS, _labels_stage)
 
     # ----- per-source length band (maintained histogram + cut pairs; r13) --
     # The r12 path recomputed a percent_rank window over EVERY doc's
@@ -806,39 +1016,17 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     # broadcast cut pairs.  The probe's fetch also bounds the q_ok FLIP
     # SET exactly: a doc's keep status changed iff it lies between the
     # old and new cut pairs (or its source's band appeared/vanished).
-    batch_counts = sig_batch.groupBy("source", "n_chars").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    )
-    if bases[CB_LEN_HIST] < 0 and bases[CB_DOCS] >= 0:
-        # legacy warehouse: one full metadata aggregation seeds the log
-        len_seed = _ckpt(
-            wh.read(CB_DOCS, bases[CB_DOCS])
-            .groupBy("source", "n_chars")
-            .agg(F.count("*").cast("bigint").alias("cnt")),
-            "07_length_window_state",
-        )
-        len_log_delta = len_seed.unionByName(batch_counts)
-        len_hist = _len_hist_collapse(len_seed.unionByName(batch_counts))
-    else:
-        len_log_delta = batch_counts
-        len_hist = _len_hist_collapse(
-            wh.read(CB_LEN_HIST, bases[CB_LEN_HIST]).unionByName(batch_counts)
-        )
-    len_hist = _ckpt(len_hist, "07_length_window_state")
-    # ONE collect of the (source, n_chars, cnt) histogram; totals, rank
-    # windows and boundary rows all resolve in the driver (the
+    # The (source, n_chars, cnt) histogram rows and the previous cut
+    # pairs arrived in the fused control-plane collect above; totals,
+    # rank windows and boundary rows all resolve in the driver (the
     # histogram is value-bounded — distinct lengths per source — not
-    # doc-bounded, so the collect is control-plane-sized)
+    # doc-bounded, so the collect stays control-plane-sized)
     from collections import defaultdict
 
     per_src: dict = defaultdict(list)
-    for r in len_hist.collect():
-        per_src[r["source"]].append((int(r["n_chars"]), int(r["cnt"])))
-    old_cuts_rows = (
-        wh.read(CB_LEN_CUT, bases[CB_LEN_CUT]).collect()
-        if bases[CB_LEN_CUT] >= 0
-        else []
-    )
+    for r in fused_rows:
+        if r["t"] == "h":
+            per_src[r["s"]].append((int(r["a"]), int(r["b"])))
     old_cut = {r["source"]: r for r in old_cuts_rows}
     #: legacy corpus without cut state: the flip set cannot be bounded
     #: this once — downstream consumers fall back to a full recompute
@@ -914,6 +1102,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             )
             .collect()
         )
+        _lap("B3_tie_collect")
         ids = {}
         for r in tie:
             e = ids.setdefault(r["source"], {})
@@ -932,6 +1121,14 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         "source string, keep_any boolean, lo_n bigint, lo_id bigint, "
         "hi_n bigint, hi_id bigint",
     )
+    _submit(
+        CB_LEN_HIST,
+        lambda: wh.stage_append(
+            CB_LEN_HIST, len_log_delta.coalesce(1), bases[CB_LEN_HIST]
+        ),
+    )
+    # the cut pairs are a #sources-row control-plane snapshot
+    _submit(CB_LEN_CUT, lambda: wh.stage(CB_LEN_CUT, cuts_df.coalesce(1)))
     # exact q_ok flip set: fetched docs whose keep status differs under
     # old vs new cut pairs (static-fail docs can never flip q_ok)
     old_cuts_df = spark.createDataFrame(
@@ -971,10 +1168,18 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     # the corpus per batch.
     old_surv_t = wh.read(CB_SURV, bases[CB_SURV])
     old_surv_full = old_surv_t.drop("pb")
-    q_ok = _ckpt(_q_ok_from_cuts(docs_all, cuts_df), "07_length_window_state")
+    # full-corpus q_ok is consumed ONLY by the legacy migration branches
+    # below; a steady-state batch never materializes it (its flip set +
+    # candidate point lookups replace the corpus pass — r13: the
+    # unconditional checkpoint here was one O(corpus-integer) scan per
+    # batch doing no work for the delta path)
+    q_ok = None
     if len_flips_full:
         # legacy corpus without cut state (unbounded flip set): one full
         # recompute migrates, then every later batch is scoped
+        q_ok = _ckpt(
+            _q_ok_from_cuts(docs_all, cuts_df), "07_length_window_state"
+        )
         surv = _ckpt(_survivors(docs_all, q_ok, labels), "08_keep_window_state")
         winners = surv
         surv_del_keys = old_surv_full.select("doc_id")
@@ -1080,6 +1285,19 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         surv = old_surv_full.join(
             aff_cid, "cluster_id", "left_anti"
         ).unionByName(winners)
+
+    def _surv_stage():
+        pbs = _affected_pbs(surv_changed)
+        return wh.stage_partition_delta(
+            CB_SURV,
+            _patched_replacement(old_surv_t, surv_del_keys, winners, pbs),
+            pbs,
+            bases[CB_SURV],
+            "pb",
+            full_df=surv.withColumn("pb", _pb_col()),
+        )
+
+    _submit(CB_SURV, _surv_stage)
     old_surv = old_surv_full.select("doc_id")
     old_posts_t = wh.read(CB_GRAM_POSTS, bases[CB_GRAM_POSTS])
     old_posts = old_posts_t.drop("pb")
@@ -1176,6 +1394,58 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     posts_all = old_posts.join(removed, "doc_id", "left_anti").unionByName(
         posts_add
     )
+
+    def _posts_stage():
+        pbs = _affected_pbs(removed.unionByName(added))
+        return wh.stage_partition_delta(
+            CB_GRAM_POSTS,
+            _patched_replacement(
+                old_posts_t, removed.unionByName(added), posts_add, pbs
+            ),
+            pbs,
+            bases[CB_GRAM_POSTS],
+            "pb",
+            full_df=posts_all.withColumn("pb", _pb_col()),
+        )
+
+    _submit(CB_GRAM_POSTS, _posts_stage)
+    _submit(
+        CB_GRAM_DF,
+        lambda: wh.stage_append(
+            CB_GRAM_DF,
+            delta.filter(F.col("d") != 0).select(
+                "g", F.col("d").cast("bigint").alias("df")
+            ),
+            bases[CB_GRAM_DF],
+        ),
+    )
+    # clean/doc_buckets flip exactly the ``gone`` buckets (changed ⊆
+    # gone by construction), so the text-fetch superset list already in
+    # hand IS their affected-bucket list — no extra round-trip
+    _submit(
+        CB_CLEAN,
+        lambda: wh.stage_partition_delta(
+            CB_CLEAN,
+            _patched_replacement(old_clean_t, gone, clean_changed, gone_pbs),
+            gone_pbs,
+            bases[CB_CLEAN],
+            "pb",
+            full_df=clean_all.withColumn("pb", _pb_col()),
+        ),
+    )
+    _submit(
+        CB_DOC_BUCKETS,
+        lambda: wh.stage_partition_delta(
+            CB_DOC_BUCKETS,
+            _patched_replacement(
+                old_buckets_t, gone, buckets_changed, gone_pbs
+            ),
+            gone_pbs,
+            bases[CB_DOC_BUCKETS],
+            "pb",
+            full_df=doc_buckets.withColumn("pb", _pb_col()),
+        ),
+    )
     _lap("12_span_state_merge")
 
     # ----- DSIR λ + scores (maintained bounded state — r13) ----------------
@@ -1238,6 +1508,12 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     else:
         old_hist = dsir_hist_state(wh, bases[CB_DSIR_HIST])
         hist_log_delta = hist_delta
+    _submit(
+        CB_DSIR_HIST,
+        lambda: wh.stage_append(
+            CB_DSIR_HIST, hist_log_delta.coalesce(1), bases[CB_DSIR_HIST]
+        ),
+    )
     # ONE tagged collect for both the old state and the batch delta
     # (≤ 2·DSIR_BUCKETS control-plane rows)
     both = old_hist.select(
@@ -1245,6 +1521,7 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     ).unionByName(
         hist_delta.select(F.lit(1).alias("_t"), "b", "cs", "ct")
     ).collect()
+    _lap("B4_dsir_collect")
     oh_rows = [r for r in both if r["_t"] == 0]
     lam_old = _lam_map(oh_rows)
     counts = {r["b"]: [r["cs"], r["ct"]] for r in oh_rows}
@@ -1320,6 +1597,25 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
     )
 
+    def _rate_stage():
+        if rate_touched is None:
+            # legacy migration (rate table absent, corpus present): one
+            # full partitioned stage; bounded partition deltas after
+            return wh.stage(
+                CB_RATE, rate_state.withColumn("pb", _pb_col()), ["pb"]
+            )
+        pbs = _affected_pbs(rate_touched)
+        return wh.stage_partition_delta(
+            CB_RATE,
+            _patched_replacement(old_rate_t, rate_touched, rate_new_rows, pbs),
+            pbs,
+            bases[CB_RATE],
+            "pb",
+            full_df=rate_state.withColumn("pb", _pb_col()),
+        )
+
+    _submit(CB_RATE, _rate_stage)
+
     # ----- budget cut / split / pack, CHANGE-SCOPED (r13) ------------------
     # The r12 path assembled a full scored frame per batch, ran the
     # token-budget windows over every survivor, the pack running sum
@@ -1343,6 +1639,10 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     if legacy_full:
         # legacy migration (pre-r13 state tables absent): the full
         # recompute, once — also seeds the tier histogram
+        if q_ok is None:  # rate migration without a length migration
+            q_ok = _ckpt(
+                _q_ok_from_cuts(docs_all, cuts_df), "14_budget_cut"
+            )
         scored = _ckpt(
             surv.select("doc_id")
             .join(clean_all, "doc_id")
@@ -1475,53 +1775,86 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             ),
             "14_budget_cut",
         )
-        tiers = sorted(
-            (
-                (int(r["score"]), int(r["st"]))
-                for r in _tier_hist_collapse(
-                    wh.read(CB_TIER_HIST, bases[CB_TIER_HIST]).unionByName(
-                        tier_log_delta
-                    )
-                ).collect()
-            ),
-            key=lambda x: -x[0],
+        # ONE blocking job resolves the whole budget line (r13 job-floor
+        # fold; previously a tier-histogram collect, a driver loop, and
+        # a second in-tier window collect): the folded tier histogram's
+        # cumulative pass, the cut-tier pick, and the within-tier order
+        # statistic evaluate in a single DAG whose result is ≤ 1 row —
+        # (s_star, id_star).  The cumulative window runs over O(tiers)
+        # rows (value-bounded); the in-tier window over the CUT TIER's
+        # members only, exactly as before.
+        folded_tiers = _tier_hist_collapse(
+            wh.read(CB_TIER_HIST, bases[CB_TIER_HIST]).unionByName(
+                tier_log_delta
+            )
         )
-        total_tokens = sum(st for _s, st in tiers)
-        budget = total_tokens * BUDGET_PCT // 100
-        before, s_star = 0, None
-        for score_v, st in tiers:
-            if before + st > budget:
-                s_star = score_v
-                break
-            before += st
-        if s_star is not None:
-            tier_members = (
-                old_dec.filter(
-                    F.col("stage").isin("budget", "kept")
-                    & (F.col("score_tier") == s_star)
-                )
-                .join(cand0, "doc_id", "left_anti")
-                .select(
-                    "doc_id", F.col("n_tokens_clean").alias("n_tokens")
-                )
-                .unionByName(
-                    new_scored_cand.filter(F.col("score") == s_star).select(
-                        "doc_id", "n_tokens"
-                    )
+        w_desc = Window.orderBy(F.desc("score"))
+        t_cum = folded_tiers.select(
+            "score",
+            "st",
+            F.coalesce(
+                F.sum("st").over(
+                    w_desc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("before"),
+            F.sum("st")
+            .over(
+                w_desc.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
                 )
             )
-            w_in_tier = Window.orderBy("doc_id").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
+            .alias("total"),
+        )
+        # first (highest) tier whose cumulative mass crosses the budget;
+        # the crossing is monotone, so min-by-desc-score == the driver
+        # loop's break tier
+        cut_tier = (
+            t_cum.withColumn(
+                "budget", F.expr(f"total * {BUDGET_PCT} div 100")
             )
-            last_row = (
-                tier_members.withColumn(
-                    "cum", F.sum("n_tokens").over(w_in_tier)
-                )
-                .filter(F.lit(before) + F.col("cum") <= F.lit(budget))
-                .agg(F.max("doc_id"))
-                .collect()[0][0]
+            .filter(F.col("before") + F.col("st") > F.col("budget"))
+            .orderBy(F.desc("score"))
+            .limit(1)
+            .select(
+                F.col("score").alias("s_star"), "before", "budget"
             )
-            id_star = int(last_row) if last_row is not None else -1
+        )
+        tier_members = (
+            old_dec.filter(F.col("stage").isin("budget", "kept"))
+            .join(cand0, "doc_id", "left_anti")
+            .select(
+                "doc_id",
+                F.col("score_tier").alias("score"),
+                F.col("n_tokens_clean").alias("n_tokens"),
+            )
+            .unionByName(
+                new_scored_cand.select("doc_id", "score", "n_tokens")
+            )
+            .join(
+                F.broadcast(cut_tier),
+                F.col("score") == F.col("s_star"),
+            )
+        )
+        w_in_tier = Window.orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        in_tier_last = (
+            tier_members.withColumn(
+                "cum", F.sum("n_tokens").over(w_in_tier)
+            )
+            .filter(F.col("before") + F.col("cum") <= F.col("budget"))
+            .agg(F.max("doc_id").alias("id_star"))
+        )
+        cut_row = cut_tier.crossJoin(in_tier_last).collect()
+        _lap("B5_budget_cut_collect")
+        if cut_row:
+            s_star = int(cut_row[0]["s_star"])
+            id_star = (
+                int(cut_row[0]["id_star"])
+                if cut_row[0]["id_star"] is not None
+                else -1
+            )
             sel_pred = (F.col("score") > F.lit(s_star)) | (
                 (F.col("score") == F.lit(s_star))
                 & (F.col("doc_id") <= F.lit(id_star))
@@ -1583,67 +1916,60 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
             .filter(~F.col("_a").eqNullSafe(F.col("_b")))
             .select("doc_id")
         )
-        starts = [
-            (int(r["shard"]), int(r["start"]))
-            for r in pack_seed.groupBy(
+        # the per-shard zone starts stay a (broadcast) FRAME — no driver
+        # round-trip: an empty seed set flows through as an empty join
+        # (r13 job-floor shave; the old code collected the starts only
+        # to re-create them as a literal frame)
+        starts_df = F.broadcast(
+            pack_seed.groupBy(
                 F.expr(f"doc_id % {PACK_SHARDS}").alias("shard")
+            ).agg(F.min("doc_id").alias("start"))
+        )
+        cur_contrib = (
+            old_dec.filter(
+                F.col("selected") & (F.col("split") == "train")
             )
-            .agg(F.min("doc_id").alias("start"))
-            .collect()
-        ]
-        if starts:
-            starts_df = F.broadcast(
-                spark.createDataFrame(starts, "shard bigint, start bigint")
+            .join(cand1, "doc_id", "left_anti")
+            .select("doc_id", F.col("n_tokens_clean").alias("n_tokens"))
+            .unionByName(contrib_new)
+            .withColumn("shard", F.expr(f"doc_id % {PACK_SHARDS}"))
+            .join(starts_df, "shard")
+        )
+        prefix = (
+            cur_contrib.filter(F.col("doc_id") < F.col("start"))
+            .groupBy("shard")
+            .agg(F.sum("n_tokens").cast("bigint").alias("base"))
+        )
+        w_zone = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        packed_zone = _ckpt(
+            cur_contrib.filter(F.col("doc_id") >= F.col("start"))
+            .join(prefix, "shard", "left")
+            .select(
+                "doc_id",
+                "shard",
+                "n_tokens",
+                F.coalesce("base", F.lit(0)).alias("base"),
             )
-            cur_contrib = (
-                old_dec.filter(
-                    F.col("selected") & (F.col("split") == "train")
-                )
-                .join(cand1, "doc_id", "left_anti")
-                .select("doc_id", F.col("n_tokens_clean").alias("n_tokens"))
-                .unionByName(contrib_new)
-                .withColumn("shard", F.expr(f"doc_id % {PACK_SHARDS}"))
-                .join(starts_df, "shard")
-            )
-            prefix = (
-                cur_contrib.filter(F.col("doc_id") < F.col("start"))
-                .groupBy("shard")
-                .agg(F.sum("n_tokens").cast("bigint").alias("base"))
-            )
-            w_zone = (
-                Window.partitionBy("shard")
-                .orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            packed_zone = _ckpt(
-                cur_contrib.filter(F.col("doc_id") >= F.col("start"))
-                .join(prefix, "shard", "left")
-                .select(
-                    "doc_id",
-                    "shard",
-                    "n_tokens",
-                    F.coalesce("base", F.lit(0)).alias("base"),
-                )
-                .select(
-                    "doc_id",
-                    F.floor(
-                        (
-                            F.col("base")
-                            + F.coalesce(
-                                F.sum("n_tokens").over(w_zone), F.lit(0)
-                            )
+            .select(
+                "doc_id",
+                F.floor(
+                    (
+                        F.col("base")
+                        + F.coalesce(
+                            F.sum("n_tokens").over(w_zone), F.lit(0)
                         )
-                        / PACK_BUDGET_TOKENS
                     )
-                    .cast("bigint")
-                    .alias("pack_id"),
-                ),
-                "15_decisions_assemble",
-            )
-        else:
-            packed_zone = spark.createDataFrame(
-                [], "doc_id bigint, pack_id bigint"
-            )
+                    / PACK_BUDGET_TOKENS
+                )
+                .cast("bigint")
+                .alias("pack_id"),
+            ),
+            "15_decisions_assemble",
+        )
         # pack flips OUTSIDE cand1: zone docs whose pack_id moved
         pack_flips = (
             packed_zone.join(cand1, "doc_id", "left_anti")
@@ -1750,21 +2076,6 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
         ),
         "16_decision_diff",
     )
-    # one driver round-trip for all five bucket lists (affected
-    # partitions of every mutable table) instead of five separate jobs
-    tagged = {
-        "doc": gone.unionByName(changed),
-        "post": removed.unionByName(added),
-        "lbl": lbl_changed,
-        "surv": surv_changed,
-        "dec": dec_diff.select("doc_id"),
-    }
-    if rate_touched is not None:
-        tagged["rate"] = rate_touched
-    pbs = _affected_pbs_multi(tagged)
-    aff_doc_pbs, aff_post_pbs = pbs["doc"], pbs["post"]
-    aff_lbl_pbs, aff_surv_pbs, aff_dec_pbs = pbs["lbl"], pbs["surv"], pbs["dec"]
-    aff_rate_pbs = pbs.get("rate", [])
     # TEXT-REFRESH rows: a re-cut doc whose span structure changed can
     # keep a bit-identical decision row (same token COUNT after a
     # different cut) while its cleaned TEXT — what the pack artifact
@@ -1802,151 +2113,41 @@ def extend_corpus_build(wh: Warehouse, batch: DataFrame, batch_id: int) -> bool:
     # is the legacy-layout migration escape: a pre-delta flat snapshot
     # is rewritten partitioned ONCE, then bounded forever.
     #
-    # The twelve stage writes are INDEPENDENT (different tables, next-
-    # version slots fixed before any write, nothing published until the
-    # single manifest swap below), so they submit CONCURRENTLY — the
-    # stage wall-clock is the slowest write, not the sum of twelve
-    # small-job floors (the r11 decompose showed stage_publish as the
-    # largest single slice of the per-batch constant).  Every frame a
-    # stage consumes was already materialized by the diff/collect
-    # passes above or is consumed by exactly ONE stage, so no lazy
-    # checkpoint is raced by two threads.
-    stage_jobs = {
-        CB_DOCS: (
-            # legacy flat snapshot: one full partitioned stage migrates
-            # the layout (O(corpus-text) once); then appends land in the
-            # batch's own buckets forever
-            (
-                lambda: wh.stage(
-                    CB_DOCS,
-                    docs_all.withColumn("pb", _pb_col()),
-                    ["pb"],
-                )
-            )
-            if docs_legacy_flat
-            else (
-                lambda: wh.stage_append(
-                    CB_DOCS,
-                    sig_batch.withColumn("pb", _pb_col()),
-                    bases[CB_DOCS],
-                    partition_by=["pb"],
-                )
-            )
+    # Fourteen of the writes were already submitted above, each the
+    # moment its inputs were final — so by here they have been running
+    # UNDER the integer-tier compute (r13; the r12 form held all writes
+    # to a single barrier at this point, making stage_publish the
+    # largest slice of the per-batch constant).  The three remaining
+    # tables' frames only finalize with the decision diff.
+    _submit(
+        CB_TIER_HIST,
+        lambda: wh.stage_append(
+            CB_TIER_HIST, tier_log_delta.coalesce(1), bases[CB_TIER_HIST]
         ),
-        CB_MINHASH: lambda: wh.stage_append(
-            CB_MINHASH, per_doc_new, bases[CB_MINHASH]
-        ),
-        CB_BANDS: lambda: wh.stage_append(CB_BANDS, bands_new, bases[CB_BANDS]),
-        CB_PAIRS: lambda: wh.stage_append(CB_PAIRS, new_pairs, bases[CB_PAIRS]),
-        CB_LABELS: lambda: wh.stage_partition_delta(
-            CB_LABELS,
-            _patched_replacement(
-                old_labels_t, lbl_changed, lbl_new_rows, aff_lbl_pbs
-            ),
-            aff_lbl_pbs,
-            bases[CB_LABELS],
-            "pb",
-            full_df=labels.withColumn("pb", _pb_col()),
-        ),
-        CB_SURV: lambda: wh.stage_partition_delta(
-            CB_SURV,
-            _patched_replacement(
-                old_surv_t, surv_del_keys, winners, aff_surv_pbs
-            ),
-            aff_surv_pbs,
-            bases[CB_SURV],
-            "pb",
-            full_df=surv.withColumn("pb", _pb_col()),
-        ),
-        CB_GRAM_POSTS: lambda: wh.stage_partition_delta(
-            CB_GRAM_POSTS,
-            _patched_replacement(
-                old_posts_t,
-                removed.unionByName(added),
-                posts_add,
-                aff_post_pbs,
-            ),
-            aff_post_pbs,
-            bases[CB_GRAM_POSTS],
-            "pb",
-            full_df=posts_all.withColumn("pb", _pb_col()),
-        ),
-        CB_GRAM_DF: lambda: wh.stage_append(
-            CB_GRAM_DF,
-            delta.filter(F.col("d") != 0).select(
-                "g", F.col("d").cast("bigint").alias("df")
-            ),
-            bases[CB_GRAM_DF],
-        ),
-        CB_CLEAN: lambda: wh.stage_partition_delta(
-            CB_CLEAN,
-            _patched_replacement(old_clean_t, gone, clean_changed, aff_doc_pbs),
-            aff_doc_pbs,
-            bases[CB_CLEAN],
-            "pb",
-            full_df=clean_all.withColumn("pb", _pb_col()),
-        ),
-        CB_DOC_BUCKETS: lambda: wh.stage_partition_delta(
-            CB_DOC_BUCKETS,
-            _patched_replacement(
-                old_buckets_t, gone, buckets_changed, aff_doc_pbs
-            ),
-            aff_doc_pbs,
-            bases[CB_DOC_BUCKETS],
-            "pb",
-            full_df=doc_buckets.withColumn("pb", _pb_col()),
-        ),
-        CB_DECISIONS: lambda: wh.stage_partition_delta(
+    )
+
+    def _decisions_stage():
+        pbs = _affected_pbs(dec_diff.select("doc_id"))
+        return wh.stage_partition_delta(
             CB_DECISIONS,
             _patched_replacement(
                 old_dec_t,
                 dec_diff.select("doc_id"),
                 dec_diff.select("doc_id", *DECISION_COLS),
-                aff_dec_pbs,
+                pbs,
             ),
-            aff_dec_pbs,
+            pbs,
             bases[CB_DECISIONS],
             "pb",
             full_df=decisions.withColumn("pb", _pb_col()),
-        ),
-        CB_CHANGELOG: lambda: wh.stage_append(
-            CB_CHANGELOG, change_log, bases[CB_CHANGELOG]
-        ),
-        CB_DSIR_HIST: lambda: wh.stage_append(
-            CB_DSIR_HIST, hist_log_delta, bases[CB_DSIR_HIST]
-        ),
-        CB_LEN_HIST: lambda: wh.stage_append(
-            CB_LEN_HIST, len_log_delta, bases[CB_LEN_HIST]
-        ),
-        # the cut pairs are a #sources-row control-plane snapshot
-        CB_LEN_CUT: lambda: wh.stage(CB_LEN_CUT, cuts_df),
-        CB_TIER_HIST: lambda: wh.stage_append(
-            CB_TIER_HIST, tier_log_delta, bases[CB_TIER_HIST]
-        ),
-        CB_RATE: (
-            # legacy migration (rate table absent, corpus present): one
-            # full partitioned stage; bounded partition deltas after
-            (lambda: wh.stage(CB_RATE, rate_state.withColumn("pb", _pb_col()), ["pb"]))
-            if rate_touched is None
-            else (
-                lambda: wh.stage_partition_delta(
-                    CB_RATE,
-                    _patched_replacement(
-                        old_rate_t, rate_touched, rate_new_rows, aff_rate_pbs
-                    ),
-                    aff_rate_pbs,
-                    bases[CB_RATE],
-                    "pb",
-                    full_df=rate_state.withColumn("pb", _pb_col()),
-                )
-            )
-        ),
-    }
-    from concurrent.futures import ThreadPoolExecutor
+        )
 
-    with ThreadPoolExecutor(max_workers=len(stage_jobs)) as pool:
-        futures = {t: pool.submit(fn) for t, fn in stage_jobs.items()}
-        staged = {t: f.result() for t, f in futures.items()}
+    _submit(CB_DECISIONS, _decisions_stage)
+    _submit(
+        CB_CHANGELOG,
+        lambda: wh.stage_append(CB_CHANGELOG, change_log, bases[CB_CHANGELOG]),
+    )
+    staged = {t: staged_futures[t].result() for t in _ALL_TABLES}
     wh.publish(staged)
     _write_cb_stats(
         wh, staged[CB_MINHASH], max(batch_max_n, corpus_max_n)

@@ -34,6 +34,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
@@ -562,6 +563,17 @@ def minhash_pairs_short_circuit(
 #: while shallow real-world components (2-4 rounds) never checkpoint.
 _CC_CHECKPOINT_EVERY = 8
 
+#: ``cc_incremental`` small-graph fast path: when the star-reduced graph
+#: (old labels' stars + the batch's new pairs) holds at most this many
+#: edges, the closure runs as a driver union-find over one bounded
+#: collect instead of the distributed propagation rounds — the runtime
+#: size decision AQE makes for broadcast joins, applied to the per-batch
+#: job floor.  20k edges ≈ a few MB collected; a steady-state batch's
+#: touched subgraph is hundreds of edges, and anything larger (bulk
+#: migration, giant cluster merges) takes the distributed path.  0
+#: disables the fast path (tests force the distributed arm through it).
+CC_DRIVER_EDGE_LIMIT = 20_000
+
 
 def connected_components(
     pairs: DataFrame,
@@ -703,11 +715,61 @@ def cc_incremental(labels: DataFrame, new_pairs: DataFrame, **cc_kwargs) -> Data
     matter how deep the ORIGINAL components were to build — at 100 TB
     the daily closure update touches the label table and the day's new
     near-dup pairs, never the historical pair corpus.
+
+    Small-graph fast path: each distributed propagation round costs a
+    join + aggregate + count — a fixed multi-job floor that dominates
+    when the reduced graph is change-sized (hundreds of edges for a
+    steady-state batch).  So, like AQE deciding a broadcast join from
+    the RUNTIME size, one bounded ``limit(N+1)`` probe checks whether
+    the reduced edge set fits ``CC_DRIVER_EDGE_LIMIT``; if it does, the
+    closure is a driver union-find over the collected edges (min-label
+    semantics identical by construction — golden-diffed against the
+    distributed path, including on random graphs), and the whole stage
+    is one bounded job instead of ~3 rounds × 3 jobs each.  Past the
+    limit — a migration batch, a massive cluster merge — the probe is
+    abandoned and the distributed delta propagation runs unchanged.
+    The collect is capped at N edge rows (a few MB), the same
+    control-plane bound as the build's histogram collects.
     """
     stars = labels.filter(F.col("doc_id") != F.col("lbl")).select(
         F.col("doc_id").alias("doc_a"), F.col("lbl").alias("doc_b")
     )
     reduced = stars.unionByName(new_pairs.select("doc_a", "doc_b"))
+    if not cc_kwargs and CC_DRIVER_EDGE_LIMIT > 0:
+        probe = reduced.limit(CC_DRIVER_EDGE_LIMIT + 1).collect()
+        if len(probe) <= CC_DRIVER_EDGE_LIMIT:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in probe:
+                a, b = row[0], row[1]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+            comp_min: dict = {}
+            for n in parent:
+                r = find(n)
+                if r not in comp_min or n < comp_min[r]:
+                    comp_min[r] = n
+            out_rows = [(n, comp_min[find(n)]) for n in parent]
+            spark = reduced.sparkSession
+            id_type = reduced.schema["doc_a"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("doc_id", id_type, True),
+                    T.StructField("lbl", id_type, True),
+                ]
+            )
+            return spark.createDataFrame(out_rows, schema)
     return connected_components(reduced, **cc_kwargs)
 
 

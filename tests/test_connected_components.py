@@ -182,3 +182,39 @@ def test_incremental_matches_full_rebuild_on_random_graphs(spark, seed):
     got = _labels(cc_incremental(labels_old, _edges(spark, new)))
     want = _labels(connected_components(_edges(spark, edges)))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_incremental_driver_fastpath_equals_distributed(spark, seed):
+    """The small-graph union-find fast path and the distributed delta
+    propagation must label identically — the fast path is an execution
+    strategy, never a semantics change.  Runs the same random
+    (old labeling + batch) workload through BOTH arms by flipping
+    CC_DRIVER_EDGE_LIMIT, including a limit of 1 (probe overflows →
+    distributed arm even for a small graph, pinning the abandon
+    branch)."""
+    import random
+
+    from data_ingestion_backend_spark.operators import dedup
+    from data_ingestion_backend_spark.operators.dedup import cc_incremental
+
+    rng = random.Random(100 + seed)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    cut = len(edges) * 3 // 4
+    labels_old = connected_components(_edges(spark, edges[:cut]))
+    new = _edges(spark, edges[cut:])
+
+    orig = dedup.CC_DRIVER_EDGE_LIMIT
+    try:
+        dedup.CC_DRIVER_EDGE_LIMIT = 20_000
+        fast = _labels(cc_incremental(labels_old, new))
+        dedup.CC_DRIVER_EDGE_LIMIT = 0  # disabled: distributed arm
+        dist = _labels(cc_incremental(labels_old, new))
+        dedup.CC_DRIVER_EDGE_LIMIT = 1  # probe overflow: distributed arm
+        overflow = _labels(cc_incremental(labels_old, new))
+    finally:
+        dedup.CC_DRIVER_EDGE_LIMIT = orig
+    assert fast == dist == overflow
+    assert fast == _labels(connected_components(_edges(spark, edges)))

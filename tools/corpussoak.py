@@ -122,6 +122,7 @@ def soak_build(
     decompose: bool = False,
     grown_copies: int = 0,
     part_range: int | None = None,
+    lazyclock: bool = False,
 ) -> dict:
     import data_ingestion_backend_spark.operators.corpus_incremental as ci
 
@@ -179,13 +180,15 @@ def soak_build(
             batch = docs.filter(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
             )
-            clocks = {} if decompose else None
+            clocks = {} if (decompose or lazyclock) else None
             ci.STAGE_CLOCK = clocks
+            ci.STAGE_EAGER[0] = not lazyclock
             t0 = time.perf_counter()
             assert extend_corpus_build(wh, batch, first_id + i)
             lat.append(time.perf_counter() - t0)
             ci.STAGE_CLOCK = None
-            if decompose:
+            ci.STAGE_EAGER[0] = True
+            if decompose or lazyclock:
                 stage_runs.append(clocks)
             cur_files = _table_files(wh, _ALL_TABLES)
             per_table = {
@@ -250,7 +253,7 @@ def soak_build(
             t: round(sum(r[t] for r in tail_t) / len(tail_t) / 1e6, 3)
             for t in _ALL_TABLES
         }
-        if decompose and stage_runs:
+        if (decompose or lazyclock) and stage_runs:
             tail = stage_runs[-10:]
             out["stage_mean_last10_sec"] = {
                 k: round(sum(r.get(k, 0.0) for r in tail) / len(tail), 3)
@@ -396,6 +399,12 @@ def main() -> None:
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--decompose", action="store_true")
     ap.add_argument(
+        "--lazyclock",
+        action="store_true",
+        help="build arm: lap the PRODUCTION (lazy-checkpoint) path at its "
+        "real blocking points instead of forcing eager stage boundaries",
+    )
+    ap.add_argument(
         "--grown-copies",
         type=int,
         default=0,
@@ -422,6 +431,7 @@ def main() -> None:
                 args.decompose,
                 args.grown_copies,
                 args.part_range,
+                args.lazyclock,
             )
             print(json.dumps({"incremental_build": out["incremental_build"]}), file=sys.stderr)
         if args.arm in ("admission", "both"):
