@@ -545,7 +545,8 @@ def prep_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    stats = text_doc_stats(spark, sf_dir).select(
+    # fan_scan=False: see curate.py - composed pipelines keep 1-split scans
+    stats = text_doc_stats(spark, sf_dir, fan_scan=False).select(
         "doc_id", "n_tokens", "n_chars_measured", "quality"
     )
     lang = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")

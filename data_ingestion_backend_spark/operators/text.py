@@ -167,7 +167,9 @@ def _pii_sql_cols() -> str:
               {_pii_sql_cols()}
        FROM documents ORDER BY doc_id""",
 )
-def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_doc_stats(
+    spark: SparkSession, sf_dir: str, fan_scan: bool | None = None
+) -> DataFrame:
     """Per-document text statistics, one pass: token counts +
     vocabulary-diversity ratio, the canonical-form fingerprint (md5 of the
     sorted token list — word-order-insensitive, the standard cheap
@@ -190,8 +192,12 @@ def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.size(F.array_distinct(t))
     quality = quality_expr()
     planted = _pii_planted_spark()
+    # fan_scan default None->True for the registry entry (measured 2x:
+    # the regex battery dominates the single-split scan); composed
+    # consumers (curate, datasheet) pass False - their downstream stages
+    # regressed with a fanned stats arm (tools/fanab.py).
     return (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", fan_scan=True if fan_scan is None else fan_scan)
         .select(
             "doc_id",
             n.cast("bigint").alias("n_tokens"),
@@ -748,7 +754,15 @@ def bpe_learn_merges_batched(
 # query; the cert is the pure-Python reference differential + the
 # determinism re-run in tests/test_text_bpe.py
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BPE_MERGES} learned BPE merges over the documents fixture."""
+    """Top-{BPE_MERGES} learned BPE merges over the documents fixture.
+
+    r13 measured negative result: switching this entry to the batched
+    learner read 4.9–6.7 s vs 2.1 s sequential on the same boot — at
+    BPE_MERGES=10 the batch's M_i solo-simulation pass (vocab × top-k
+    candidates) costs more than the 10 cheap argmax jobs it replaces.
+    The batched form's win is the JOB COUNT at production merge counts
+    (30k), which `text_bpe_encode` (its caller) and the 1000-merge
+    job-count test continue to exercise; this entry stays sequential."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     merges, _ = bpe_learn_merges(docs)
     return merges.orderBy("rank")
@@ -1059,7 +1073,10 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM surprisal per document (quality signal)."""
     from data_ingestion_backend_spark.operators.dedup import _session_persisted
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_scan: the distinct-bigram explode dominates (measured 0.78x)
+    docs = load_table(spark, sf_dir, "documents", fan_scan=True).select(
+        "doc_id", "text"
+    )
     grams = _session_persisted(
         spark, sf_dir, "lm_bigram_grams", lambda: bigram_grams_frame(docs)
     )

@@ -131,26 +131,44 @@ def ingest_file(
         result.staging, n_rows=F.count(F.lit(1))
     )
     issues_obs_df, issues_obs = observed(result.issues, n_rows=F.count(F.lit(1)))
-    versions = {
-        "staging": _stage_replace(
-            wh, "staging", "staging_job_id", job_id, staging_obs_df
-        ),
-        "issues": _stage_replace(wh, "issues", "issues_job_id", job_id, issues_obs_df),
-    }
-    total = int(staging_obs.get["n_rows"])
-    n_issues = int(issues_obs.get["n_rows"])
-    status = JobStatus.NEEDS_REVIEW if n_issues > 0 else JobStatus.COMPLETED
-    job_row = _ledger_row(
-        spark, job_id, user_id, filename, status,
-        total=total, processed=total, issues=n_issues, error=None,
-    )
-    versions["jobs"] = _stage_replace(wh, "jobs", "job_id", job_id, job_row)
-    versions["issue_items"] = wh.stage(
-        "issue_items", items_wo_job.unionByName(result.issue_items)
-    )
-    versions["contacts"] = wh.stage(
-        "contacts", contacts_base.unionByName(new_contacts)
-    )
+    # r13 (optimization): the four content-independent staged writes
+    # (staging / issues / issue_items / contacts) overlap in a small
+    # thread pool (guide §2.6 — Spark happily runs concurrent jobs, and
+    # each of these writes spends most of its wall in single-task tails).
+    # Only the jobs-ledger row DEPENDS on the staging/issues observed
+    # counters, so it stages after those two resolve.  publish() still
+    # happens ONCE, after every staged write has returned — the
+    # exactly-once contract (stage-all-then-one-manifest-swap) is
+    # byte-identical to the sequential form; a crash mid-pool leaves
+    # only orphan v=N+1 directories, same as before.  Measured: the
+    # ingest_e2e control-plane constant drops by the sum of the three
+    # overlapped write tails.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_staging = pool.submit(
+            _stage_replace, wh, "staging", "staging_job_id", job_id, staging_obs_df
+        )
+        f_issues = pool.submit(
+            _stage_replace, wh, "issues", "issues_job_id", job_id, issues_obs_df
+        )
+        f_items = pool.submit(
+            wh.stage, "issue_items", items_wo_job.unionByName(result.issue_items)
+        )
+        f_contacts = pool.submit(
+            wh.stage, "contacts", contacts_base.unionByName(new_contacts)
+        )
+        versions = {"staging": f_staging.result(), "issues": f_issues.result()}
+        total = int(staging_obs.get["n_rows"])
+        n_issues = int(issues_obs.get["n_rows"])
+        status = JobStatus.NEEDS_REVIEW if n_issues > 0 else JobStatus.COMPLETED
+        job_row = _ledger_row(
+            spark, job_id, user_id, filename, status,
+            total=total, processed=total, issues=n_issues, error=None,
+        )
+        versions["jobs"] = _stage_replace(wh, "jobs", "job_id", job_id, job_row)
+        versions["issue_items"] = f_items.result()
+        versions["contacts"] = f_contacts.result()
     wh.publish(versions)
     return job_id
 

@@ -43,13 +43,88 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing physical quirks into clean types."""
+# --- small-scan fan-out (r13 optimization) ----------------------------------
+#
+# Every fixture table ships as ONE parquet file with ONE row group, and
+# parquet splits at row-group granularity — so every scan plans exactly
+# one task, and the whole pre-shuffle map stage (regex stats, shingling,
+# co-occurrence pair explode, Arrow GEMM batches) runs on ONE core of
+# the 32 available.  Measured (guide §2.5 "input skew" / §6 split
+# sizing): text_doc_stats 2.6 → 1.3 s, graph_triangles 16.8 → 8.3 s on
+# the same boot just by fanning the scan.
+#
+# The fan is a deterministic function of the TABLE (row count from the
+# parquet footer, driver-side, memoized), never of the core count — so
+# results are bit-identical across SPARK_GRAFT_CPUS settings (the driver
+# benches at two core counts) and across runs (round-robin repartition
+# local-sorts its input first, SPARK-23207).  At production scale the
+# branch never fires: multi-file / multi-row-group tables already scan
+# as many splits, and anything above the size ceiling keeps its native
+# split plan.  Env knobs keep it parameterised for other deployments.
+
+_FAN_MAX = int(os.environ.get("SPARK_GRAFT_SMALL_SCAN_FAN", "64"))
+_FAN_MIN_ROWS_PER_TASK = 64
+_FAN_MAX_BYTES = 256 * 1024 * 1024
+_FAN_MEMO: dict[str, int] = {}
+
+#: Tables fanned BY DEFAULT — empty: the fan is strictly CALL-SITE
+#: OPT-IN.  Measured on one boot (tools/fanab.py, within-session A/B):
+#: the fan wins 1.3–2× exactly where heavy per-row token/n-gram/regex
+#: work sits directly on the scan (doc stats, LM surprisal, DSIR grams,
+#: substring-span postings, decontamination, the triangle pair explode)
+#: and LOSES 1.2–2× everywhere else — relational aggregations pay a
+#: full-row exchange before their map-side combine, and composed
+#: pipelines (corpus build/datasheet) pay 64-partition scheduling on
+#: every checkpoint/join stage downstream of the fanned frame.  Blanket
+#: and table-level defaults both regressed the sweep; only the measured
+#: winners opt in (`fan_scan=True`).
+_FAN_TABLES = set(
+    t for t in os.environ.get("SPARK_GRAFT_FAN_TABLES", "").split(",") if t
+)
+
+
+def _small_scan_fan(path: str) -> int:
+    """Split fan for a single-file fixture: ≤ _FAN_MAX, ≥64 rows/task,
+    0 when the source is not a small local single-row-group file."""
+    hit = _FAN_MEMO.get(path)
+    if hit is not None:
+        return hit
+    fan = 0
+    try:
+        if os.path.isfile(path) and os.path.getsize(path) < _FAN_MAX_BYTES:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            if md.num_row_groups <= 1:
+                fan = min(_FAN_MAX, md.num_rows // _FAN_MIN_ROWS_PER_TASK)
+    except Exception:
+        fan = 0  # non-parquet layout / remote URI: keep native splits
+    fan = 0 if fan <= 1 else fan
+    _FAN_MEMO[path] = fan
+    return fan
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_scan: bool | None = None
+) -> DataFrame:
+    """Load one fixture table, normalizing physical quirks into clean types.
+
+    ``fan_scan`` — parallelize a single-split small table across a
+    deterministic round-robin fan (see the block comment above).  Default
+    (None): fan only the `_FAN_TABLES` payload tables; callers whose
+    per-row work on other tables is super-linear pass ``True``."""
     if name == "events":
         # runtime-settable; without it Spark refuses TIMESTAMP(NANOS)
         # parquet outright, so callers on vanilla sessions would fail
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if fan_scan is None:
+        fan_scan = name in _FAN_TABLES
+    if fan_scan:
+        fan = _small_scan_fan(path)
+        if fan:
+            df = df.repartition(fan)
     if name == "events":
         df = normalize_event_time(df)
     return df
