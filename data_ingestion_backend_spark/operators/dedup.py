@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
+from data_ingestion_backend_spark.plans.localtable import local_df
 from data_ingestion_backend_spark.operators.queries import (
     _register,
     _register_standalone,
@@ -769,7 +770,7 @@ def cc_incremental(labels: DataFrame, new_pairs: DataFrame, **cc_kwargs) -> Data
                     T.StructField("lbl", id_type, True),
                 ]
             )
-            return spark.createDataFrame(out_rows, schema)
+            return local_df(spark, out_rows, schema)
     return connected_components(reduced, **cc_kwargs)
 
 
@@ -1939,11 +1940,10 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash join back to the corpus, and a pure Catalyst positional
     filter — no explode of the corpus, no range join.
     """
-    # fan_scan: same posting-build dominance as the spans entry (0.73x)
+    # fan_scan measured neutral (1.01x) on the drift-controlled A/B —
+    # the cut tail, not the posting build, dominates here; native split
     cut = substring_cut_tokens_frame(
-        load_table(spark, sf_dir, "documents", fan_scan=True).select(
-            "doc_id", "text"
-        )
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     return cut.select(
         "doc_id",

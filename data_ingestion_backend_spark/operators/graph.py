@@ -358,12 +358,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-order group size bounds the pair fan-out exactly as the
     # self-join did — co-occurrence pair volume is O(g^2) per group in
     # either formulation.
-    # fan_scan=True (r13): the single-row-group lineitem file otherwise
-    # scans as ONE task, so the map-side partial collect_set over 600k
-    # rows — and at 100× the whole per-order pair fan-out — ran on one
-    # core; the 2-column exchange is noise next to that (measured 2×
-    # on the full pipeline, same boot).
-    li = load_table(spark, sf_dir, "lineitem", fan_scan=True).select(
+    # fan_scan: a 2× win under heavy host contention, but 1.13x (a small
+    # LOSS) on the drift-controlled interleaved A/B on a quiet host — the
+    # groupBy shuffle already parallelizes the pair fan-out, so the extra
+    # full-row exchange only pays when the single scan core is starved.
+    # Native split kept (tools/fanab2.py).
+    li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
     parts = li.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))

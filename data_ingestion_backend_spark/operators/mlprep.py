@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_ingestion_backend_spark.plans.localtable import local_df
 from data_ingestion_backend_spark.operators.queries import _register
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
@@ -1166,8 +1167,11 @@ def prep_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     toks = (
-        # fan_scan: span n-gram explode dominates (measured 0.62x)
-        load_table(spark, sf_dir, "documents", fan_scan=True)
+        # fan_scan REMOVED: 0.90x in the isolated interleaved A/B but
+        # 1.6-4x SLOWER and unstable (2.9-5.8 s across all 5 runs) in
+        # full-sweep context vs a rock-solid 0.90 s unfanned - sweep
+        # evidence outranks the isolated pair (BENCH_LOCAL history)
+        load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
             bucket.alias("bucket"),
@@ -1489,8 +1493,8 @@ def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
     rows = _dsir_state(docs, target).collect()
     src_rows = [(r["b"], r["k"]) for r in rows if r["side"] == "src"]
     tgt_rows = [(r["b"], r["k"]) for r in rows if r["side"] == "tgt"]
-    src = spark.createDataFrame(src_rows, "b bigint, cs bigint")
-    tgt = spark.createDataFrame(tgt_rows, "b bigint, ct bigint")
+    src = local_df(spark, src_rows, "b bigint, cs bigint")
+    tgt = local_df(spark, tgt_rows, "b bigint, ct bigint")
     ts = sum(k for _, k in src_rows)
     tt = sum(k for _, k in tgt_rows)
     lam = _dsir_lambda(src, tgt, ts, tt)
@@ -1604,8 +1608,10 @@ def dsir_weights_from_state(wh, docs: DataFrame) -> DataFrame:
 def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights of every document toward the corpus's
     English slice (the target distribution)."""
-    # fan_scan: the hashed-n-gram pass dominates (measured 0.58x)
-    docs = load_table(spark, sf_dir, "documents", fan_scan=True).select(
+    # fan_scan measured NEUTRAL-to-negative on a drift-controlled
+    # interleaved A/B (1.17x) — the n-gram pass win seen under
+    # contention does not hold on a quiet host; native split kept
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
     return dsir_weights(

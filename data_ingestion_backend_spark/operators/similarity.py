@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 from data_ingestion_backend_spark.operators.dedup import cosine_expr
+from data_ingestion_backend_spark.plans.localtable import local_df
 from data_ingestion_backend_spark.operators.queries import (
     STANDALONE_QUERIES,
     _register,
@@ -703,7 +704,7 @@ def semantic_dedup(corpus: DataFrame, centroids) -> DataFrame:
         (int(j), [float(v) for v in centroids[j]])
         for j in range(len(centroids))
     ]
-    cent = spark.createDataFrame(cent_rows, "cluster bigint, ce array<double>")
+    cent = local_df(spark, cent_rows, "cluster bigint, ce array<double>")
     scored = assigned.join(cent, "cluster").select(
         "vec_id",
         "cluster",
@@ -911,7 +912,8 @@ def build_ivf_index(spark: SparkSession, path: str, corpus: DataFrame) -> None:
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(path, "corpus")
     )
-    centroid_df = spark.createDataFrame(
+    centroid_df = local_df(
+        spark,
         [(i, row.tolist()) for i, row in enumerate(centroids)],
         "cluster long, centroid array<double>",
     )
@@ -1174,8 +1176,8 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(C.shape[0])
         for p in range(C.shape[1])
     ]
-    return spark.createDataFrame(
-        rows, "cluster bigint, pos bigint, centroid double, n_members bigint"
+    return local_df(
+        spark, rows, "cluster bigint, pos bigint, centroid double, n_members bigint"
     ).orderBy("cluster", "pos")
 
 
@@ -1524,7 +1526,7 @@ def _codebook_df(spark: SparkSession, C) -> DataFrame:
         for s in range(C.shape[0])
         for c in range(C.shape[1])
     ]
-    return spark.createDataFrame(rows, "sub bigint, cid bigint, cv array<double>")
+    return local_df(spark, rows, "sub bigint, cid bigint, cv array<double>")
 
 
 def _l2_expr(a: Column, b: Column) -> Column:
@@ -1673,8 +1675,8 @@ def pq_topk(
                 for x, y in zip(qs, C[s, c]):
                     acc += (x - y) * (x - y)
                 dt_rows.append((int(r["vec_id"]), int(s), int(c), float(acc)))
-    dtable = spark.createDataFrame(
-        dt_rows, "query_id bigint, sub bigint, code bigint, dt double"
+    dtable = local_df(
+        spark, dt_rows, "query_id bigint, sub bigint, code bigint, dt double"
     )
     codes = pq_encode(spark, emb, C)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
@@ -1689,7 +1691,8 @@ def pq_topk(
     )
     if not rerank:
         return shortlist.orderBy("query_id", "adc", "vec_id")
-    qdf = spark.createDataFrame(
+    qdf = local_df(
+        spark,
         [(int(r["vec_id"]), [float(x) for x in r["e"]]) for r in qrows],
         "query_id bigint, qe array<double>",
     )
@@ -1995,7 +1998,8 @@ def _residualize(
 
 
 def _centroid_df(spark: SparkSession, C) -> DataFrame:
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i, [float(x) for x in row]) for i, row in enumerate(C)],
         "cluster long, centroid array<double>",
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_backend_spark.plans.localtable import local_df
 from data_ingestion_backend_spark.operators.queries import _register
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
@@ -263,7 +264,8 @@ def lang_pred_frame(docs: DataFrame) -> DataFrame:
     the frame core of ``text_lang_id``, reused by the incremental corpus
     build to language-ID each arriving batch with the identical voting
     arithmetic the fixture cert pins."""
-    sw = docs.sparkSession.createDataFrame(
+    sw = local_df(
+        docs.sparkSession,
         [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
         "lang string, word string",
     )
@@ -601,8 +603,8 @@ def bpe_learn_merges(
         )
         if rank % 3 == 0:
             vocab = vocab.localCheckpoint(eager=True)  # truncate lineage
-    merges_df = spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    merges_df = local_df(
+        spark, merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
     return merges_df, vocab
 
@@ -743,8 +745,8 @@ def bpe_learn_merges_batched(
             break
     if stats is not None:
         stats.update({"rounds": rounds, "jobs": jobs, "merges": len(merges)})
-    merges_df = spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    merges_df = local_df(
+        spark, merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
     return merges_df, vocab
 
@@ -1073,10 +1075,9 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram-LM surprisal per document (quality signal)."""
     from data_ingestion_backend_spark.operators.dedup import _session_persisted
 
-    # fan_scan: the distinct-bigram explode dominates (measured 0.78x)
-    docs = load_table(spark, sf_dir, "documents", fan_scan=True).select(
-        "doc_id", "text"
-    )
+    # fan_scan measured 1.15x on the drift-controlled interleaved A/B
+    # (the 0.78x seen under contention did not hold): native split kept
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = _session_persisted(
         spark, sf_dir, "lm_bigram_grams", lambda: bigram_grams_frame(docs)
     )

@@ -1,0 +1,53 @@
+"""Focused goldens for the r13 small-scan fan-out (sources/fixtures.py).
+
+The fan is a pure physical-layout change: same rows, deterministic
+partition count derived from the parquet footer (never from core count),
+and it must never fire for sources that already split (multi-row-group /
+large / non-local)."""
+
+from __future__ import annotations
+
+import os
+
+from data_ingestion_backend_spark.sources import fixtures
+from data_ingestion_backend_spark.sources.fixtures import _small_scan_fan, load_table
+from tests.conftest import SF_DIR_SMALL
+
+
+def test_fan_preserves_rows_exactly(spark):
+    plain = load_table(spark, SF_DIR_SMALL, "documents", fan_scan=False)
+    fanned = load_table(spark, SF_DIR_SMALL, "documents", fan_scan=True)
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in fanned.collect())
+    assert a == b
+
+
+def test_fan_is_footer_derived_and_memoized(spark):
+    path = os.path.join(SF_DIR_SMALL, "documents.parquet")
+    import pyarrow.parquet as pq
+
+    rows = pq.ParquetFile(path).metadata.num_rows
+    want = min(fixtures._FAN_MAX, rows // fixtures._FAN_MIN_ROWS_PER_TASK)
+    got = _small_scan_fan(path)
+    assert got == (0 if want <= 1 else want)
+    # memo hit returns the same value (no footer re-read path divergence)
+    assert _small_scan_fan(path) == got
+    if got:
+        df = load_table(spark, SF_DIR_SMALL, "documents", fan_scan=True)
+        assert df.rdd.getNumPartitions() == got
+
+
+def test_fan_never_fires_for_missing_or_tiny_sources(tmp_path):
+    # non-existent path: keep native splits, never raise
+    assert _small_scan_fan(str(tmp_path / "nope.parquet")) == 0
+    # a directory (multi-file table layout): not a single small file
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    assert _small_scan_fan(str(d)) == 0
+
+
+def test_fan_default_is_opt_in(spark):
+    # the registry default fans NOTHING implicitly (call sites opt in);
+    # documents loaded without fan_scan keeps the native single split
+    df = load_table(spark, SF_DIR_SMALL, "documents")
+    assert df.rdd.getNumPartitions() <= 1 or not fixtures._FAN_TABLES
