@@ -269,7 +269,16 @@ def test_bpe_encode_arrow_1000_merges_constant_jobs(spark):
         (len(rows) + i + 1, f"§{i}", "¤", f"§{i}¤", 1)
         for i in range(1000 - len(rows))
     ]
-    merges_1000 = spark.createDataFrame(
+    # build through the same literal-table path the learner uses
+    # (plans/localtable.local_df): the job-count claim compares MERGE
+    # COUNTS, not table-construction mechanisms — a plain createDataFrame
+    # here plans a 32-slice pickled-RDD scan whose extra jobs the Arrow
+    # path no longer pays (r13), and would fail the bound for the wrong
+    # reason.
+    from data_ingestion_backend_spark.plans.localtable import local_df
+
+    merges_1000 = local_df(
+        spark,
         rows + pad,
         "rank int, left string, right string, merged string, pair_count bigint",
     )
