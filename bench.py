@@ -288,12 +288,21 @@ def main() -> None:
         ingest_file(spark_, ingest_wh, ingest_csv, user_id=1, reprocess=True)
         return spark_.range(0)
 
+    # bench-honesty annotation (r14): some entries share session-persisted
+    # intermediates (dedup._session_persisted — shingle/minhash/simhash/
+    # bigram tables built once per session).  Their steady-state medians
+    # partially measure a MEMORY_AND_DISK cache hit, not the operator; the
+    # artifact names them so a reviewer can weigh the absolute numbers.
+    from data_ingestion_backend_spark.operators.dedup import _MEMO_EVENTS
+
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    session_reuse: dict[str, list[str]] = {}
     names.append("ingest_e2e")
     for name in names:
         samples: list[float] = []
+        memo_mark = len(_MEMO_EVENTS)
         # ingest_e2e runs ~10 s dominated by fixed control-plane cost
         # (snapshot/ledger jobs).  3 timed runs, not the full RUNS: a
         # single-run entry proved unattributable in round 8 (its 1.48×
@@ -322,6 +331,11 @@ def main() -> None:
             "min": round(min(samples), 4),
             "max": round(max(samples), 4),
         }
+        hits = sorted(
+            {n for n, kind in _MEMO_EVENTS[memo_mark:] if kind == "hit"}
+        )
+        if hits:
+            session_reuse[name] = hits
     load_end = os.getloadavg()
     shutil.rmtree(ingest_work, ignore_errors=True)
 
@@ -345,6 +359,12 @@ def main() -> None:
         # ~0.4-0.7 s healthy, multiples of that = hypervisor throttling
         # the parallel axis the matmul calibration cannot see
         "calibration_parallel_sec": _parallel_calibration_sec(),
+        # entries whose timed runs reused session-persisted intermediates
+        # (dedup._session_persisted): their absolute medians partially
+        # measure a cache hit the warm-up paid for — identical treatment
+        # every round, so round-over-round ratios stay fair, but the
+        # per-entry numbers flatter the operator (r14 honesty annotation)
+        "session_reuse": session_reuse,
     }
     # Full detail (queries + spread + loadavg) to a file: the full JSON
     # line outgrew the driver's stdout tail-capture in round 5
@@ -356,6 +376,34 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout lines below still carry everything
     print(json.dumps(out))
+    # Per-query medians in SHORT chunk lines between the detail line and
+    # the headline (r14): the driver's stdout tail-capture keeps only the
+    # last ~2000 bytes (measured from BENCH_r12/r13 artifacts), so the
+    # single ~6 KB detail line above never reaches its per-query diff.
+    # Each chunk is a self-describing compact JSON line well under the
+    # window; queries are ordered ASCENDING by median so the most
+    # expensive entries sit in the LAST chunks — the ones any tail
+    # window is guaranteed to keep.  A parser that merges the "queries"
+    # dicts of every parseable stdout JSON line reconstructs the full
+    # per-query map; a 2000-byte tail still gets the top-cost half.
+    ordered = sorted(timings.items(), key=lambda kv: (kv[1], kv[0]))
+    chunk_size = 18
+    chunks = [
+        ordered[i : i + chunk_size] for i in range(0, len(ordered), chunk_size)
+    ]
+    for i, chunk in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_queries_chunk",
+                    "part": i + 1,
+                    "of": len(chunks),
+                    "sf": out["sf"],
+                    "queries": dict(chunk),
+                },
+                separators=(",", ":"),
+            )
+        )
     # Compact headline as the LAST stdout line (<300 bytes): any
     # tail-capture window keeps it, so the round's headline number is
     # always machine-readable even when the per-query detail line is not.

@@ -82,6 +82,13 @@ NGRAM_MAX_DF = 5  # inverted-index pruning: ignore shingles in > 5 docs
 
 _PERSIST_MEMO: dict[tuple[str, str, str], tuple[str, DataFrame]] = {}
 
+#: append-only (name, "hit"|"build") event log — lets the bench harness
+#: annotate which timed entries reuse session-persisted intermediates
+#: (r14 bench-honesty item): a "hit" during a timed run means part of
+#: that entry's steady-state number is a MEMORY_AND_DISK cache read, not
+#: the operator.  Driver-side list of short tuples; never a data cost.
+_MEMO_EVENTS: list[tuple[str, str]] = []
+
 
 def _source_fingerprint(sf_dir: str) -> str:
     """Cheap change-detector for the fixture dir: (name, mtime_ns, size)
@@ -109,9 +116,11 @@ def _session_persisted(spark, sf_dir, name, build):
     fp = _source_fingerprint(sf_dir)
     hit = _PERSIST_MEMO.get(key)
     if hit is not None and hit[0] == fp:
+        _MEMO_EVENTS.append((name, "hit"))
         return hit[1]
     if hit is not None:
         hit[1].unpersist()  # source rewritten mid-session: drop stale cache
+    _MEMO_EVENTS.append((name, "build"))
     df = build().persist(StorageLevel.MEMORY_AND_DISK)
     _PERSIST_MEMO[key] = (fp, df)
     return df

@@ -306,40 +306,48 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    # three plan arms consume the oriented edges (both wedge sides + the
-    # closing probe); materialize once instead of re-running the edge
+    # two plan arms consume the oriented edges (the adjacency build and
+    # the probe side); materialize once instead of re-running the edge
     # build + degree joins per arm
     oriented = oriented.localCheckpoint(eager=False)
-    a, b = oriented.alias("a"), oriented.alias("b")
-    # enumerate each unordered out-neighbor pair ONCE (v < w) and close
-    # against id-normalized edges — half the wedge volume of the naive
-    # (v, w)+(w, v) enumeration, same triangle set.  SHUFFLE_HASH here
-    # too: sort-merge would sort the m-row edge list TWICE (both join
-    # arms) — at 100× that sort was most of the remaining spill after
-    # the closer join stopped sorting wedges.
-    wedges = (
-        a.join(b.hint("shuffle_hash"), "src")
-        .filter(F.col("a.dst") < F.col("b.dst"))
-        .select("src", F.col("a.dst").alias("v"), F.col("b.dst").alias("w"))
+    # r14 (guide §2.3/§2.4): adjacency-intersection instead of wedge
+    # materialization.  The r13 form self-joined the oriented edges into
+    # an O(m^1.5)-ROW wedge table and shuffled it TWICE (wedge build +
+    # closing join) — measured 770 MB shuffle write / 1.15 GB read at
+    # sf0.1, the whole cost of the entry.  Triangle {a,b,c} (rank order
+    # a<b<c) has oriented edges a→b, a→c, b→c, so it is found EXACTLY
+    # once as edge (a,b) with c ∈ N⁺(a) ∩ N⁺(b): attach each oriented
+    # edge's two out-neighbor lists and intersect per edge in the JVM
+    # (`array_intersect`, codegen) — the wedge set is never materialized
+    # or shuffled as rows.  Shuffle now carries each adjacency list once
+    # per incident out-edge (Σ d⁺(u)² longs packed in arrays ≈ the wedge
+    # count, but array-packed instead of one row each and moved ONCE,
+    # not written+read twice), plus the m-row adjacency build.
+    # Degree-orientation still bounds every array at O(√m), so per-row
+    # width is bounded and the per-edge intersect is O(d⁺(u)+d⁺(v)) hash
+    # work — no sort, no O(m^1.5) hash-join build side (the 47.7 GB
+    # spill at 100× in SCALE.md §7 was exactly that wedge sort).
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+    tri = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au.hint("shuffle_hash"), "u")
+        .join(av.hint("shuffle_hash"), "v")
+        .select("u", "v", F.array_intersect("nu", "nv").alias("ws"))
+        .filter(F.size("ws") > 0)
     )
-    closer = oriented.select(
-        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
-    )
-    # SHUFFLE_HASH, build = the edge set: the wedge side is O(m^1.5)
-    # rows and the planner's default sort-merge join SORTS it — that
-    # sort was the entire 47.7 GB spill at 100× (SCALE.md §7).  A
-    # shuffled-hash join streams each wedge partition once against a
-    # per-partition hash map of the m-row edge set (m/shuffle_partitions
-    # rows per map), so the dominant side never buffers or sorts.
-    tri = wedges.join(closer.hint("shuffle_hash"), ["v", "w"]).select(
-        F.col("src").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+    # per-node counts: the apex u and mid v of edge (u, v) each join
+    # |ws| triangles; every w ∈ ws joins one
+    contrib = tri.select(
+        F.explode(F.array("u", "v")).alias("node"),
+        F.size("ws").cast("bigint").alias("c"),
+    ).unionAll(
+        tri.select(F.explode("ws").alias("node"), F.lit(1).cast("bigint").alias("c"))
     )
     return (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("n_tri"))
+        contrib.groupBy("node")
+        .agg(F.sum("c").cast("bigint").alias("n_tri"))
     )
 
 

@@ -499,10 +499,19 @@ def _lloyd_partial_stats(df: DataFrame, group_col: str, vec_col: str, C) -> list
     )
 
 
-def _lloyd_partial_stats_cosine(df: DataFrame, vec_col: str, C) -> list:
+def _lloyd_partial_stats_cosine(
+    df: DataFrame, vec_col: str, C, renormalize: bool = True
+) -> list:
     """Collected (cluster, pos, s, n) model update for spherical k-means:
-    assignment by argmax cosine against ``C`` (k, d) on re-normalized
-    rows — the `_assign_clusters` arithmetic."""
+    assignment by argmax cosine against ``C`` (k, d) — the
+    `_assign_clusters` arithmetic.  Pass ``renormalize=False`` when the
+    input rows are ALREADY unit-norm (`_normalized_emb` output): the
+    partial sums then accumulate the stored values bit-faithfully to the
+    pre-fusion aggregation (r14, advisor item — the in-kernel divide by
+    a ~1.0 norm added ulp drift and would turn a zero-norm row into NaN
+    sums where the old path only NaN'd its assignment).  Assignment is
+    unaffected either way: row-positive rescaling never changes the
+    argmax."""
     import numpy as np
     import pandas as pd
 
@@ -518,7 +527,8 @@ def _lloyd_partial_stats_cosine(df: DataFrame, vec_col: str, C) -> list:
                 continue
             seen = True
             M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            if renormalize:
+                M /= np.linalg.norm(M, axis=1, keepdims=True)
             a = (M @ Cb.T).argmax(axis=1)
             np.add.at(sums, a, M)
             np.add.at(counts, a, 1)
@@ -1144,7 +1154,9 @@ def kmeans_train(
         # instead of the posexploded n·d rows).
         vec_only = emb_n.select("e")
         for _ in range(iters):
-            stats = _lloyd_partial_stats_cosine(vec_only, "e", C)
+            stats = _lloyd_partial_stats_cosine(
+                vec_only, "e", C, renormalize=False  # input is unit-norm
+            )
             sums = np.zeros((k, C.shape[1]), dtype=np.float64)
             counts = np.zeros(k, dtype=np.int64)
             for r in stats:

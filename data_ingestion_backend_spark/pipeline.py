@@ -145,12 +145,23 @@ def ingest_file(
     # overlapped write tails.
     from concurrent.futures import ThreadPoolExecutor
 
+    # The current-snapshot reads are hoisted to the MAIN thread: on a
+    # cold warehouse wh.read() falls back to a driver-side empty
+    # createDataFrame, the exact under-concurrency pattern _ledger_row's
+    # docstring forbids from pool threads (r14, advisor item).  Pool
+    # threads then only run write jobs over already-built plans.
+    staging_cur = wh.read("staging").filter(F.col("staging_job_id") != job_id)
+    issues_cur = wh.read("issues").filter(F.col("issues_job_id") != job_id)
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_staging = pool.submit(
-            _stage_replace, wh, "staging", "staging_job_id", job_id, staging_obs_df
+            _stage_replace,
+            wh, "staging", "staging_job_id", job_id, staging_obs_df,
+            cur=staging_cur,
         )
         f_issues = pool.submit(
-            _stage_replace, wh, "issues", "issues_job_id", job_id, issues_obs_df
+            _stage_replace,
+            wh, "issues", "issues_job_id", job_id, issues_obs_df,
+            cur=issues_cur,
         )
         f_items = pool.submit(
             wh.stage, "issue_items", items_wo_job.unionByName(result.issue_items)
@@ -226,12 +237,20 @@ def _ledger_row(
 
 
 def _stage_replace(
-    wh: Warehouse, table: str, job_col: str, job_id: str, new_rows: DataFrame
+    wh: Warehouse,
+    table: str,
+    job_col: str,
+    job_id: str,
+    new_rows: DataFrame,
+    cur: DataFrame | None = None,
 ) -> int:
     """Stage (materialize uncommitted) a snapshot replacing one job's
     slice of a table; the caller publishes all staged tables in one
-    manifest swap."""
-    cur = wh.read(table).filter(F.col(job_col) != job_id)
+    manifest swap.  Callers running this in a pool thread must pass
+    ``cur`` (the pre-read current snapshot) so no driver-side
+    createDataFrame fallback executes off the main thread."""
+    if cur is None:
+        cur = wh.read(table).filter(F.col(job_col) != job_id)
     return wh.stage(table, cur.unionByName(new_rows))
 
 

@@ -24,11 +24,20 @@ from pyspark.sql.types import StructType
 
 
 def local_df(spark: SparkSession, rows, schema: str | StructType) -> DataFrame:
-    """One-Arrow-batch literal DataFrame (see module docstring)."""
+    """One-Arrow-batch literal DataFrame (see module docstring).
+
+    The Arrow batch is built column-wise with the EXPLICIT declared type
+    (``pa.array(col, type=...)``), so a value Arrow cannot represent
+    exactly raises and falls back — never a silent pandas coercion (the
+    r13 form inferred dtypes via pandas, where a column mixing ints and
+    floats coerces to float64 and int64 values > 2^53 lose exactness;
+    advisor item, r14).  The pandas route stays as a second fallback for
+    types the column-wise builder cannot express, the plain row-pickled
+    builder as the universal last resort.
+    """
     if not rows:
         return spark.createDataFrame([], schema)
     try:
-        import pandas as pd
         from pyspark.sql.types import _parse_datatype_string
 
         st = (
@@ -36,12 +45,30 @@ def local_df(spark: SparkSession, rows, schema: str | StructType) -> DataFrame:
             if isinstance(schema, str)
             else schema
         )
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        a_schema = to_arrow_schema(st)
+        tuples = [tuple(r) for r in rows]
+        arrays = [
+            pa.array([t[i] for t in tuples], type=a_schema.field(i).type)
+            for i in range(len(a_schema))
+        ]
+        tbl = pa.Table.from_arrays(arrays, schema=a_schema)
+        # one JVM-readable batch; coalesce(1) keeps the model-sized
+        # control-plane table in a single partition (narrow — no job)
+        return spark.createDataFrame(tbl, schema=st).coalesce(1)
+    except Exception:
+        pass
+    try:
+        import pandas as pd
+
         pdf = pd.DataFrame.from_records(
             [tuple(r) for r in rows], columns=[f.name for f in st.fields]
         )
-        # the Arrow path still chunks by defaultParallelism; these are
-        # model-sized control-plane tables, so one JVM partition is the
-        # right execution shape (coalesce is narrow — no extra job)
         return spark.createDataFrame(pdf, schema=st).coalesce(1)
     except Exception:
         # any pandas/Arrow coercion gap: the plain (slow but universal) path

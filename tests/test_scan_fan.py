@@ -46,8 +46,12 @@ def test_fan_never_fires_for_missing_or_tiny_sources(tmp_path):
     assert _small_scan_fan(str(d)) == 0
 
 
-def test_fan_default_is_opt_in(spark):
-    # the registry default fans NOTHING implicitly (call sites opt in);
-    # documents loaded without fan_scan keeps the native single split
-    df = load_table(spark, SF_DIR_SMALL, "documents")
-    assert df.rdd.getNumPartitions() <= 1 or not fixtures._FAN_TABLES
+def test_fan_default_is_opt_in(spark, monkeypatch):
+    # the registry default fans NOTHING implicitly (call sites opt in):
+    # with the default-fan set pinned empty, fan_scan=None must keep the
+    # native single split — asserted directly, no environment escape
+    # hatch (r14, advisor item: the old `or not _FAN_TABLES` made the
+    # assert vacuous in the default environment)
+    monkeypatch.setattr(fixtures, "_FAN_TABLES", set())
+    df = load_table(spark, SF_DIR_SMALL, "documents", fan_scan=None)
+    assert df.rdd.getNumPartitions() == 1

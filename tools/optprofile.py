@@ -143,10 +143,6 @@ def main() -> None:
                 st["sh_write"] = st.get("sh_write", 0) + swm.get("Shuffle Bytes Written", 0)
                 st["spill"] = st.get("spill", 0) + m.get("Disk Bytes Spilled", 0)
                 st["input"] = st.get("input", 0) + (m.get("Input Metrics") or {}).get("Bytes Read", 0)
-                st["py_ms"] = st.get("py_ms", 0) + sum(
-                    a.get("Update", 0) if isinstance(a.get("Update", 0), int) else 0
-                    for a in ev.get("Task Executor Metrics", {}) and []
-                )
 
     for name in args.queries:
         print(f"\n================ {name} ================")
