@@ -68,7 +68,7 @@ from data_ingestion_backend_spark.operators.curate import (
     KNOWN_LANGS,
     MAX_TOP_BIGRAM_FRAC,
     MIN_QUALITY,
-    curate_corpus,
+    curate_frame,
 )
 from data_ingestion_backend_spark.operators.dedup import (
     _minhash_ctes,
@@ -84,7 +84,7 @@ from data_ingestion_backend_spark.operators.mlprep import (
     PACK_SHARDS,
     TRAIN_PCT,
     VAL_PCT,
-    dsir_weights,
+    dsir_weights_tagged,
     split_leakage_free,
     token_budget_select,
 )
@@ -332,12 +332,21 @@ def corpus_build_frame(
     )
 
     # stage 4 — DSIR on the CLEANED text, target = cleaned English slice
-    scores = dsir_weights(
-        clean.select("doc_id", "text"),
-        clean.filter(F.col("lang") == "en").select("text"),
+    # (single-gram-pass tagged form, bit-equal — see dsir_weights_tagged)
+    scores = dsir_weights_tagged(
+        clean.select(
+            "doc_id", (F.col("lang") == "en").alias("is_tgt"), "text"
+        ),
+        "is_tgt",
     )
 
-    # stage 5 — token-budget cut on DSIR tiers
+    # stage 5 — token-budget cut on DSIR tiers.  The budget scalar rides
+    # the scored checkpoint as an observed metric (r14): sum(n_tokens)
+    # over the very rows the checkpoint materializes — one job instead
+    # of checkpoint + a separate aggregation action.
+    from pyspark.sql import Observation
+
+    budget_obs = Observation("corpus_budget")
     scored = (
         clean.select("doc_id", "n_clean")
         .join(scores.select("doc_id", "rate_mbits"), "doc_id", "left")
@@ -351,11 +360,13 @@ def corpus_build_frame(
             .alias("score"),
             F.col("n_clean").alias("n_tokens"),
         )
+        .observe(
+            budget_obs,
+            F.expr(f"sum(n_tokens) * {BUDGET_PCT} div 100").alias("budget"),
+        )
         .localCheckpoint(eager=True)  # budget scalar + selection + pack
     )
-    budget = scored.agg(
-        F.expr(f"sum(n_tokens) * {BUDGET_PCT} div 100")
-    ).collect()[0][0]
+    budget = budget_obs.get["budget"]
     sel = token_budget_select(scored, int(budget or 0)).localCheckpoint(
         eager=True
     )
@@ -424,9 +435,10 @@ def prep_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     # stage 1 — the certified curate verdict, minus its near-dup reason
-    # (stage 2 owns dedup with the quality-aware keep rule)
+    # (stage 2 owns dedup with the quality-aware keep rule); the
+    # sort-free frame form — qual feeds doc_id joins only
     qual = (
-        curate_corpus(spark, sf_dir)
+        curate_frame(spark, sf_dir)
         .select(
             "doc_id",
             (
@@ -537,19 +549,22 @@ def prep_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp drift between engines.
     """
     from data_ingestion_backend_spark.operators.text import (
+        _lang_votes,
         pii_counts,
-        text_doc_stats,
-        text_lang_id,
+        quality_expr,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    # fan_scan=False: see curate.py - composed pipelines keep 1-split scans
-    stats = text_doc_stats(spark, sf_dir, fan_scan=False).select(
-        "doc_id", "n_tokens", "n_chars_measured", "quality"
-    )
-    lang = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    # r14 (composed-pipeline constant): the stats arm's columns are pure
+    # per-doc projections of the same certified expression builders
+    # (size(split), length, quality_expr) — computed inline on the ONE
+    # documents scan instead of joining a second scan; the lang arm
+    # LEFT-joins the vote aggregation core directly (missing → 'und',
+    # text_lang_id's exact null semantics).  2 scans + 5 joins → 1 scan
+    # + 3 joins; every value identical (oracle row-hash gate).
+    lang = _lang_votes(docs.select("doc_id", "text"))
     # Checkpoint the two CC-closure consumers (the capstone's stage-table
     # pattern): the curate verdict EMBEDS its own dedup_clusters arm, and
     # Spark does not dedupe common subplans (SCALE.md §2) — one un-pinned
@@ -562,7 +577,7 @@ def prep_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     keep = (
-        curate_corpus(spark, sf_dir)
+        curate_frame(spark, sf_dir)  # sort-free: feeds a doc_id join
         .select("doc_id", "keep")
         .localCheckpoint(eager=True)
     )
@@ -570,16 +585,15 @@ def prep_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in pii_counts(F.col("text")).values():
         pii_any = c if pii_any is None else pii_any + c
     per_doc = (
-        docs.join(stats, "doc_id")
-        .join(lang, "doc_id")
+        docs.join(lang, "doc_id", "left")
         .join(clus, "doc_id")
         .join(keep, "doc_id")
         .select(
             "source",
-            "n_tokens",
-            "n_chars_measured",
-            "quality",
-            "lang_pred",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            F.length("text").cast("bigint").alias("n_chars_measured"),
+            F.round(quality_expr(), 2).alias("quality"),
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
             "is_canonical",
             "keep",
             (pii_any > 0).alias("pii_doc"),

@@ -32,10 +32,6 @@ from data_ingestion_backend_spark.operators.dedup import (
     _minhash_ctes,
     dedup_clusters,
 )
-from data_ingestion_backend_spark.operators.mlprep import (
-    prep_length_deciles,
-    prep_repetition,
-)
 from data_ingestion_backend_spark.operators.queries import (
     ORACLE,
     STANDALONE_ORACLES,
@@ -44,8 +40,6 @@ from data_ingestion_backend_spark.operators.queries import (
 from data_ingestion_backend_spark.operators.text import (
     PII_PATTERNS,
     redact_pii,
-    text_doc_stats,
-    text_lang_id,
 )
 from data_ingestion_backend_spark.sources.fixtures import load_table
 
@@ -110,6 +104,72 @@ SELECT r.doc_id,
 FROM verdict r ORDER BY r.doc_id"""
 
 
+def curate_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = MIN_QUALITY,
+    max_top_bigram_frac: float = MAX_TOP_BIGRAM_FRAC,
+) -> DataFrame:
+    """The curate verdict without the registered entry's terminal sort —
+    composed consumers (the corpus build's quality gate, the datasheet's
+    keep arm) feed it into doc_id joins where row order is irrelevant.
+
+    r14 (composed-pipeline constant, guide §2.4): the r13 form joined
+    FIVE separately-registered signal frames, each of which re-scanned
+    ``documents``, re-joined its aggregate back onto its own doc list,
+    and sorted by doc_id — 5 scans, 9 joins, 5 sorts for one verdict.
+    The signals' certified expressions are unchanged (shared builders:
+    ``quality_expr``/``bpe_token_count`` projections inline,
+    ``_repetition_agg``+``repetition_frac_expr``, ``_lang_votes``+
+    coalesce-'und', ``length_filter_arm``'s identical window) but now
+    compose over ONE documents scan with one LEFT join per aggregated
+    signal — the same rows, a third of the plan.
+    """
+    from data_ingestion_backend_spark.operators.mlprep import (
+        _repetition_agg,
+        length_filter_arm,
+        repetition_frac_expr,
+    )
+    from data_ingestion_backend_spark.operators.text import (
+        _lang_votes,
+        bpe_token_count,
+        quality_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    rep = _repetition_agg(base)
+    lang = _lang_votes(base)
+    dec = length_filter_arm(docs.select("doc_id", "source", "n_chars"))
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+
+    joined = (
+        base.join(rep, "doc_id", "left")
+        .join(lang, "doc_id", "left")
+        .join(dec, "doc_id")
+        .join(clusters, "doc_id")
+    )
+    quality = F.round(quality_expr(), 2)  # = text_doc_stats's quality
+    top_frac = repetition_frac_expr()  # = prep_repetition's top_bigram_frac
+    lang_pred = F.coalesce(F.col("lang"), F.lit("und"))  # = text_lang_id's
+    reason = [
+        F.when(~F.col("is_canonical"), F.lit("near_dup")),
+        F.when(quality < min_quality, F.lit("low_quality")),
+        F.when(top_frac > max_top_bigram_frac, F.lit("repetitive")),
+        F.when(~lang_pred.isin(*KNOWN_LANGS), F.lit("unknown_lang")),
+        F.when(F.col("length_filter") == "clip", F.lit("length_outlier")),
+    ]
+    reasons = F.filter(F.array(*reason), lambda x: x.isNotNull())
+    keep = F.size(reasons) == 0
+    return joined.select(
+        "doc_id",
+        keep.alias("keep"),
+        F.concat_ws(",", reasons).alias("drop_reasons"),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.when(keep, redact_pii(F.col("text"))).alias("clean_text"),
+    )
+
+
 @_register_standalone("curate_corpus", _curate_oracle_sql())
 def curate_corpus(
     spark: SparkSession,
@@ -131,37 +191,6 @@ def curate_corpus(
     Output: (doc_id, keep, drop_reasons, n_tokens_bpe, clean_text) where
     ``clean_text`` is the PII-redacted text for kept docs, NULL otherwise.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # fan_scan=False: a fanned stats arm regressed the composed verdict
-    # pipeline (64-partition scheduling on every downstream stage)
-    stats = text_doc_stats(spark, sf_dir, fan_scan=False).select(
-        "doc_id", "quality", "n_tokens_bpe"
-    )
-    lang = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
-    rep = prep_repetition(spark, sf_dir).select("doc_id", "top_bigram_frac")
-    dec = prep_length_deciles(spark, sf_dir).select("doc_id", "length_filter")
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
-
-    joined = (
-        docs.join(stats, "doc_id")
-        .join(lang, "doc_id")
-        .join(rep, "doc_id")
-        .join(dec, "doc_id")
-        .join(clusters, "doc_id")
-    )
-    reason = [
-        F.when(~F.col("is_canonical"), F.lit("near_dup")),
-        F.when(F.col("quality") < min_quality, F.lit("low_quality")),
-        F.when(F.col("top_bigram_frac") > max_top_bigram_frac, F.lit("repetitive")),
-        F.when(~F.col("lang_pred").isin(*KNOWN_LANGS), F.lit("unknown_lang")),
-        F.when(F.col("length_filter") == "clip", F.lit("length_outlier")),
-    ]
-    reasons = F.filter(F.array(*reason), lambda x: x.isNotNull())
-    keep = F.size(reasons) == 0
-    return joined.select(
-        "doc_id",
-        keep.alias("keep"),
-        F.concat_ws(",", reasons).alias("drop_reasons"),
-        "n_tokens_bpe",
-        F.when(keep, redact_pii(F.col("text"))).alias("clean_text"),
+    return curate_frame(
+        spark, sf_dir, min_quality, max_top_bigram_frac
     ).orderBy("doc_id")

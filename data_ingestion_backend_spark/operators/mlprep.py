@@ -92,10 +92,12 @@ def prep_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_frame(load_table(spark, sf_dir, "documents"))
 
 
-def repetition_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, top_bigram_count, n_bigrams, top_bigram_frac) for any
-    (doc_id, text) frame — the frame core of ``prep_repetition``, reused
-    by the incremental corpus build's per-batch signal pass."""
+def _repetition_agg(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_bigram_count, n_bigrams) for docs with ≥ 2 tokens —
+    the aggregation core of :func:`repetition_frame`, exposed so composed
+    consumers (the curate verdict) can LEFT-join it straight onto their
+    own doc frame instead of paying this frame's internal join-back plus
+    a second outer join (r14, composed-pipeline constant)."""
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
         F.size("t") >= 2
     )
@@ -105,16 +107,32 @@ def repetition_frame(docs: DataFrame) -> DataFrame:
             F.expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")
         ).alias("b"),
     )
-    agg = (
+    return (
         bg.groupBy("doc_id", "b")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
     )
-    frac = F.when(
-        F.col("n_bigrams") > 0,
-        F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
-    ).otherwise(0.0)
+
+
+def repetition_frac_expr() -> F.Column:
+    """top_bigram_frac from the (nullable) `_repetition_agg` columns —
+    shared by the standalone frame and the fused curate verdict so the
+    two can never drift: null/zero n_bigrams scores 0.0 exactly."""
+    return F.round(
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"),
+        ).otherwise(0.0),
+        6,
+    )
+
+
+def repetition_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, top_bigram_count, n_bigrams, top_bigram_frac) for any
+    (doc_id, text) frame — the frame core of ``prep_repetition``, reused
+    by the incremental corpus build's per-batch signal pass."""
+    agg = _repetition_agg(docs)
     return (
         docs.select("doc_id")
         .join(agg, "doc_id", "left")
@@ -124,7 +142,7 @@ def repetition_frame(docs: DataFrame) -> DataFrame:
                 "top_bigram_count"
             ),
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
-            F.round(frac, 6).alias("top_bigram_frac"),
+            repetition_frac_expr().alias("top_bigram_frac"),
         )
         .orderBy("doc_id")
     )
@@ -414,6 +432,23 @@ def prep_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on source; window state is O(1) per row.
     """
     return length_deciles_frame(load_table(spark, sf_dir, "documents"))
+
+
+def length_filter_arm(meta: DataFrame) -> DataFrame:
+    """(doc_id, length_filter) — exactly the clip verdict of
+    :func:`length_deciles_frame` (same window spec, same band) without
+    its pctile/decile columns or terminal sort, so composed consumers
+    (the curate verdict) shuffle only (doc_id, source, n_chars) through
+    the per-source window instead of re-sorting a full signal frame
+    (r14, composed-pipeline constant)."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return meta.select(
+        "doc_id",
+        F.when((pr >= 0.05) & (pr <= 0.95), "keep")
+        .otherwise("clip")
+        .alias("length_filter"),
+    )
 
 
 def length_deciles_frame(meta: DataFrame) -> DataFrame:
@@ -1506,6 +1541,48 @@ def dsir_weights(docs: DataFrame, target: DataFrame) -> DataFrame:
     return _dsir_score(doc_b, lam)
 
 
+def dsir_weights_tagged(docs: DataFrame, target_flag: str) -> DataFrame:
+    """:func:`dsir_weights` for the common target-is-a-flagged-subset
+    case (``docs`` carries a boolean ``target_flag`` column): bit-equal
+    to ``dsir_weights(docs.select('doc_id','text'),
+    docs.filter(target_flag).select('text'))`` — the histograms are
+    integer occurrence counts either way — in ONE gram pass instead of
+    two (r14, guide §2.3/§1.2: don't recompute what a pass already
+    carries).
+
+    The per-doc bucket histogram is built once and checkpointed (it is
+    doc×bucket-bounded — the k-compressed form both the state and the
+    scoring join need); BOTH side histograms then fall out of a tiny
+    aggregation over it (the flag is functional on doc_id, so grouping
+    by it changes no counts), and the scoring join reuses the same
+    checkpointed table.  The r13 form exploded the corpus grams twice —
+    once for the (side, b, k) state, once for the per-doc scoring
+    histogram."""
+    spark = docs.sparkSession
+    doc_b = (
+        _dsir_grams(docs, "doc_id", target_flag)
+        .groupBy("doc_id", target_flag, "b")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    rows = (
+        doc_b.groupBy("b")
+        .agg(
+            F.sum("k").alias("cs"),
+            F.sum(F.when(F.col(target_flag), F.col("k"))).alias("ct"),
+        )
+        .collect()
+    )
+    src_rows = [(r["b"], r["cs"]) for r in rows]
+    tgt_rows = [(r["b"], r["ct"]) for r in rows if r["ct"] is not None]
+    src = local_df(spark, src_rows, "b bigint, cs bigint")
+    tgt = local_df(spark, tgt_rows, "b bigint, ct bigint")
+    ts = sum(k for _, k in src_rows)
+    tt = sum(k for _, k in tgt_rows)
+    lam = _dsir_lambda(src, tgt, ts, tt)
+    return _dsir_score(doc_b.select("doc_id", "b", "k"), lam)
+
+
 # --- incremental DSIR state maintenance ---------------------------------------
 #
 # The source/target bucket histograms are MERGEABLE sufficient
@@ -1614,9 +1691,12 @@ def prep_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    return dsir_weights(
-        docs.select("doc_id", "text"),
-        docs.filter(F.col("lang") == "en").select("text"),
+    # single-gram-pass tagged form (bit-equal; see dsir_weights_tagged)
+    return dsir_weights_tagged(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").alias("is_tgt"), "text"
+        ),
+        "is_tgt",
     )
 
 

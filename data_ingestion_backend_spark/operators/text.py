@@ -259,11 +259,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_pred_frame(load_table(spark, sf_dir, "documents"))
 
 
-def lang_pred_frame(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang_pred, stopword_hits) for any (doc_id, text) frame —
-    the frame core of ``text_lang_id``, reused by the incremental corpus
-    build to language-ID each arriving batch with the identical voting
-    arithmetic the fixture cert pins."""
+def _lang_votes(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, hits) argmax stopword vote for docs with ≥ 1
+    lexicon hit — the aggregation core of :func:`lang_pred_frame`,
+    exposed so composed consumers (the curate verdict, the datasheet)
+    LEFT-join it onto their own doc frame (missing → 'und'/0 via
+    :func:`lang_pred_cols`) instead of paying this frame's internal
+    join-back plus a second outer join (r14, composed-pipeline
+    constant)."""
     sw = local_df(
         docs.sparkSession,
         [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
@@ -289,19 +292,31 @@ def lang_pred_frame(docs: DataFrame) -> DataFrame:
     best_lang = F.lit("und")
     for lg in reversed(langs):  # first lang alphabetically wins ties
         best_lang = F.when(F.col(f"h_{lg}") == best_hits, lg).otherwise(best_lang)
-    best = votes.select(
+    return votes.select(
         "doc_id",
         best_lang.alias("lang"),
         best_hits.alias("hits"),
     )
+
+
+def lang_pred_cols() -> tuple[F.Column, F.Column]:
+    """(lang_pred, stopword_hits) from the nullable `_lang_votes` columns
+    after a left join — shared null semantics for every consumer."""
+    return (
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("stopword_hits"),
+    )
+
+
+def lang_pred_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, stopword_hits) for any (doc_id, text) frame —
+    the frame core of ``text_lang_id``, reused by the incremental corpus
+    build to language-ID each arriving batch with the identical voting
+    arithmetic the fixture cert pins."""
     return (
         docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("lang"), F.lit("und")).alias("lang_pred"),
-            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("stopword_hits"),
-        )
+        .join(_lang_votes(docs), "doc_id", "left")
+        .select("doc_id", *lang_pred_cols())
         .orderBy("doc_id")
     )
 
@@ -612,6 +627,129 @@ def bpe_learn_merges(
 BPE_BATCH_K = 16
 
 
+def _fold_merge_py(syms: list, left: str, right: str) -> list:
+    """Pure-Python twin of :func:`_apply_merge`'s greedy left-to-right
+    fold (same semantics as ``bpe_encode_arrow``'s inner loop): an
+    element joins the accumulator tail only when the tail equals
+    ``left`` and was not itself just produced by this merge."""
+    out: list = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return out
+
+
+def _sim_max_created_arrow(vocab: "DataFrame", cand_rows: list) -> "DataFrame":
+    """(i, m) — for each candidate merge i, the EXACT max count over
+    post-merge-i pairs touching its new symbol, in ONE Arrow stage.
+
+    Replaces the r13 Catalyst form (vocab × candidates crossJoin, one
+    interpreted `_apply_merge` aggregate fold per row, posexplode,
+    two shuffled groupBys — measured as most of text_bpe_encode's
+    driver gap: the fold expression tree is re-planned per round and
+    interpreted per element).  Faithfulness (guide §4.2 + the
+    `bpe_encode_arrow` substring argument): a merge (l, r) can only
+    change a word that contains l||r as a SUBSTRING (adjacent symbols
+    occupy contiguous character ranges), so unchanged words contribute
+    their CURRENT pairs — counted only when the new symbol already
+    exists among their symbols, exactly the crossJoin+filter semantics.
+    Per-task partial sums are (i, pair)-keyed dicts; the tiny groupBy
+    completes the cross-task sum before the per-candidate max
+    (differential-pinned against the Catalyst twin in
+    tests/test_text_bpe.py)."""
+    import pandas as pd
+
+    cand = [(int(i), l, r, l + r) for (i, l, r) in cand_rows]
+
+    def gen(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for word, n, syms in zip(pdf["word"], pdf["n"], pdf["symbols"]):
+                syms = list(syms)
+                n = int(n)
+                symset = None
+                for i, l, r, s in cand:
+                    if (l + r) in word:
+                        ms = _fold_merge_py(syms, l, r)
+                        for a, b in zip(ms, ms[1:]):
+                            if a == s or b == s:
+                                k = (i, a, b)
+                                acc[k] = acc.get(k, 0) + n
+                    else:
+                        if symset is None:
+                            symset = set(syms)
+                        if s in symset:
+                            for a, b in zip(syms, syms[1:]):
+                                if a == s or b == s:
+                                    k = (i, a, b)
+                                    acc[k] = acc.get(k, 0) + n
+        if acc:
+            keys = list(acc)
+            yield pd.DataFrame(
+                {
+                    "i": [k[0] for k in keys],
+                    "l": [k[1] for k in keys],
+                    "r": [k[2] for k in keys],
+                    "c": [acc[k] for k in keys],
+                }
+            )
+
+    out = vocab.mapInPandas(gen, "i int, l string, r string, c bigint")
+    return (
+        out.groupBy("i", "l", "r")
+        .agg(F.sum("c").alias("c"))
+        .groupBy("i")
+        .agg(F.max("c").alias("m"))
+    )
+
+
+def _sim_max_created_catalyst(vocab: "DataFrame", cand: "DataFrame") -> "DataFrame":
+    """The r13 Catalyst form of the solo-simulation maxima — kept as the
+    differential twin for the Arrow stage (tests/test_text_bpe.py)."""
+    return (
+        vocab.crossJoin(F.broadcast(cand))
+        .select(
+            "i", "s", "n",
+            _apply_merge(F.col("symbols"), F.col("l"), F.col("r")).alias(
+                "symbols"
+            ),
+        )
+        .select("i", "s", "n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .filter((F.col("p.l") == F.col("s")) | (F.col("p.r") == F.col("s")))
+        .groupBy("i", "p")
+        .agg(F.sum("n").alias("c"))
+        .groupBy("i")
+        .agg(F.max("c").alias("m"))
+    )
+
+
+def _apply_merges_arrow(vocab: "DataFrame", accepted: list) -> "DataFrame":
+    """Apply an ordered list of (left, right) merges to the vocabulary in
+    ONE Arrow stage — bit-equal to chaining `_apply_merge` folds (same
+    greedy pass per merge, in order), without the per-merge Catalyst
+    expression tree the planner re-analyzes every round."""
+    merges = [(l, r) for (l, r) in accepted]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+
+            def apply_all(syms):
+                syms = list(syms)
+                for l, r in merges:
+                    syms = _fold_merge_py(syms, l, r)
+                return syms
+
+            pdf["symbols"] = pdf["symbols"].map(apply_all)
+            yield pdf
+
+    return vocab.mapInPandas(gen, "word string, n bigint, symbols array<string>")
+
+
 def bpe_learn_merges_batched(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
@@ -670,10 +808,11 @@ def bpe_learn_merges_batched(
     rounds = jobs = 0
     rank_w = Window.orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
     while len(merges) < n_merges:
-        # ONE job per round: ranked top-k pairs LEFT JOIN the per-candidate
-        # solo-simulation maxima, collected together.  The global window
-        # ranks a vocabulary-sized pair table (tiny relative to the
-        # corpus; the corpus was folded into `vocab` once, up front).
+        # TWO collects per round: the ranked top-k pairs, then the
+        # per-candidate solo-simulation maxima (Arrow stage) — merged
+        # driver-side.  The global window ranks a vocabulary-sized pair
+        # table (tiny relative to the corpus; the corpus was folded into
+        # `vocab` once, up front).
         pairs = vocab.select("n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         # orderBy+limit compiles to TakeOrderedAndProject (distributed
         # partial top-k, no global shuffle); the row_number window then
@@ -685,45 +824,36 @@ def bpe_learn_merges_batched(
             .limit(batch_k)
             .withColumn("i", F.row_number().over(rank_w))
         )
-        cand = topk.select(
-            "i",
-            F.col("p.l").alias("l"),
-            F.col("p.r").alias("r"),
-            F.concat("p.l", "p.r").alias("s"),
-        )
-        # NO word prefilter: a pair type touching s_i may combine newly
-        # created occurrences with PRE-EXISTING ones in words the merge
-        # never touches (s_i can already exist as a symbol) — sequential
-        # greedy compares against the TOTAL, so M_i must too
-        sim = (
-            vocab.crossJoin(F.broadcast(cand))
-            .select(
-                "i", "s", "n",
-                _apply_merge(F.col("symbols"), F.col("l"), F.col("r")).alias(
-                    "symbols"
-                ),
-            )
-            .select("i", "s", "n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-            .filter((F.col("p.l") == F.col("s")) | (F.col("p.r") == F.col("s")))
-            .groupBy("i", "p")
-            .agg(F.sum("n").alias("c"))
-            .groupBy("i")
-            .agg(F.max("c").alias("m"))
-        )
-        top = topk.join(sim, "i", "left").orderBy("i").collect()
+        # NO word prefilter in the COUNTS: a pair type touching s_i may
+        # combine newly created occurrences with PRE-EXISTING ones in
+        # words the merge never touches (s_i can already exist as a
+        # symbol) — sequential greedy compares against the TOTAL, so M_i
+        # must too.  The Arrow stage honors exactly that (unchanged
+        # words contribute their current pairs when they carry s_i);
+        # r14: one vectorized pass replaces the crossJoin + interpreted
+        # fold + two shuffled groupBys (differential twin kept in
+        # `_sim_max_created_catalyst`).
+        topk_rows = [r for r in topk.collect() if r["c"] is not None]
         rounds += 1
         jobs += 1
-        top = [r for r in top if r["c"] is not None]
-        if not top:
+        if not topk_rows:
             break
+        cand_rows = [(r["i"], r["p"]["l"], r["p"]["r"]) for r in topk_rows]
+        sim = {
+            r["i"]: int(r["m"])
+            for r in _sim_max_created_arrow(vocab, cand_rows).collect()
+        }
+        top = [
+            (r["i"], r["p"]["l"], r["p"]["r"], int(r["c"]))
+            for r in sorted(topk_rows, key=lambda r: r["i"])
+        ]
 
         accepted: list[tuple[str, str, int, int]] = []  # (l, r, c, M)
         touched: set[str] = set()
-        for r in top:
+        for i, l, rr, c in top:
             if len(merges) + len(accepted) >= n_merges:
                 break
-            l, rr, c = r["p"]["l"], r["p"]["r"], int(r["c"])
-            m_i = int(r["m"]) if r["m"] is not None else 0
+            m_i = sim.get(i, 0)
             syms = {l, rr, l + rr}
             if accepted and (
                 (syms & touched) or c <= max(a[3] for a in accepted)
@@ -732,15 +862,15 @@ def bpe_learn_merges_batched(
             accepted.append((l, rr, c, m_i))
             touched |= syms
 
-        col = F.col("symbols")
         for l, rr, c, _m in accepted:
             merges.append((len(merges) + 1, l, rr, l + rr, c))
-            col = _apply_merge(col, l, rr)
-        # lazy checkpoint: materializes inside the NEXT round's job (no
-        # standalone checkpoint job), still truncating the fold lineage
-        vocab = vocab.select("word", "n", col.alias("symbols")).localCheckpoint(
-            eager=False
-        )
+        # one Arrow stage applies the whole accepted batch in rank order
+        # (bit-equal to the chained Catalyst folds — `_fold_merge_py` is
+        # `_apply_merge`'s pinned twin); lazy checkpoint materializes
+        # inside the NEXT round's job, still truncating lineage
+        vocab = _apply_merges_arrow(
+            vocab, [(l, rr) for l, rr, _c, _m in accepted]
+        ).localCheckpoint(eager=False)
         if len(accepted) == 0:  # defensive: cannot happen (top non-empty)
             break
     if stats is not None:

@@ -92,11 +92,27 @@ def ingest_file(
     # exactly the jobs the exclusion exists to protect.
     prior_staging = wh.read("staging").filter(F.col("staging_job_id") == job_id)
     prior_ids = _provenance_ids(prior_staging, user_id)
+    # persisted: THREE plan arms consume this subplan (the validator's
+    # existing-email semi-join, the promoted-contact anti-join, and the
+    # contacts snapshot union) and Spark re-executes common subplans per
+    # consumer — at two reads inside the contacts write alone, the
+    # snapshot read + provenance anti-join dominated that write's wall
+    # (r14; unpersisted after publish, so reprocess loops don't pin it)
+    from pyspark import StorageLevel
+
     contacts_base = wh.read("contacts").join(
         prior_ids, ["contact_id", "contacts_user_id"], "left_anti"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     result = validate_staging(staging, contacts_base, user_id)
+    # r14 (guide §5 caching): validate_staging caches its shared `rows`
+    # core, but the four content-independent writes below launch
+    # CONCURRENTLY — on a cold cache each pool thread races to compute
+    # the full validation DAG (CSV parse, dup windows, contact
+    # semi-join) before the cache lands.  One eager pass here fills the
+    # cache (and contacts_base's) while the driver is otherwise idle;
+    # the overlapped writes then all hit warm storage.
+    result.staging.count()
 
     # --- snapshot writes (replace-per-job → idempotent reprocess) -----------
     # issue_items carry no job column; capture the job's *old* issue ids
@@ -181,6 +197,7 @@ def ingest_file(
         versions["issue_items"] = f_items.result()
         versions["contacts"] = f_contacts.result()
     wh.publish(versions)
+    contacts_base.unpersist()
     return job_id
 
 

@@ -367,3 +367,73 @@ def test_bpe_encode_arrow_randomized_adversarial_merges(spark):
     assert arrow == fold
     # non-vacuous: some merges actually fired
     assert any(len(t) > 1 for toks in fold.values() for t in toks)
+
+
+def test_bpe_sim_arrow_equals_catalyst(spark):
+    """r14: the Arrow solo-simulation stage must reproduce the Catalyst
+    crossJoin+fold twin's (i, m) maxima exactly, over a vocab state that
+    has already absorbed merges — so candidates whose merged symbol
+    pre-exists in unchanged words exercise the current-pairs branch."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_backend_spark.operators.text import (
+        _PAIRS_EXPR,
+        BPE_BATCH_K,
+        _sim_max_created_arrow,
+        _sim_max_created_catalyst,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("text")
+    _, vocab2 = bpe_learn_merges_batched(docs, n_merges=6)
+    pairs = vocab2.select("n", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+    rank_w = Window.orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
+    topk = (
+        pairs.groupBy("p")
+        .agg(F.sum("n").alias("c"))
+        .orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
+        .limit(BPE_BATCH_K)
+        .withColumn("i", F.row_number().over(rank_w))
+    )
+    rows = topk.collect()
+    cand_rows = [(r["i"], r["p"]["l"], r["p"]["r"]) for r in rows]
+    cand_df = topk.select(
+        "i",
+        F.col("p.l").alias("l"),
+        F.col("p.r").alias("r"),
+        F.concat("p.l", "p.r").alias("s"),
+    )
+    arrow = {
+        r["i"]: r["m"] for r in _sim_max_created_arrow(vocab2, cand_rows).collect()
+    }
+    catalyst = {
+        r["i"]: r["m"]
+        for r in _sim_max_created_catalyst(vocab2, cand_df).collect()
+    }
+    assert arrow and arrow == catalyst
+
+
+def test_bpe_apply_merges_arrow_equals_fold(spark):
+    """r14: the one-stage Arrow vocabulary update must equal chaining
+    `_apply_merge` Catalyst folds merge-by-merge, including the
+    overlapping-run edge ('aaa' + (a,a) → ['aa','a'])."""
+    from data_ingestion_backend_spark.operators.text import (
+        _apply_merge,
+        _apply_merges_arrow,
+        _word_vocab,
+    )
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("text")
+    vocab = _word_vocab(docs)
+    merges = [("e", "s"), ("t", "h"), ("th", "e"), ("a", "a")]
+    col = F.col("symbols")
+    for l, r in merges:
+        col = _apply_merge(col, l, r)
+    want = {
+        r["word"]: (r["n"], list(r["symbols"]))
+        for r in vocab.select("word", "n", col.alias("symbols")).collect()
+    }
+    got = {
+        r["word"]: (r["n"], list(r["symbols"]))
+        for r in _apply_merges_arrow(vocab, merges).collect()
+    }
+    assert got == want
