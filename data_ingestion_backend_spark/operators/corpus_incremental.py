@@ -88,6 +88,7 @@ from data_ingestion_backend_spark.operators.corpus import (
 )
 from data_ingestion_backend_spark.operators.corpus import _corpus_oracle_sql
 from data_ingestion_backend_spark.operators.queries import _register_standalone
+from data_ingestion_backend_spark.plans.localtable import local_df
 from data_ingestion_backend_spark.operators.curate import (
     KNOWN_LANGS,
     MAX_TOP_BIGRAM_FRAC,
@@ -1067,7 +1068,7 @@ def _extend_corpus_build_impl(
         if o is not None and o["keep_any"]:
             iv.append((s, o["lo_n"], o["hi_n"]))  # band vanished: all flip
     if iv:
-        iv_df = spark.createDataFrame(iv, "source string, a bigint, z bigint")
+        iv_df = local_df(spark, iv, "source string, a bigint, z bigint")
         fetched = _ckpt(
             docs_all.select("doc_id", "source", "n_chars", "static_ok")
             .join(F.broadcast(iv_df), "source")
@@ -1089,8 +1090,9 @@ def _extend_corpus_build_impl(
     ]
     cut_rows = []
     if need:
-        need_df = spark.createDataFrame(
-            need, "source string, lo_n bigint, lo_k bigint, hi_n bigint, hi_k bigint"
+        need_df = local_df(
+            spark, need,
+            "source string, lo_n bigint, lo_k bigint, hi_n bigint, hi_k bigint",
         )
         w_tie = Window.partitionBy("source", "n_chars").orderBy("doc_id")
         tie = (
@@ -1116,7 +1118,8 @@ def _extend_corpus_build_impl(
             )
     for s in no_band:
         cut_rows.append((s, False, None, None, None, None))
-    cuts_df = spark.createDataFrame(
+    cuts_df = local_df(
+        spark,
         cut_rows,
         "source string, keep_any boolean, lo_n bigint, lo_id bigint, "
         "hi_n bigint, hi_id bigint",
@@ -1131,7 +1134,8 @@ def _extend_corpus_build_impl(
     _submit(CB_LEN_CUT, lambda: wh.stage(CB_LEN_CUT, cuts_df.coalesce(1)))
     # exact q_ok flip set: fetched docs whose keep status differs under
     # old vs new cut pairs (static-fail docs can never flip q_ok)
-    old_cuts_df = spark.createDataFrame(
+    old_cuts_df = local_df(
+        spark,
         [
             (
                 r["source"],
@@ -1536,7 +1540,8 @@ def _extend_corpus_build_impl(
         if cs > 0
     ]
     lam_new = _lam_map(nh_rows)
-    lam_new_df = spark.createDataFrame(
+    lam_new_df = local_df(
+        spark,
         [(int(b), int(l)) for b, l in lam_new.items()],
         "b bigint, lam bigint",
     )
@@ -1562,7 +1567,7 @@ def _extend_corpus_build_impl(
         rate_touched = None  # full table (first partitioned stage)
         rate_new_rows = rate_state
     elif dlam:
-        dl_df = spark.createDataFrame(dlam, "b bigint, dl bigint")
+        dl_df = local_df(spark, dlam, "b bigint, dl bigint")
         aff_w = _ckpt(
             old_buckets_t.drop("pb")
             .join(F.broadcast(dl_df), "b")

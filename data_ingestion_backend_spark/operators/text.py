@@ -1141,18 +1141,30 @@ def bigram_surprisal(docs: DataFrame, grams: DataFrame | None = None) -> DataFra
     """
     if grams is None:
         grams = bigram_grams_frame(docs)
+    # r14 (guide §2.3/§2.4): the model tables derive from c12, not from
+    # grams — c1 = Σ c12 per w1 and V = distinct w1 of c12 are the same
+    # integers (c12 already sums every gram occurrence), but the
+    # aggregations now run over the vocabulary-sized bigram table
+    # instead of re-scanning the doc×bigram table twice.  `bits` is
+    # likewise computed ONCE per bigram type on the model table (it
+    # depends only on c1/c12/V), and grams joins the finished model a
+    # single time on (w1, w2) — the r13 form shuffled the corpus-sized
+    # grams twice (once per model join).  Plan check: the grams exchange
+    # on (w1, w2) is byte-identical for the c12 aggregation and the
+    # scored join, so ReuseExchange collapses them.
     c12 = grams.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
-    c1 = grams.groupBy("w1").agg(F.sum("k").alias("c1"))
-    vdf = grams.agg(F.count_distinct("w1").cast("bigint").alias("V"))
-    scored = (
-        grams.join(c12, ["w1", "w2"])
-        .join(c1, ["w1"])
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vdf = c12.agg(F.count_distinct("w1").cast("bigint").alias("V"))
+    model = (
+        c12.join(c1, ["w1"])
         .crossJoin(F.broadcast(vdf))
         .withColumn(
             "bits",
             F.length(F.bin(F.expr("(c1 + V) div (c12 + 1)"))).cast("bigint"),
         )
+        .select("w1", "w2", "bits")
     )
+    scored = grams.join(model, ["w1", "w2"])
     return (
         scored.groupBy("doc_id")
         .agg(

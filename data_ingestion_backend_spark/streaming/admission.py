@@ -74,6 +74,7 @@ from data_ingestion_backend_spark.operators.similarity import (
     _assign_clusters,
     _train_centroids_sample,
 )
+from data_ingestion_backend_spark.plans.localtable import local_df
 
 ADMISSIONS_TABLE = "admissions"
 
@@ -169,7 +170,8 @@ def admission_gate_batch(
         C = _train_centroids_sample(
             batch.select(F.col("doc_id").alias("vec_id"), "e")
         )
-        seed_centroids = spark.createDataFrame(
+        seed_centroids = local_df(
+            spark,
             [(i, row.tolist()) for i, row in enumerate(C)],
             "cluster long, centroid array<double>",
         )

@@ -38,6 +38,7 @@ from data_ingestion_backend_spark.operators.similarity import (
 )
 from data_ingestion_backend_spark.sources.warehouse import Warehouse
 from data_ingestion_backend_spark.streaming import txn
+from data_ingestion_backend_spark.plans.localtable import local_df
 
 SEM_INDEX_TABLE = "semdup_index"
 SEM_PAIRS_TABLE = "semdup_pairs"
@@ -108,7 +109,8 @@ def seed_semantic_index(wh: Warehouse, corpus_emb: DataFrame) -> None:
             SEM_INDEX_TABLE: wh.stage(SEM_INDEX_TABLE, assigned),
             SEM_CENTROIDS_TABLE: wh.stage(
                 SEM_CENTROIDS_TABLE,
-                spark.createDataFrame(
+                local_df(
+                    spark,
                     [(i, row.tolist()) for i, row in enumerate(C)],
                     "cluster long, centroid array<double>",
                 ),
@@ -190,7 +192,8 @@ def semantic_gate_batch(
         C = _train_centroids_sample(batch_emb)
         wh.write(
             SEM_CENTROIDS_TABLE,
-            batch_emb.sparkSession.createDataFrame(
+            local_df(
+                batch_emb.sparkSession,
                 [(i, row.tolist()) for i, row in enumerate(C)],
                 "cluster long, centroid array<double>",
             ),
