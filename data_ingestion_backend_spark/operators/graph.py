@@ -338,13 +338,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .filter(F.size("ws") > 0)
     )
     # per-node counts: the apex u and mid v of edge (u, v) each join
-    # |ws| triangles; every w ∈ ws joins one
+    # |ws| triangles; every w ∈ ws joins one.  ONE explode emits all
+    # three contribution kinds (r14, guide §2.4): the former
+    # explode(u,v) ∪ explode(ws) union consumed `tri` TWICE, and with
+    # the tri pipeline duplicated per consumer (ReuseExchange did not
+    # collapse the arms — 0 ReusedExchange in the r13 final plan) every
+    # adjacency intersect ran once per union branch per output arm.
+    edge_c = F.size("ws").cast("bigint")
     contrib = tri.select(
-        F.explode(F.array("u", "v")).alias("node"),
-        F.size("ws").cast("bigint").alias("c"),
-    ).unionAll(
-        tri.select(F.explode("ws").alias("node"), F.lit(1).cast("bigint").alias("c"))
-    )
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("u").alias("node"), edge_c.alias("c")),
+                    F.struct(F.col("v").alias("node"), edge_c.alias("c")),
+                ),
+                F.transform(
+                    "ws",
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).cast("bigint").alias("c")
+                    ),
+                ),
+            )
+        ).alias("nc")
+    ).select(F.col("nc.node").alias("node"), F.col("nc.c").alias("c"))
     return (
         contrib.groupBy("node")
         .agg(F.sum("c").cast("bigint").alias("n_tri"))
@@ -388,7 +404,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.u", "e.v")
         .distinct()
     )
-    per_node = triangle_counts(edges)
+    # per_node is |participating nodes|-sized (the same class as the
+    # pagerank rank tables) and feeds TWO arms (global total + top-k);
+    # materializing it runs the triangle pipeline exactly once per
+    # action instead of once per arm (r14, guide §2.4/§5)
+    per_node = triangle_counts(edges).localCheckpoint(eager=True)
     total = per_node.agg(
         (F.sum("n_tri") / 3).cast("bigint").alias("total_triangles")
     )

@@ -113,9 +113,36 @@ def bm25_topk(
     exact BM25.  This is the same df-pruning idea as the n-gram dedup
     inverted index (`dedup.NGRAM_MAX_DF`), applied to retrieval.
     """
-    postings, stats = bm25_postings(docs)
+    postings, _ = bm25_postings(docs)
     return bm25_topk_from_index(
-        postings, stats, queries, k=k, k1=k1, b=b, max_df_frac=max_df_frac
+        postings,
+        _stats_from_postings(postings),
+        queries,
+        k=k,
+        k1=k1,
+        b=b,
+        max_df_frac=max_df_frac,
+    )
+
+
+def _stats_from_postings(postings: DataFrame) -> DataFrame:
+    """(n_docs, avgdl) derived from the postings table instead of a
+    second corpus scan (r14, guide §2.4): ``bm25_postings``' stats arm
+    re-scanned and re-tokenized every document — a stage with no shared
+    exchange, so runtime exchange reuse could never collapse it — while
+    this form aggregates the distinct (doc_id, dl) pairs of the SAME
+    postings subtree, whose exchange the scoring join already pays for.
+
+    Bit-equal to the base-scan stats whenever every document tokenizes
+    to ≥ 1 posting row (text non-null — ``split`` never returns an
+    empty array, and the fixtures carry no NULL/empty text at any SF):
+    dl is constant per doc_id, so Σ over distinct (doc_id, dl) IS
+    Σ size(toks), n_docs is the distinct doc count, and the terminal
+    CAST(Σdl AS DOUBLE) / n_docs is the identical double division."""
+    per_doc = postings.select("doc_id", "dl").distinct()
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
 
 
@@ -337,6 +364,105 @@ def rrf_fuse(ranked_arms: list[DataFrame], k: int = RRF_K, topk: int = TOPK) -> 
     )
 
 
+def _dense_candidates_arrow(
+    emb: DataFrame, q_rows: list, topk: int = TOPK, margin: float = 1e-5
+) -> DataFrame:
+    """Per-batch-pruned cosine candidates for a tiny query set: one
+    ``mapInPandas`` stage over (vec_id, e) emitting (query_id, doc_id,
+    cos) for every row that could still reach a query's global rounded
+    top-``topk`` (guide §4.2 — replaces |emb|·|q| interpreted 64-element
+    Catalyst folds with vectorized numpy, and prunes the window input
+    from |emb|·|q| rows to ~topk per (batch, query)).
+
+    Bit-faithfulness: the kernel reproduces ``dedup.cosine_expr``'s
+    exact IEEE operation sequence — dot and squared-norm accumulate
+    LEFT-TO-RIGHT over the dimension axis (one rounded multiply + one
+    rounded add per element, exactly the Catalyst ``aggregate`` fold),
+    then ``dot / (norm_a * norm_b)`` in that association — so the
+    emitted double is bit-identical to the expression it replaces, and
+    the terminal ``round(cos, 6)`` still runs in Catalyst on that
+    identical double.
+
+    Pruning exactness: downstream ranks by (round(cos, 6) DESC, doc_id).
+    HALF_UP decimal rounding at 6 digits is monotone with
+    |round(x) − x| ≤ 5e-7, so a row more than ``margin`` = 1e-5 below a
+    batch's k-th largest UNROUNDED cosine rounds strictly below the
+    rounded values of ≥ k retained rows and can never enter the global
+    top-k under any tie-break.  Non-finite cosines (zero-norm vectors)
+    are always retained — their ordering is left entirely to Catalyst.
+    """
+    import numpy as np
+
+    qs = sorted(q_rows, key=lambda r: r[0])
+    q_ids = np.asarray([r[0] for r in qs], dtype=np.int64)
+    Q = np.asarray([r[1] for r in qs], dtype=np.float64)  # nq × d
+    d = Q.shape[1]
+    qn = np.zeros(len(qs), dtype=np.float64)
+    for j in range(d):  # left-to-right fold, same as cosine_expr's norm
+        qn += Q[:, j] * Q[:, j]
+    qn = np.sqrt(qn)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            M = np.asarray(pdf["e"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            nsq = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                nsq += M[:, j] * M[:, j]
+            nrm = np.sqrt(nsq)
+            out_q, out_d, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                acc = np.zeros(n, dtype=np.float64)
+                q = Q[qi]
+                for j in range(d):
+                    acc += M[:, j] * q[j]
+                cos = acc / (nrm * qn[qi])
+                finite = np.isfinite(cos)
+                if int(finite.sum()) > topk:
+                    kth = np.partition(cos[finite], -topk)[-topk]
+                    keep = (~finite) | (cos >= kth - margin)
+                else:
+                    keep = np.ones(n, dtype=bool)
+                out_q.append(np.full(int(keep.sum()), q_ids[qi], dtype=np.int64))
+                out_d.append(ids[keep])
+                out_c.append(cos[keep])
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_d),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    return emb.select("vec_id", "e").mapInPandas(
+        gen, "query_id bigint, doc_id bigint, cos double"
+    )
+
+
+def dense_topk_catalyst(emb: DataFrame, qv: DataFrame, topk: int = TOPK) -> DataFrame:
+    """The pre-r14 dense arm (crossJoin × interpreted cosine fold ×
+    full-corpus window) — kept as the independent twin for the
+    differential test pinning the Arrow candidate kernel bit-equal."""
+    from data_ingestion_backend_spark.operators.dedup import cosine_expr
+
+    dscored = emb.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias("cosine"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        dscored.withColumn("rnk", F.row_number().over(wd).cast("bigint"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "doc_id", "rnk")
+    )
+
+
 @_register_standalone("search_hybrid_rrf", _HYBRID_ORACLE)
 def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval certified end-to-end: the lexical arm is the BM25
@@ -345,8 +471,6 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     space in the fixtures), and the fused ranking is exact-integer RRF.
     DuckDB recomputes all three stages, so arm ranks AND fused tie-breaks
     match bit-for-bit."""
-    from data_ingestion_backend_spark.operators.dedup import cosine_expr
-
     docs = load_table(spark, sf_dir, "documents")
     probes = docs.filter((F.col("doc_id") % 100 == 3) & (F.col("doc_id") < 500))
     queries = probes.select(
@@ -362,13 +486,23 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    qv = emb.filter((F.col("vec_id") % 100 == 3) & (F.col("vec_id") < 500)).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    dscored = emb.crossJoin(F.broadcast(qv)).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        F.round(cosine_expr(F.col("e"), F.col("qe")), 6).alias("cosine"),
+    # dense arm (r14, guide §4.2): the probe set is a handful of vectors
+    # (model-sized collect — the same boundary the Lloyd/PQ kernels use),
+    # so the |emb|·|q| interpreted cosine folds + full-corpus window
+    # collapse into one Arrow stage emitting ~topk candidates per
+    # (batch, query); round + rank stay in Catalyst on the identical
+    # doubles (see _dense_candidates_arrow for the exactness argument).
+    q_rows = [
+        (r["query_id"], r["qe"])
+        for r in emb.filter(
+            (F.col("vec_id") % 100 == 3) & (F.col("vec_id") < 500)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+        .collect()
+    ]
+    cand = _dense_candidates_arrow(emb, q_rows, topk=TOPK)
+    dscored = cand.select(
+        "query_id", "doc_id", F.round(F.col("cos"), 6).alias("cosine")
     )
     wd = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("doc_id"))
     den = (
@@ -601,7 +735,10 @@ def tfidf_keywords(docs: DataFrame, k: int = KEYWORDS_PER_DOC) -> DataFrame:
     no hot partition.  The df join's skew (stopwords) is
     AQE-splittable.
     """
-    postings, stats = bm25_postings(docs)
+    # n_docs derives from the postings subtree (r14 — see
+    # _stats_from_postings), not a second corpus scan+tokenize
+    postings, _ = bm25_postings(docs)
+    stats = _stats_from_postings(postings)
     df_tbl = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     idf_i = F.floor(
         F.log(F.col("n_docs").cast("double") / F.col("df")) * 10000.0
@@ -746,6 +883,16 @@ def eval_ndcg(
     per-query window over those candidates; every terminal is BIGINT.
     """
     postings, _ = bm25_postings(docs)
+    return eval_ndcg_from_postings(postings, queries, ranked, k=k)
+
+
+def eval_ndcg_from_postings(
+    postings: DataFrame, queries: DataFrame, ranked: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """:func:`eval_ndcg` over a PREBUILT postings table (r14, guide
+    §2.4) — lets a caller that already paid the tokenize (the registered
+    eval entry, a persisted-index evaluation) share it instead of
+    re-tokenizing the corpus for the relevance join."""
     d_case = F.expr(_D_CASE_POS)
     ranked_pos = (
         ranked.filter(F.col("doc_id") != F.col("query_id"))
@@ -825,5 +972,15 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split(F.col("text"), " "), 1, QUERY_PREFIX_TOKENS)
         ).alias("term"),
     ).distinct()
-    ranked = bm25_topk(docs, queries, k=TOPK + 1)
-    return eval_ndcg(docs, queries, ranked)
+    # one tokenize for the whole evaluation (r14, guide §2.4): the r13
+    # form built the postings four times per run — ranking (postings +
+    # stats corpus re-scan) and relevance each re-derived them from
+    # ``docs``.  The postings table is checkpointed once; ranking stats
+    # derive from it (bit-equal — _stats_from_postings) and the
+    # relevance join reads the same materialized table.
+    postings, _ = bm25_postings(docs)
+    postings = postings.localCheckpoint(eager=True)
+    ranked = bm25_topk_from_index(
+        postings, _stats_from_postings(postings), queries, k=TOPK + 1
+    )
+    return eval_ndcg_from_postings(postings, queries, ranked)

@@ -356,3 +356,60 @@ def test_tfidf_keywords_semantics(spark):
         scores = {r["term"]: r["score_i"] for r in rs}
         for t in zero_terms & set(scores):
             assert scores[t] == 0
+
+def test_dense_arrow_candidates_match_catalyst_twin(spark):
+    """The r14 Arrow dense-arm kernel must reproduce the pre-r14
+    crossJoin × cosine_expr × full-window arm EXACTLY: same (query_id,
+    doc_id, rnk) triples after rounding and tie-breaks.  The kernel
+    claims bit-identical doubles (left-to-right fold) plus a provably
+    safe prune margin; this differential would catch either claim
+    failing on real fixture vectors."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_backend_spark.operators.search import (
+        TOPK,
+        _dense_candidates_arrow,
+        dense_topk_catalyst,
+    )
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = emb.filter((F.col("vec_id") % 100 == 3) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    old = sorted(
+        dense_topk_catalyst(emb, qv).collect(),
+        key=lambda r: (r.query_id, r.rnk),
+    )
+    q_rows = [(r["query_id"], r["qe"]) for r in qv.collect()]
+    cand = _dense_candidates_arrow(emb, q_rows, topk=TOPK)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cos"), 6)), F.asc("doc_id")
+    )
+    new = sorted(
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "doc_id", "rnk")
+        .collect(),
+        key=lambda r: (r.query_id, r.rnk),
+    )
+    assert [tuple(r) for r in new] == [tuple(r) for r in old]
+
+    # and the raw kernel doubles are bit-identical to the Catalyst fold
+    from data_ingestion_backend_spark.operators.dedup import cosine_expr
+
+    raw_old = {
+        (r.query_id, r.doc_id): r.c
+        for r in emb.crossJoin(F.broadcast(qv))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine_expr(F.col("e"), F.col("qe")).alias("c"),
+        )
+        .collect()
+    }
+    for r in cand.collect():
+        assert raw_old[(r.query_id, r.doc_id)] == r.cos, (
+            f"kernel double differs from Catalyst fold at {(r.query_id, r.doc_id)}"
+        )
