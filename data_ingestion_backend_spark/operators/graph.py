@@ -149,7 +149,16 @@ def pagerank_bucketed(
 
     write_bucketed(ew, table, "src", n_buckets=n_buckets, path=path)
     e = spark.table(table)
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # |nodes|-sized and consumed by FOUR plan arms (rank init + one left
+    # join per iteration); the bucketed scan's distinct is EXCHANGE-FREE
+    # (that is the bucketing win), which also means runtime exchange
+    # reuse can never collapse the re-computations — each consumer
+    # re-scanned the edge table.  Materialize once (r14, guide §2.4/§5).
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("bigint"))
     for _ in range(iters):
         inflow = (
