@@ -107,6 +107,13 @@ SANCTIONED_PANDAS = {
     # ADC over the persisted index), minus training
     "sim_ivfadc_search",
     "sim_pq_search",
+    # round-14: the hybrid dense arm's cosine candidate kernel is the
+    # same sanctioned dense-linear-algebra surface as the blocked-GEMM
+    # cosine entries above — the kernel's doubles are pinned
+    # BIT-identical to the Catalyst fold it replaced and the pruned
+    # ranking identical to the full-window twin (test_search.py::
+    # test_dense_arrow_candidates_match_catalyst_twin)
+    "search_hybrid_rrf",
 }
 
 
